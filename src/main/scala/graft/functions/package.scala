@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column helpers shared across operators.
+  *
+  * The driver verifies results by hashing values against a DuckDB run of
+  * equivalent SQL, so floating-point aggregation must be order-independent:
+  * sums of doubles are routed through an exact DECIMAL(18,4) accumulator
+  * and only then cast back to double. Ratio metrics divide two exact sums
+  * (one deterministic double op) instead of averaging doubles.
+  */
+package object functions {
+
+  /** Order-independent sum of a double measure: exact decimal accumulate,
+    * double out. Matches `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Divide-by-zero → 0.0, the reference's guard for every derived metric
+    * (reference transformer.go calculateDerivedMetrics).
+    */
+  def divSafe(num: Column, den: Column): Column =
+    when(den =!= 0.0, num / den).otherwise(lit(0.0))
+
+  /** Order-independent mean: exact sum / count as one double division. */
+  def dmean(c: Column): Column = divSafe(dsum(c), count(c).cast("double"))
+
+  /** Timestamp → 'yyyy-MM-dd' string; dates cross the oracle boundary as
+    * strings so engine-internal date encodings never disagree.
+    */
+  def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}
