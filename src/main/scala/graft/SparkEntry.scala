@@ -3,7 +3,12 @@ package graft
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 registers here; `oracleSql` carries the
+  * DuckDB-equivalent SQL for the hash-compare gate (omitted only for
+  * operators that aren't SQL-expressible, which are covered by ScalaTest).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -11,7 +16,24 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> Relational.q1Agg _
+    "q1_agg"            -> Relational.q1Agg _,
+    "q2_filter_project" -> Relational.q2FilterProject _,
+    "q3_join_agg"       -> Relational.q3JoinAgg _,
+    "q4_broadcast_join" -> Relational.q4BroadcastJoin _,
+    "q5_semi_join"      -> Relational.q5SemiJoin _,
+    "q6_anti_join"      -> Relational.q6AntiJoin _,
+    "q7_window_topk"    -> Relational.q7WindowTopk _,
+    "q8_running_window" -> Relational.q8RunningWindow _,
+    "q9_distinct"       -> Relational.q9Distinct _,
+    "q10_union_agg"     -> Relational.q10UnionAgg _,
+    "q11_rollup"        -> Relational.q11Rollup _,
+    "q12_case_expr"     -> Relational.q12CaseExpr _,
+    "q13_hourly_agg"    -> Relational.q13HourlyAgg _,
+    "q14_having"        -> Relational.q14Having _,
+    "q15_subquery"      -> Relational.q15Subquery _,
+    "q16_pivot"         -> Relational.q16Pivot _,
+    "q17_median_disc"   -> Relational.q17MedianDisc _,
+    "q18_sessionize"    -> Relational.q18Sessionize _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,6 +48,166 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05 AND l_quantity >= 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_broadcast_join" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q8_running_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |WHERE user_id < 8
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q9_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_union_agg" ->
+      """SELECT src, COUNT(*) AS n,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'order' AS src, o_totalprice AS amount FROM orders
+        |  UNION ALL
+        |  SELECT 'line' AS src, l_extendedprice AS amount FROM lineitem)
+        |GROUP BY src
+        |ORDER BY src""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q12_case_expr" ->
+      """SELECT o_orderstatus,
+        |  CASE WHEN o_totalprice < 50000.0 THEN 'small'
+        |       WHEN o_totalprice < 150000.0 THEN 'medium'
+        |       ELSE 'large' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus, bucket
+        |ORDER BY o_orderstatus, bucket""".stripMargin,
+
+    "q13_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q14_having" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 15000.0
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q15_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CASE WHEN COUNT(o_totalprice) = 0 THEN 0.0
+        |              ELSE CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |                   / CAST(COUNT(o_totalprice) AS DOUBLE) END
+        |  FROM orders) * 1.8
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS "error"
+        |FROM events
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
+
+    "q17_median_disc" ->
+      """SELECT event_type, value AS median_value FROM (
+        |  SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |WHERE rn = (cnt + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    "q18_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }

@@ -3,21 +3,24 @@ package graft.operators
 import graft.functions._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operator pack (SURVEY §2.1).
   *
   * Each query is a declarative DataFrame plan — Catalyst handles pushdown,
-  * pruning and join strategy; AQE handles runtime partition coalescing.
-  * Results are deterministically ordered and decimal-exact (see
+  * pruning and join strategy; AQE handles runtime partition coalescing and
+  * skew. Results are deterministically ordered and decimal-exact (see
   * graft.functions) so the driver's DuckDB hash-compare is stable.
+  *
+  * Scale notes per operator are inline; the common rules: aggregations are
+  * partial (map-side combine) so shuffles carry O(groups) not O(rows);
+  * dimension tables broadcast; window functions shuffle once on their
+  * partition key.
   */
 object Relational {
 
-  /** Q1-shape: scan→filter→groupBy→multi-agg on the fact table.
-    * Partial (map-side) aggregation means the shuffle carries one row per
-    * (flag,status) per task — O(groups), not O(rows) — at any scale.
-    */
+  /** q1_agg — scan→filter→groupBy→multi-agg on the fact table. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -28,4 +31,221 @@ object Relational {
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q2_filter_project — predicate + projection pushdown: the parquet scan
+    * must read only 5 of 11 columns and skip row groups via min/max stats.
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05 && col("l_quantity") >= 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q3_join_agg — TPC-H Q3 shape: filtered fact⨝fact⨝dim, agg, top-10.
+    * customer (small side) broadcasts under AQE; orders⨝lineitem shuffles
+    * on orderkey. Revenue is decimal-exact so the top-10 cut is stable.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), dstr(col("o_orderdate")).as("orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q4_broadcast_join — star join over two broadcast dims. */
+  def q4BroadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** q5_semi_join — EXISTS: orders having a heavy lineitem. Left-semi keeps
+    * the build side to keys only — no row duplication, no payload shuffle.
+    */
+  def q5SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q6_anti_join — NOT EXISTS: customers with no urgent open order
+    * (filter applied to the build side before the anti join, so the
+    * shuffled side shrinks first).
+    */
+  def q6AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** q7_window_topk — top-3 orders per customer; one shuffle on the window
+    * partition key, rank computed streaming within each partition.
+    */
+  def q7WindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q8_running_window — running sum of event value per user over time.
+    * Decimal accumulator: running sums are order-dependent in double, exact
+    * in decimal, so the oracle compare stays bit-stable.
+    */
+  def q8RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 8)
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q9_distinct — distinct is a groupBy under the hood: partial dedup
+    * map-side, O(distinct) shuffle.
+    */
+  def q9Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q10_union_agg — union-all of heterogeneous sources normalized to one
+    * schema, then a single aggregation over the union (no materialization).
+    */
+  def q10UnionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(lit("order").as("src"), col("o_totalprice").as("amount"))
+    val li = Tables.lineitem(spark, dir)
+      .select(lit("line").as("src"), col("l_extendedprice").as("amount"))
+    ord.unionByName(li)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), dsum(col("amount")).as("total"))
+      .orderBy(col("src"))
+  }
+
+  /** q11_rollup — grouping sets; explicit NULLS FIRST ordering on both
+    * engines (their defaults differ).
+    */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** q12_case_expr — CASE bucketing + agg; pure codegen'd expressions. */
+  def q12CaseExpr(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000.0, "small")
+          .when(col("o_totalprice") < 150000.0, "medium")
+          .otherwise("large"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"), col("bucket"))
+
+  /** q13_hourly_agg — event-time bucketing; the batch twin of the streaming
+    * windowed aggregation (graft.streaming). Hour crosses the oracle
+    * boundary as a string.
+    */
+  def q13HourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** q14_having — post-aggregation filter on an exact decimal sum. */
+  def q14Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .filter(col("sum_qty") > 15000.0)
+      .orderBy(col("l_suppkey"))
+
+  /** q15_subquery — above-average filter. The scalar aggregate broadcasts
+    * to every task (crossJoin of a 1-row frame) — Catalyst plans it as a
+    * BroadcastNestedLoopJoin, which is exactly a scalar subquery at scale.
+    * Mean is exact-sum/count so both engines compute the same double.
+    */
+  def q15Subquery(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val avgPrice = ord.agg(dmean(col("o_totalprice")).as("avg_price"))
+    ord.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price") * 1.8)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q16_pivot — event_type pivoted to columns with an explicit value list
+    * (no extra distinct-values job); missing cells filled 0 to match the
+    * oracle's FILTER-based conditional aggregation.
+    */
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dstr(col("ts")).as("day"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy(col("day"))
+
+  /** q17_median_disc — exact discrete median per group via window rank
+    * (element at floor((n+1)/2)) — identical discrete semantics on both
+    * engines, no interpolation arithmetic to disagree about.
+    */
+  def q17MedianDisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("int"))
+      .select(col("event_type"), col("value").as("median_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q18_sessionize — gap-based sessions (30 min) via lag + running count;
+    * the batch twin of the stateful streaming sessionizer. Gap compare in
+    * exact microseconds on both engines.
+    */
+  def q18Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("every registered query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 groups are the 6 (returnflag, linestatus) pairs") {
+    val rows = Relational.q1Agg(spark, dir).collect()
+    assert(rows.length == 6)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("A", "F")) && pairs.contains(("N", "O")))
+  }
+
+  test("q7 emits at most 3 rows per customer, rank-ordered by price") {
+    val rows = Relational.q7WindowTopk(spark, dir).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.values.forall(_.length <= 3))
+    byCust.values.foreach { rs =>
+      val prices = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("q18 sessions split on >30min gaps only") {
+    val rows = Relational.q18Sessionize(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum == 1000L) // every event lands in exactly one session
+  }
+
+  test("q15 keeps only above-threshold orders") {
+    val rows = Relational.q15Subquery(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
+  }
+}
