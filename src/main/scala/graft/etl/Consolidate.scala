@@ -1,0 +1,67 @@
+package graft.etl
+
+import graft.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MetricKey consolidation + derived metrics (reference:
+  * internal/etl/transformer.go Transform / calculateDerivedMetrics).
+  *
+  * The reference's per-key map accumulation becomes one shuffle: both
+  * feeds are normalized to a shared schema, unioned, and aggregated on
+  * the six-column MetricKey. Partial aggregation (map-side combine)
+  * keeps the shuffle at O(distinct keys); since the key contains date,
+  * it distributes evenly at any scale and re-running the pipeline is
+  * idempotent — same keys, same consolidated rows.
+  */
+object Consolidate {
+
+  val keyCols: Seq[String] =
+    Seq("date", "channel", "campaign_id", "utm_campaign", "utm_source", "utm_medium")
+
+  /** Normalize both feeds to the metrics schema and consolidate.
+    * Ads rows carry clicks/impressions/cost; CRM rows carry stage counts
+    * and revenue, with campaign_id = '' (transformer.go: CRM has no
+    * campaign). Like the reference, ads and CRM rows only merge when the
+    * whole key matches.
+    */
+  def metrics(ads: DataFrame, crm: DataFrame): DataFrame = {
+    val adsNorm = ads.select(
+      col("date"), col("channel"), col("campaign_id"),
+      col("utm_campaign"), col("utm_source"), col("utm_medium"),
+      col("clicks"), col("impressions"), col("cost"),
+      lit(0L).as("leads"), lit(0L).as("opportunities"), lit(0L).as("closed_won"),
+      lit(0.0).as("revenue"))
+    val crmNorm = crm.select(
+      col("date"), col("channel"), lit("").as("campaign_id"),
+      col("utm_campaign"), col("utm_source"), col("utm_medium"),
+      lit(0L).as("clicks"), lit(0L).as("impressions"), lit(0.0).as("cost"),
+      when(col("stage") === "lead", 1L).otherwise(0L).as("leads"),
+      when(col("stage") === "opportunity", 1L).otherwise(0L).as("opportunities"),
+      when(col("stage") === "closed_won", 1L).otherwise(0L).as("closed_won"),
+      when(col("stage") === "closed_won", col("amount")).otherwise(0.0).as("revenue"))
+    adsNorm.unionByName(crmNorm)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("clicks")).as("clicks"),
+        sum(col("impressions")).as("impressions"),
+        dsum(col("cost")).as("cost"),
+        sum(col("leads")).as("leads"),
+        sum(col("opportunities")).as("opportunities"),
+        sum(col("closed_won")).as("closed_won"),
+        dsum(col("revenue")).as("revenue"))
+  }
+
+  /** Derived metrics with the reference's divide-by-zero→0 guards.
+    * Pure post-aggregation column expressions — no extra shuffle.
+    */
+  def withDerived(consolidated: DataFrame): DataFrame =
+    consolidated
+      .withColumn("cpc", divSafe(col("cost"), col("clicks").cast("double")))
+      .withColumn("cpa", divSafe(col("cost"), col("leads").cast("double")))
+      .withColumn("cvr_lead_to_opp",
+        divSafe(col("opportunities").cast("double"), col("leads").cast("double")))
+      .withColumn("cvr_opp_to_won",
+        divSafe(col("closed_won").cast("double"), col("opportunities").cast("double")))
+      .withColumn("roas", divSafe(col("revenue"), col("cost")))
+}

@@ -1,0 +1,80 @@
+package graft.etl
+
+import graft.functions._
+import graft.functions.HmacSha256.hmac_sha256
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parameter-bound ETL queries for the driver contract (SURVEY §2.2).
+  * Constants mirror the reference's documented example calls.
+  */
+object EtlQueries {
+
+  private val orderedKeys =
+    Seq("date", "channel", "campaign_id", "utm_campaign", "utm_source", "utm_medium")
+
+  def adsExtract(spark: SparkSession, dir: String): DataFrame =
+    Marketing.adsFeed(spark, dir).orderBy(col("event_id"))
+
+  def crmExtract(spark: SparkSession, dir: String): DataFrame =
+    Marketing.crmFeed(spark, dir).orderBy(col("event_id"))
+
+  /** Round-trip through the lenient parser: format ts four different ways
+    * (one per event_id % 4, slash format included), parse back, emit the
+    * date. Exercises models/crm.go parseDateTime's normalize-and-try-
+    * formats behavior.
+    */
+  def dateParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("raw",
+        when(col("event_id") % 4 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_id") % 4 === 1, date_format(col("ts"), "yyyy/MM/dd"))
+          .when(col("event_id") % 4 === 2, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "dd-MM-yyyy HH:mm")))
+      .select(col("event_id"),
+        dstr(Marketing.parseDateTimeLenient(col("raw"))).as("parsed_date"))
+      .orderBy(col("event_id"))
+
+  def consolidate(spark: SparkSession, dir: String): DataFrame =
+    Consolidate.metrics(Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir))
+      .orderBy(orderedKeys.map(col): _*)
+
+  def metricsAll(spark: SparkSession, dir: String): DataFrame =
+    MetricsQueries.metrics(spark, dir).orderBy(orderedKeys.map(col): _*)
+
+  def filterSince(spark: SparkSession, dir: String): DataFrame =
+    MetricsQueries.filterSince(MetricsQueries.metrics(spark, dir), "2024-01-15")
+      .orderBy(orderedKeys.map(col): _*)
+
+  def channelQuery(spark: SparkSession, dir: String): DataFrame =
+    MetricsQueries.channelQuery(MetricsQueries.metrics(spark, dir),
+      "google_ads", "2024-01-05", "2024-01-25", limit = 30, offset = 10)
+
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame =
+    MetricsQueries.funnelQuery(MetricsQueries.metrics(spark, dir),
+      "camp_7", "2024-01-05", "2024-01-25")
+
+  def exportDaily(spark: SparkSession, dir: String): DataFrame =
+    MetricsQueries.exportDaily(MetricsQueries.metrics(spark, dir), "2024-01-10")
+      .orderBy(col("channel"), col("campaign_id"), col("utm_campaign"))
+
+  def matches(spark: SparkSession, dir: String): DataFrame =
+    MetricsQueries.matches(
+      Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir), "camp_3")
+
+  /** Signed export payload: each consolidated row serialized to canonical
+    * JSON and HMAC-SHA256-signed with the sink secret (handlers.go
+    * exportToSink + generateHMACSignature). No SQL oracle — covered by
+    * HmacSpec against javax.crypto.
+    */
+  def hmacExport(spark: SparkSession, dir: String): DataFrame =
+    exportDaily(spark, dir)
+      .withColumn("payload", to_json(struct(
+        col("channel"), col("campaign_id"), col("utm_campaign"),
+        col("clicks"), col("cost"), col("revenue"))))
+      .withColumn("signature", hmac_sha256(col("payload"), lit("admira_secret_example")))
+      .select(col("channel"), col("campaign_id"), col("utm_campaign"),
+        col("payload"), col("signature"))
+      .orderBy(col("channel"), col("campaign_id"), col("utm_campaign"))
+}

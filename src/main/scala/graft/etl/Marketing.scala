@@ -1,0 +1,92 @@
+package graft.etl
+
+import graft.functions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feed normalization for the marketing ETL (reference:
+  * internal/etl/extractor.go + internal/models/ads.go,crm.go).
+  *
+  * The reference ingests two JSON feeds (Ads performance, CRM
+  * opportunities). The driver's synthetic `events` table stands in for
+  * both via the deterministic mapping in SURVEY §3 — view/click events
+  * become ads rows, signup/error/purchase events become CRM rows — with
+  * UTM attributes derived from stable row keys so Spark and the DuckDB
+  * oracle agree bit-for-bit.
+  */
+object Marketing {
+
+  /** Channel inference from UTM source/medium (reference:
+    * internal/etl/transformer.go inferChannelFromUTM). A when-chain —
+    * whole-stage-codegen'd, no UDF.
+    */
+  def inferChannel(utmSource: Column, utmMedium: Column): Column =
+    when(utmSource === "google", "google_ads")
+      .when(utmSource === "facebook", "facebook_ads")
+      .when(utmSource === "tiktok", "tiktok_ads")
+      .when(utmSource === "linkedin", "linkedin_ads")
+      .otherwise(concat(utmSource, lit("_"), utmMedium))
+
+  /** Lenient multi-format datetime parsing (reference:
+    * internal/models/crm.go parseDateTime): normalize `/`→`-`, then try
+    * formats in order, first hit wins. try_to_timestamp returns null on
+    * mismatch instead of failing the task — the reference's fallback
+    * semantics, kept codegen-friendly.
+    */
+  def parseDateTimeLenient(s: Column): Column = {
+    val norm = regexp_replace(trim(s), "/", "-")
+    coalesce(
+      try_to_timestamp(norm, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(norm, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(norm, lit("yyyy-MM-dd")),
+      try_to_timestamp(norm, lit("dd-MM-yyyy HH:mm")))
+  }
+
+  private val utmSource: Column =
+    element_at(
+      array(lit("google"), lit("facebook"), lit("tiktok"), lit("linkedin"), lit("newsletter")),
+      (col("user_id") % 5).cast("int") + 1)
+  private val utmMedium: Column =
+    when(col("user_id") % 2 === 0, "cpc").otherwise("social")
+  private val propsK: Column =
+    regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+
+  /** Ads performance feed: one row per view/click event.
+    * Columns mirror models/ads.go AdsPerformance.
+    */
+  def adsFeed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(
+        col("event_id"),
+        dstr(col("ts")).as("date"),
+        concat(lit("C-10"), (propsK % 10).cast("string")).as("campaign_id"),
+        inferChannel(utmSource, utmMedium).as("channel"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("clicks"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("impressions"),
+        col("value").as("cost"),
+        concat(lit("camp_"), (propsK % 20).cast("string")).as("utm_campaign"),
+        utmSource.as("utm_source"),
+        utmMedium.as("utm_medium"))
+
+  /** CRM opportunities feed: one row per signup/error/purchase event,
+    * stage-mapped (signup→lead, error→opportunity, purchase→closed_won).
+    * Columns mirror models/crm.go CRMOpportunity; channel is inferred
+    * from UTM because CRM rows carry no campaign_id (transformer.go).
+    */
+  def crmFeed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "error", "purchase"))
+      .select(
+        col("event_id"),
+        dstr(col("ts")).as("date"),
+        when(col("event_type") === "signup", "lead")
+          .when(col("event_type") === "error", "opportunity")
+          .otherwise("closed_won").as("stage"),
+        col("value").as("amount"),
+        inferChannel(utmSource, utmMedium).as("channel"),
+        concat(lit("camp_"), (propsK % 20).cast("string")).as("utm_campaign"),
+        utmSource.as("utm_source"),
+        utmMedium.as("utm_medium"))
+}

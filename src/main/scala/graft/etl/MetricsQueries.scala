@@ -1,0 +1,79 @@
+package graft.etl
+
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query surface over consolidated metrics (reference:
+  * internal/api/handlers.go + internal/storage/memory.go).
+  *
+  * Filters land before any shuffle; with date-partitioned metrics
+  * storage every one of these prunes partitions instead of scanning.
+  * Pagination is a window rank, not a driver-side slice — the reference
+  * slices an in-memory array, which is exactly what does NOT scale.
+  */
+object MetricsQueries {
+
+  def metrics(spark: SparkSession, dir: String): DataFrame =
+    Consolidate.withDerived(Consolidate.metrics(
+      Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir)))
+
+  /** FilterByDate(since): keep date >= since (transformer.go). */
+  def filterSince(m: DataFrame, since: String): DataFrame =
+    m.filter(col("date") >= since)
+
+  /** /metrics/channel: channel + inclusive date range, deterministic
+    * order, limit/offset pagination via row_number (memory.go
+    * GetMetricsByChannel + handlers.go pagination).
+    */
+  def channelQuery(m: DataFrame, channel: String, from: String, to: String,
+                   limit: Int, offset: Int): DataFrame = {
+    val w = Window.orderBy(
+      col("date"), col("campaign_id"), col("utm_campaign"),
+      col("utm_source"), col("utm_medium"))
+    m.filter(col("channel") === channel && col("date") >= from && col("date") <= to)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > offset && col("rn") <= offset + limit)
+      .drop("rn")
+  }
+
+  /** /metrics/funnel: utm_campaign + date range (memory.go
+    * GetMetricsByCampaign).
+    */
+  def funnelQuery(m: DataFrame, campaign: String, from: String, to: String): DataFrame =
+    m.filter(col("utm_campaign") === campaign && col("date") >= from && col("date") <= to)
+      .orderBy(col("date"), col("channel"), col("campaign_id"),
+        col("utm_source"), col("utm_medium"))
+
+  /** /export/run: one date, re-consolidated on (channel, campaign_id,
+    * utm_campaign) with derived metrics recalculated (handlers.go
+    * consolidateMetricsByDate). Second-level aggregation of already-
+    * consolidated rows — tiny shuffle, O(channels×campaigns).
+    */
+  def exportDaily(m: DataFrame, date: String): DataFrame =
+    Consolidate.withDerived(
+      m.filter(col("date") === date)
+        .groupBy(col("channel"), col("campaign_id"), col("utm_campaign"))
+        .agg(
+          sum(col("clicks")).as("clicks"),
+          sum(col("impressions")).as("impressions"),
+          dsum(col("cost")).as("cost"),
+          sum(col("leads")).as("leads"),
+          sum(col("opportunities")).as("opportunities"),
+          sum(col("closed_won")).as("closed_won"),
+          dsum(col("revenue")).as("revenue")))
+
+  /** /debug/matches: both feeds filtered to one utm_campaign, summarized
+    * per side (handlers.go debugMatches returns the two match lists).
+    */
+  def matches(ads: DataFrame, crm: DataFrame, campaign: String): DataFrame = {
+    val a = ads.filter(col("utm_campaign") === campaign)
+      .agg(count(lit(1)).as("n"), dsum(col("cost")).as("total_value"))
+      .select(lit("ads").as("side"), col("n"), col("total_value"))
+    val c = crm.filter(col("utm_campaign") === campaign)
+      .agg(count(lit(1)).as("n"), dsum(col("amount")).as("total_value"))
+      .select(lit("crm").as("side"), col("n"), col("total_value"))
+    a.unionByName(c).orderBy(col("side"))
+  }
+}
