@@ -1,5 +1,6 @@
 package graft
 
+import graft.etl.EtlQueries
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -33,8 +34,91 @@ object SparkEntry {
     "q15_subquery"      -> Relational.q15Subquery _,
     "q16_pivot"         -> Relational.q16Pivot _,
     "q17_median_disc"   -> Relational.q17MedianDisc _,
-    "q18_sessionize"    -> Relational.q18Sessionize _
+    "q18_sessionize"    -> Relational.q18Sessionize _,
+
+    "etl_ads_extract"   -> EtlQueries.adsExtract _,
+    "etl_crm_extract"   -> EtlQueries.crmExtract _,
+    "etl_date_parse"    -> EtlQueries.dateParse _,
+    "etl_consolidate"   -> EtlQueries.consolidate _,
+    "etl_metrics"       -> EtlQueries.metricsAll _,
+    "etl_filter_since"  -> EtlQueries.filterSince _,
+    "etl_channel_query" -> EtlQueries.channelQuery _,
+    "etl_funnel_query"  -> EtlQueries.funnelQuery _,
+    "etl_export_daily"  -> EtlQueries.exportDaily _,
+    "etl_matches"       -> EtlQueries.matches _,
+    "etl_hmac_export"   -> EtlQueries.hmacExport _
   )
+
+  /** SURVEY §3's deterministic events→feeds mapping, as DuckDB CTEs.
+    * Shared prefix for every etl_* oracle so Spark and SQL derive the
+    * marketing attributes from the same row keys.
+    */
+  private val feedCtes: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, event_type, value,
+      |    CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k,
+      |    list_extract(['google','facebook','tiktok','linkedin','newsletter'],
+      |                 CAST(user_id % 5 AS INTEGER) + 1) AS utm_source,
+      |    CASE WHEN user_id % 2 = 0 THEN 'cpc' ELSE 'social' END AS utm_medium
+      |  FROM events
+      |), feat AS (
+      |  SELECT event_id, ts, event_type, value, k, utm_source, utm_medium,
+      |    CASE WHEN utm_source = 'google' THEN 'google_ads'
+      |         WHEN utm_source = 'facebook' THEN 'facebook_ads'
+      |         WHEN utm_source = 'tiktok' THEN 'tiktok_ads'
+      |         WHEN utm_source = 'linkedin' THEN 'linkedin_ads'
+      |         ELSE utm_source || '_' || utm_medium END AS channel,
+      |    'camp_' || CAST(k % 20 AS VARCHAR) AS utm_campaign
+      |  FROM ev
+      |), ads AS (
+      |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS date,
+      |    'C-10' || CAST(k % 10 AS VARCHAR) AS campaign_id, channel,
+      |    CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS clicks,
+      |    CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS BIGINT) AS impressions,
+      |    value AS cost, utm_campaign, utm_source, utm_medium
+      |  FROM feat WHERE event_type IN ('view', 'click')
+      |), crm AS (
+      |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS date,
+      |    CASE WHEN event_type = 'signup' THEN 'lead'
+      |         WHEN event_type = 'error' THEN 'opportunity'
+      |         ELSE 'closed_won' END AS stage,
+      |    value AS amount, channel, utm_campaign, utm_source, utm_medium
+      |  FROM feat WHERE event_type IN ('signup', 'error', 'purchase')
+      |), unioned AS (
+      |  SELECT date, channel, campaign_id, utm_campaign, utm_source, utm_medium,
+      |    clicks, impressions, cost,
+      |    CAST(0 AS BIGINT) AS leads, CAST(0 AS BIGINT) AS opportunities,
+      |    CAST(0 AS BIGINT) AS closed_won, 0.0 AS revenue
+      |  FROM ads
+      |  UNION ALL
+      |  SELECT date, channel, '' AS campaign_id, utm_campaign, utm_source, utm_medium,
+      |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0,
+      |    CAST(CASE WHEN stage = 'lead' THEN 1 ELSE 0 END AS BIGINT),
+      |    CAST(CASE WHEN stage = 'opportunity' THEN 1 ELSE 0 END AS BIGINT),
+      |    CAST(CASE WHEN stage = 'closed_won' THEN 1 ELSE 0 END AS BIGINT),
+      |    CASE WHEN stage = 'closed_won' THEN amount ELSE 0.0 END
+      |  FROM crm
+      |), consolidated AS (
+      |  SELECT date, channel, campaign_id, utm_campaign, utm_source, utm_medium,
+      |    CAST(SUM(clicks) AS BIGINT) AS clicks,
+      |    CAST(SUM(impressions) AS BIGINT) AS impressions,
+      |    CAST(SUM(CAST(cost AS DECIMAL(18,4))) AS DOUBLE) AS cost,
+      |    CAST(SUM(leads) AS BIGINT) AS leads,
+      |    CAST(SUM(opportunities) AS BIGINT) AS opportunities,
+      |    CAST(SUM(closed_won) AS BIGINT) AS closed_won,
+      |    CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  FROM unioned
+      |  GROUP BY 1, 2, 3, 4, 5, 6
+      |), metrics AS (
+      |  SELECT *,
+      |    CASE WHEN clicks > 0 THEN cost / clicks ELSE 0.0 END AS cpc,
+      |    CASE WHEN leads > 0 THEN cost / leads ELSE 0.0 END AS cpa,
+      |    CASE WHEN leads > 0 THEN CAST(opportunities AS DOUBLE) / leads ELSE 0.0 END AS cvr_lead_to_opp,
+      |    CASE WHEN opportunities > 0 THEN CAST(closed_won AS DOUBLE) / opportunities ELSE 0.0 END AS cvr_opp_to_won,
+      |    CASE WHEN cost > 0 THEN revenue / cost ELSE 0.0 END AS roas
+      |  FROM consolidated
+      |)
+      |""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -192,7 +276,7 @@ object SparkEntry {
 
     "q18_sessionize" ->
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
@@ -200,7 +284,7 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -208,6 +292,78 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
         |FROM sessions
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "etl_ads_extract" -> (feedCtes +
+      """SELECT event_id, date, campaign_id, channel, clicks, impressions,
+        |  cost, utm_campaign, utm_source, utm_medium
+        |FROM ads ORDER BY event_id""".stripMargin),
+
+    "etl_crm_extract" -> (feedCtes +
+      """SELECT event_id, date, stage, amount, channel,
+        |  utm_campaign, utm_source, utm_medium
+        |FROM crm ORDER BY event_id""".stripMargin),
+
+    "etl_date_parse" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS parsed_date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "etl_consolidate" -> (feedCtes +
+      """SELECT * FROM consolidated
+        |ORDER BY date, channel, campaign_id, utm_campaign, utm_source, utm_medium""".stripMargin),
+
+    "etl_metrics" -> (feedCtes +
+      """SELECT * FROM metrics
+        |ORDER BY date, channel, campaign_id, utm_campaign, utm_source, utm_medium""".stripMargin),
+
+    "etl_filter_since" -> (feedCtes +
+      """SELECT * FROM metrics WHERE date >= '2024-01-15'
+        |ORDER BY date, channel, campaign_id, utm_campaign, utm_source, utm_medium""".stripMargin),
+
+    "etl_channel_query" -> (feedCtes +
+      """SELECT * FROM metrics
+        |WHERE channel = 'google_ads' AND date >= '2024-01-05' AND date <= '2024-01-25'
+        |ORDER BY date, campaign_id, utm_campaign, utm_source, utm_medium
+        |LIMIT 30 OFFSET 10""".stripMargin),
+
+    "etl_funnel_query" -> (feedCtes +
+      """SELECT * FROM metrics
+        |WHERE utm_campaign = 'camp_7' AND date >= '2024-01-05' AND date <= '2024-01-25'
+        |ORDER BY date, channel, campaign_id, utm_source, utm_medium""".stripMargin),
+
+    "etl_export_daily" -> (feedCtes +
+      """, daily AS (
+        |  SELECT channel, campaign_id, utm_campaign,
+        |    CAST(SUM(clicks) AS BIGINT) AS clicks,
+        |    CAST(SUM(impressions) AS BIGINT) AS impressions,
+        |    CAST(SUM(CAST(cost AS DECIMAL(18,4))) AS DOUBLE) AS cost,
+        |    CAST(SUM(leads) AS BIGINT) AS leads,
+        |    CAST(SUM(opportunities) AS BIGINT) AS opportunities,
+        |    CAST(SUM(closed_won) AS BIGINT) AS closed_won,
+        |    CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM metrics WHERE date = '2024-01-10'
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT *,
+        |  CASE WHEN clicks > 0 THEN cost / clicks ELSE 0.0 END AS cpc,
+        |  CASE WHEN leads > 0 THEN cost / leads ELSE 0.0 END AS cpa,
+        |  CASE WHEN leads > 0 THEN CAST(opportunities AS DOUBLE) / leads ELSE 0.0 END AS cvr_lead_to_opp,
+        |  CASE WHEN opportunities > 0 THEN CAST(closed_won AS DOUBLE) / opportunities ELSE 0.0 END AS cvr_opp_to_won,
+        |  CASE WHEN cost > 0 THEN revenue / cost ELSE 0.0 END AS roas
+        |FROM daily
+        |ORDER BY channel, campaign_id, utm_campaign""".stripMargin),
+
+    "etl_matches" -> (feedCtes +
+      """SELECT side, n, total_value FROM (
+        |  SELECT 'ads' AS side, COUNT(*) AS n,
+        |    CAST(SUM(CAST(cost AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  FROM ads WHERE utm_campaign = 'camp_3'
+        |  UNION ALL
+        |  SELECT 'crm' AS side, COUNT(*) AS n,
+        |    CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  FROM crm WHERE utm_campaign = 'camp_3')
+        |ORDER BY side""".stripMargin)
+    // etl_hmac_export: no SQL oracle (HMAC not expressible in DuckDB);
+    // rows-only check + HmacSpec vs javax.crypto.
   )
 }

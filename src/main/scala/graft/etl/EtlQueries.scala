@@ -20,18 +20,24 @@ object EtlQueries {
   def crmExtract(spark: SparkSession, dir: String): DataFrame =
     Marketing.crmFeed(spark, dir).orderBy(col("event_id"))
 
-  /** Round-trip through the lenient parser: format ts four different ways
-    * (one per event_id % 4, slash format included), parse back, emit the
-    * date. Exercises models/crm.go parseDateTime's normalize-and-try-
-    * formats behavior.
+  /** Round-trip through the lenient parser: format ts eight different
+    * ways — one per reference format (crm.go parseDateTime), including a
+    * slash variant that exercises the `/`→`-` normalization — then parse
+    * back and emit the date. The oracle asserts parsed_date equals
+    * date(ts) for EVERY row, so any format the parser mishandles turns
+    * into a null and a hash mismatch.
     */
   def dateParse(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("raw",
-        when(col("event_id") % 4 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
-          .when(col("event_id") % 4 === 1, date_format(col("ts"), "yyyy/MM/dd"))
-          .when(col("event_id") % 4 === 2, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
-          .otherwise(date_format(col("ts"), "dd-MM-yyyy HH:mm")))
+        when(col("event_id") % 8 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+          .when(col("event_id") % 8 === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_id") % 8 === 2, date_format(col("ts"), "yyyy/MM/dd"))
+          .when(col("event_id") % 8 === 3, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+          .when(col("event_id") % 8 === 4, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+          .when(col("event_id") % 8 === 5, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss Z"))
+          .when(col("event_id") % 8 === 6, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss zzz"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS")))
       .select(col("event_id"),
         dstr(Marketing.parseDateTimeLenient(col("raw"))).as("parsed_date"))
       .orderBy(col("event_id"))

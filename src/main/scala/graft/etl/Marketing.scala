@@ -30,17 +30,34 @@ object Marketing {
 
   /** Lenient multi-format datetime parsing (reference:
     * internal/models/crm.go parseDateTime): normalize `/`→`-`, then try
-    * formats in order, first hit wins. try_to_timestamp returns null on
-    * mismatch instead of failing the task — the reference's fallback
-    * semantics, kept codegen-friendly.
+    * the reference's 8 formats in order, first hit wins.
+    * try_to_timestamp returns null on mismatch instead of failing the
+    * task — the reference's fallback semantics, kept codegen-friendly.
+    *
+    * Format mapping (Go layout → Spark pattern):
+    *   2006-01-02T15:04:05Z        → yyyy-MM-dd'T'HH:mm:ss'Z' (literal Z, UTC)
+    *   2006-01-02 15:04:05         → yyyy-MM-dd HH:mm:ss
+    *   2006-01-02                  → yyyy-MM-dd
+    *   RFC3339 (Z07:00)            → yyyy-MM-dd'T'HH:mm:ssXXX
+    *   RFC3339 + fraction (Go's Parse accepts an optional fraction)
+    *                               → yyyy-MM-dd'T'HH:mm:ss.SSSXXX
+    *   2006-01-02 15:04:05 -0700   → yyyy-MM-dd HH:mm:ss Z
+    *   2006-01-02 15:04:05 MST     → yyyy-MM-dd HH:mm:ss zzz
+    *   2006-01-02 15:04:05.000     → yyyy-MM-dd HH:mm:ss.SSS
+    * Offset/zone inputs resolve to the same instant in the UTC session,
+    * matching Go's time.Parse semantics.
     */
   def parseDateTimeLenient(s: Column): Column = {
     val norm = regexp_replace(trim(s), "/", "-")
     coalesce(
+      try_to_timestamp(norm, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
       try_to_timestamp(norm, lit("yyyy-MM-dd HH:mm:ss")),
-      try_to_timestamp(norm, lit("yyyy-MM-dd'T'HH:mm:ss")),
       try_to_timestamp(norm, lit("yyyy-MM-dd")),
-      try_to_timestamp(norm, lit("dd-MM-yyyy HH:mm")))
+      try_to_timestamp(norm, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(norm, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      try_to_timestamp(norm, lit("yyyy-MM-dd HH:mm:ss Z")),
+      try_to_timestamp(norm, lit("yyyy-MM-dd HH:mm:ss zzz")),
+      try_to_timestamp(norm, lit("yyyy-MM-dd HH:mm:ss.SSS")))
   }
 
   private val utmSource: Column =

@@ -24,17 +24,29 @@ object MetricsQueries {
     m.filter(col("date") >= since)
 
   /** /metrics/channel: channel + inclusive date range, deterministic
-    * order, limit/offset pagination via row_number (memory.go
-    * GetMetricsByChannel + handlers.go pagination).
+    * order, limit/offset pagination (memory.go GetMetricsByChannel +
+    * handlers.go pagination).
+    *
+    * Scale note: `orderBy.limit(offset+limit)` compiles to
+    * TakeOrderedAndProject — each task keeps its local top-(offset+limit)
+    * and only those tiny heaps reach the driver-side merge, so there is
+    * no single-partition shuffle of the full filtered set (which a
+    * global row_number window would force). The row_number that drops
+    * the first `offset` rows then runs over at most offset+limit rows —
+    * bounded by the page size, not the data size.
     */
   def channelQuery(m: DataFrame, channel: String, from: String, to: String,
                    limit: Int, offset: Int): DataFrame = {
-    val w = Window.orderBy(
+    val sortKeys = Seq(
       col("date"), col("campaign_id"), col("utm_campaign"),
       col("utm_source"), col("utm_medium"))
-    m.filter(col("channel") === channel && col("date") >= from && col("date") <= to)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > offset && col("rn") <= offset + limit)
+    val page = m
+      .filter(col("channel") === channel && col("date") >= from && col("date") <= to)
+      .orderBy(sortKeys: _*)
+      .limit(offset + limit)
+    page
+      .withColumn("rn", row_number().over(Window.orderBy(sortKeys: _*)))
+      .filter(col("rn") > offset)
       .drop("rn")
   }
 

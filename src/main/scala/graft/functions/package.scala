@@ -19,11 +19,13 @@ package object functions {
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
-  /** Divide-by-zero → 0.0, the reference's guard for every derived metric
-    * (reference transformer.go calculateDerivedMetrics).
+  /** Non-positive denominator → 0.0. The reference guards every derived
+    * metric with `den > 0` (transformer.go calculateDerivedMetrics:
+    * `if metric.Clicks > 0 { ... }` etc.), not `!= 0` — a negative cost
+    * must yield 0, matching here exactly.
     */
   def divSafe(num: Column, den: Column): Column =
-    when(den =!= 0.0, num / den).otherwise(lit(0.0))
+    when(den > 0.0, num / den).otherwise(lit(0.0))
 
   /** Order-independent mean: exact sum / count as one double division. */
   def dmean(c: Column): Column = divSafe(dsum(c), count(c).cast("double"))

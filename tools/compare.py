@@ -48,6 +48,10 @@ def main(sf_dir: str, out_dir: str) -> int:
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"[FAIL] {name}: no parquet output (write failed?)")
+            failures += 1
+            continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows "
