@@ -1,0 +1,121 @@
+package graft
+
+import graft.etl.{Consolidate, EtlQueries, Marketing, MetricsQueries}
+import graft.functions.HmacSha256
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EtlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  /** Reference impl straight from javax.crypto, independent of the
+    * expression's own helper (handlers.go generateHMACSignature).
+    */
+  private def hmacRef(data: String, key: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      key.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(data.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("hmac_sha256 expression matches javax.crypto on every payload") {
+    val rows = EtlQueries.hmacExport(spark, dir)
+      .select("payload", "signature").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) == hmacRef(r.getString(0), "admira_secret_example"))
+    }
+  }
+
+  test("hmac_sha256 handles multi-byte UTF-8 and distinct keys") {
+    import spark.implicits._
+    val df = Seq(("payload-Ω-日本語", "k1"), ("", "k2"), ("x", "k1"))
+      .toDF("data", "key")
+      .withColumn("sig", HmacSha256.hmac_sha256(col("data"), col("key")))
+    df.collect().foreach { r =>
+      assert(r.getString(2) == hmacRef(r.getString(0), r.getString(1)))
+    }
+  }
+
+  test("re-ingesting the same feeds is idempotent (key consolidation)") {
+    val ads = Marketing.adsFeed(spark, dir)
+    val crm = Marketing.crmFeed(spark, dir)
+    val once = Consolidate.metrics(ads, crm)
+    // Re-running the whole pipeline (the reference's repeated /ingest)
+    // must produce identical consolidated rows: same keys, same sums.
+    val twice = Consolidate.metrics(Marketing.adsFeed(spark, dir),
+      Marketing.crmFeed(spark, dir))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    // And consolidation of a doubled feed doubles measures, not keys —
+    // the MetricKey grouping absorbs duplicate deliveries into the same row.
+    val doubled = Consolidate.metrics(ads.unionByName(ads), crm.unionByName(crm))
+    assert(doubled.count() == once.count())
+  }
+
+  test("derived metrics guard non-positive denominators to zero") {
+    import spark.implicits._
+    val consolidated = Seq(
+      ("2024-01-01", "google_ads", "C-100", "camp_1", "google", "cpc",
+        0L, 10L, 5.0, 0L, 0L, 0L, 0.0),
+      ("2024-01-02", "google_ads", "C-100", "camp_1", "google", "cpc",
+        4L, 10L, -2.0, 2L, 1L, 1L, 8.0))
+      .toDF("date", "channel", "campaign_id", "utm_campaign", "utm_source",
+        "utm_medium", "clicks", "impressions", "cost", "leads",
+        "opportunities", "closed_won", "revenue")
+    val rows = Consolidate.withDerived(consolidated)
+      .orderBy("date").collect()
+    // clicks=0 → cpc 0; leads=0 → cpa 0 (reference: den > 0 guards)
+    assert(rows(0).getAs[Double]("cpc") == 0.0)
+    assert(rows(0).getAs[Double]("cpa") == 0.0)
+    assert(rows(0).getAs[Double]("roas") == 0.0)
+    // negative cost → roas 0 even though cost != 0
+    assert(rows(1).getAs[Double]("roas") == 0.0)
+    assert(rows(1).getAs[Double]("cpc") == -0.5)
+    assert(rows(1).getAs[Double]("cvr_lead_to_opp") == 0.5)
+  }
+
+  test("lenient parser handles all 8 reference formats + slash normalization") {
+    import spark.implicits._
+    val inputs = Seq(
+      "2024-01-02T15:04:05Z",
+      "2024-01-02 15:04:05",
+      "2024-01-02",
+      "2024-01-02T15:04:05+07:00",
+      "2024-01-02T15:04:05.123Z",
+      "2024-01-02 15:04:05 +0000",
+      "2024-01-02 15:04:05 UTC",
+      "2024-01-02 15:04:05.000",
+      "2024/01/02 15:04:05",
+      "not a date")
+    val out = inputs.toDF("raw")
+      .select(col("raw"), Marketing.parseDateTimeLenient(col("raw")).as("ts"))
+      .collect().map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
+    inputs.filter(_ != "not a date").foreach { s =>
+      assert(out(s).isDefined, s"failed to parse: $s")
+    }
+    assert(out("not a date").isEmpty)
+    // offset input resolves to the correct UTC instant
+    assert(out("2024-01-02T15:04:05+07:00").get.toInstant
+      == java.time.Instant.parse("2024-01-02T08:04:05Z"))
+  }
+
+  test("channel pagination plan avoids a full-data single-partition window") {
+    val m = MetricsQueries.metrics(spark, dir)
+    val plan = MetricsQueries
+      .channelQuery(m, "google_ads", "2024-01-05", "2024-01-25", 30, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("channel inference matches the reference's UTM mapping") {
+    import spark.implicits._
+    val df = Seq(("google", "cpc"), ("facebook", "social"), ("tiktok", "cpc"),
+      ("linkedin", "social"), ("newsletter", "cpc"))
+      .toDF("s", "m")
+      .select(Marketing.inferChannel(col("s"), col("m")).as("ch"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("google_ads", "facebook_ads", "tiktok_ads", "linkedin_ads", "newsletter_cpc"))
+  }
+}
