@@ -46,8 +46,40 @@ object SparkEntry {
     "etl_funnel_query"  -> EtlQueries.funnelQuery _,
     "etl_export_daily"  -> EtlQueries.exportDaily _,
     "etl_matches"       -> EtlQueries.matches _,
-    "etl_hmac_export"   -> EtlQueries.hmacExport _
+    "etl_hmac_export"   -> EtlQueries.hmacExport _,
+
+    "dedup_exact"         -> Dedup.exact _,
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
+
+    "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
+    "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
+
+    "text_tokens"      -> TextAnalysis.tokens _,
+    "text_quality"     -> TextAnalysis.quality _,
+    "text_langid"      -> TextAnalysis.langid _,
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+
+    "mm_meta"     -> Multimodal.meta _,
+    "mm_features" -> Multimodal.features _
   )
+
+  /** Shared shingle/size CTEs for the dedup oracles — the SQL mirror of
+    * Dedup.shingled (3-gram word shingles, distinct per doc, docs with
+    * <3 words excluded).
+    */
+  private val shingleCtes: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM words, UNNEST(range(1, len(w)-1)) AS t(i)
+      |  WHERE len(w) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |)
+      |""".stripMargin
 
   /** SURVEY §3's deterministic events→feeds mapping, as DuckDB CTEs.
     * Shared prefix for every etl_* oracle so Spark and SQL derive the
@@ -362,8 +394,121 @@ object SparkEntry {
         |  SELECT 'crm' AS side, COUNT(*) AS n,
         |    CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |  FROM crm WHERE utm_campaign = 'camp_3')
-        |ORDER BY side""".stripMargin)
+        |ORDER BY side""".stripMargin),
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> (shingleCtes +
+      """, rare AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN rare r ON a.s = r.s
+        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        |  GROUP BY c.doc_a, c.doc_b
+        |)
+        |SELECT i.doc_a, i.doc_b, i.n_common,
+        |  CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.doc_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_b
+        |WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= 0.8
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin),
+    // dedup_minhash_lsh / dedup_simhash: hash-family-specific (XXH64
+    // seeds), not expressible in DuckDB → rows-only + DedupSpec recall
+    // properties against the exact-Jaccard oracle.
+
+    "sim_cosine_topk" ->
+      """WITH nrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(CAST((SELECT SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                             AS DECIMAL(30,12)))
+        |               FROM UNNEST(range(1, 65)) AS t(i)) AS DOUBLE)) AS nrm
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |    CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |                          AS DECIMAL(30,12)))
+        |          FROM UNNEST(range(1, 65)) AS t(i)) AS DOUBLE) / (q.nrm * e.nrm) AS cosine
+        |  FROM nrm q JOIN nrm e ON e.vec_id != q.vec_id
+        |  WHERE q.vec_id < 8
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // sim_ann_lsh: hyperplane family is engine-side → rows-only +
+    // SimilaritySpec recall vs the brute-force oracle.
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_chars_measured, n_tokens, stopword_ratio, alpha_ratio,
+        |  least(CAST(n_chars_measured AS DOUBLE) / 500.0, 1.0) * 0.25
+        |    + stopword_ratio * 0.25 + alpha_ratio * 0.5 AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    len(text) AS n_chars_measured,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / CAST(len(text) AS DOUBLE) AS alpha_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id, score_en, score_es, score_de, score_fr,
+        |  CASE WHEN score_en = best AND best > 0 THEN 'en'
+        |       WHEN score_es = best AND best > 0 THEN 'es'
+        |       WHEN score_de = best AND best > 0 THEN 'de'
+        |       WHEN score_fr = best AND best > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, score_en, score_es, score_de, score_fr,
+        |    greatest(score_en, score_es, score_de, score_fr) AS best
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split(text, ' '),
+        |        x -> list_contains(['the','a','of','and','is'], x))) AS score_en,
+        |      len(list_filter(string_split(text, ' '),
+        |        x -> list_contains(['el','la','de','y','es'], x))) AS score_es,
+        |      len(list_filter(string_split(text, ' '),
+        |        x -> list_contains(['der','die','das','und','ist'], x))) AS score_de,
+        |      len(list_filter(string_split(text, ' '),
+        |        x -> list_contains(['le','la','de','et','est'], x))) AS score_fr
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    // text_fingerprint: custom rolling-hash expression → rows-only +
+    // TextSpec vs an independent reimplementation.
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  lower(hex(encode(left(text, 1)))) AS magic_hex,
+        |  md5(text) AS content_md5,
+        |  octet_length(encode(text)) // 64
+        |    + CASE WHEN octet_length(encode(text)) % 64 > 0 THEN 1 ELSE 0 END AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // mm_features: mapPartitions plumbing → rows-only + MultimodalSpec.
     // etl_hmac_export: no SQL oracle (HMAC not expressible in DuckDB);
-    // rows-only check + HmacSpec vs javax.crypto.
+    // rows-only check + EtlSpec vs javax.crypto.
   )
 }

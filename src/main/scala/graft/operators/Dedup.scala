@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.functions.{MinHashSig, SimHash64}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication pack over the `documents` table (SURVEY §2.3).
+  *
+  * Scale design (§5): never an all-pairs comparison.
+  *   - exact: group on a 128-bit hash of the text — one shuffle of
+  *     (hash, id), never of the full text bytes.
+  *   - n-gram Jaccard: candidates come from a rare-shingle equi-join
+  *     (document frequency ≤ maxDf bounds the per-shingle fan-out, so
+  *     the candidate set is O(Σ df²) over rare shingles, not O(n²));
+  *     exact Jaccard is then computed only for candidates.
+  *   - MinHash/LSH: signatures are computed per-row by [[MinHashSig]]
+  *     (one pass, zero shuffle — not the explode+groupBy shape), and
+  *     only band keys are shuffled; bucket equi-joins produce candidates.
+  *   - SimHash: 64-bit fingerprint per row, banded into 4×16-bit keys;
+  *     Hamming verification only within shared bands.
+  */
+object Dedup {
+
+  /** words / 3-gram shingle columns shared by the near-dup operators.
+    * Documents with <3 words carry no 3-shingles and are excluded from
+    * near-dup detection (none exist in testdata; the exclusion is
+    * mirrored in the DuckDB oracle).
+    */
+  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(w)-3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
+
+  /** `dedup_exact`: duplicate groups via md5(text) hash-groupBy with a
+    * min-id keeper. The only bytes that shuffle are (hash, doc_id) —
+    * at 100 TB the text column never leaves the scan stage.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+
+  /** `dedup_ngram_jaccard`: exact 3-gram Jaccard ≥ tau over candidate
+    * pairs that share at least one *rare* shingle (doc-frequency ≤
+    * maxDf). Rarity bounds the join fan-out: a shingle appearing in d
+    * documents contributes d·(d−1)/2 candidate pairs, so capping d caps
+    * the quadratic term while near-duplicates (which share many
+    * low-frequency shingles) always survive.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   tau: Double = 0.8, maxDf: Int = 10): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("d"))
+    val rare = sh.join(docFreq.filter(col("d") <= maxDf), "s")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("na.n") + col("nb.n") - col("n_common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** `dedup_minhash_lsh`: 64-hash MinHash signature (single-pass custom
+    * expression) banded 16×4; candidate pairs share a band bucket, and
+    * estimated Jaccard is the matching-coordinate fraction. Emits one
+    * row per shingled document (candidate-free docs keep nulls) so the
+    * result doubles as a dedup report: keep rows where best_est < tau.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 k: Int = 64, bands: Int = 16): DataFrame = {
+    val r = k / bands
+    val sig = shingled(spark, dir)
+      .select(col("doc_id"), MinHashSig.minhash_sig(col("sh"), k).as("sig"))
+    val bandKeys = sig.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
+    val cand = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val est = cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (expr("aggregate(zip_with(sa.sig, sb.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / k).as("est_jaccard"))
+    val perDoc = est.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("est_jaccard"))
+      .unionByName(est.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("est_jaccard")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("est_jaccard"), col("other"))).as("best"))
+    sig.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best.other").as("best_match"),
+        col("best.est_jaccard").as("best_est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Candidate pairs from MinHash LSH banding (used by the spec's
+    * recall check against exact Jaccard).
+    */
+  def minhashCandidates(spark: SparkSession, dir: String,
+                        k: Int = 64, bands: Int = 16): DataFrame = {
+    val r = k / bands
+    val sig = shingled(spark, dir)
+      .select(col("doc_id"), MinHashSig.minhash_sig(col("sh"), k).as("sig"))
+    val bandKeys = sig.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
+    bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** `dedup_simhash`: 64-bit SimHash fingerprint (single-pass custom
+    * expression); candidates share one of eight 8-bit bands — by
+    * pigeonhole, any pair within Hamming distance 7 differs in at most
+    * 7 bands and therefore agrees on ≥1, so banding is *complete* for
+    * the default maxHamming=6 verification threshold. Near-duplicates
+    * are verified with bit_count(xor) ≤ maxHamming. One row per
+    * shingled document, like [[minhashLsh]].
+    */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val fp = shingled(spark, dir)
+      .select(col("doc_id"), SimHash64.simhash64(col("sh")).as("fp"))
+    val bandKeys = fp.select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, 7), " +
+        "b -> shiftrightunsigned(fp, b*8) & 255)")).as(Seq("band", "key")))
+    val near = bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fa.fp").bitwiseXOR(col("fb.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val perDoc = near.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("hamming"))
+      .unionByName(near.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("hamming")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near"),
+        min(struct(col("hamming"), col("other"))).as("best"))
+    fp.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp").as("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("best.other").as("nearest"),
+        col("best.hamming").as("min_hamming"))
+      .orderBy(col("doc_id"))
+  }
+}

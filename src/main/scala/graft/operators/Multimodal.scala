@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.6).
+  *
+  * Media decode libraries are not in this container, so the "decode"
+  * is a deterministic fake over the bytes — but the Spark-side shape is
+  * real: media travels as an opaque `binary` column with typed metadata
+  * extracted by column expressions, and feature extraction runs as
+  * batched per-partition iterator processing (the same plumbing a
+  * Pandas-UDF / mapInPandas image pipeline uses: schema in, schema out,
+  * partition = batch, no driver involvement).
+  *
+  * The `documents.text` bytes stand in for the media payload (the
+  * testdata ships no real binary column); at 100 TB the same plan reads
+  * parquet `binary` columns directly.
+  */
+object Multimodal {
+
+  /** The stand-in media table: (doc_id, blob). */
+  private def blobs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+
+  /** `mm_meta`: typed metadata over an opaque binary column — size,
+    * magic byte (format sniffing), content hash (dedup / integrity),
+    * and fixed-size chunk count (the unit a distributed decoder would
+    * fan out). Pure column expressions, no shuffle.
+    */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("blob")).cast("long").as("n_bytes"),
+        lower(hex(substring(col("blob"), 1, 1))).as("magic_hex"),
+        md5(col("blob")).as("content_md5"),
+        expr("(octet_length(blob) + 63) div 64").as("n_chunks"))
+      .orderBy(col("doc_id"))
+
+  /** `mm_features`: batched "decode→featurize" over binary payloads.
+    * The fake decoder emits an 8-bin byte histogram + mean byte — the
+    * real one would decode pixels/samples here with the exact same
+    * iterator shape. mapPartitions keeps the work executor-local and
+    * batch-amortized (one decoder init per partition, not per row).
+    */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    blobs(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // Per-partition "decoder" init happens here (stubbed: none).
+        batch.map { case (id, bytes) =>
+          val hist = new Array[Double](8)
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val u = bytes(i) & 0xff
+            hist(u >> 5) += 1.0
+            sum += u
+            i += 1
+          }
+          val n = math.max(bytes.length, 1).toDouble
+          (id, hist.map(_ / n).toSeq, sum.toDouble / n, bytes.length)
+        }
+      }
+      .toDF("doc_id", "byte_hist", "mean_byte", "n_bytes")
+      .orderBy(col("doc_id"))
+  }
+}

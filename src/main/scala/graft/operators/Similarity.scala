@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (SURVEY §2.4,
+  * 64-dim float vectors).
+  *
+  * Scale design (§5): brute force is the correctness baseline — the
+  * tiny query set broadcasts and streams past the big side with no
+  * shuffle of the embeddings at all. The LSH path buckets the big side
+  * by random-hyperplane signatures so each query only scores candidates
+  * sharing a bucket in one of L tables (equi-join on (table, bucket),
+  * shuffle bounded by bucket sizes, never all-pairs).
+  *
+  * Determinism (§4): dot products accumulate per-element products as
+  * DECIMAL(30,12) — exact, order-independent — so the cosine is a fixed
+  * chain of double ops on identical inputs in Spark and DuckDB.
+  */
+object Similarity {
+
+  /** Exact, order-independent dot product of two float vectors:
+    * per-element double product → DECIMAL(30,12) → exact sum → double.
+    * Stays inside whole-stage codegen (higher-order functions, no UDF).
+    */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(30, 12))),
+      lit(BigDecimal(0)).cast(DecimalType(30, 12)),
+      // The sum type widens to (31,12) per addition; casting back to
+      // (30,12) keeps scale 12 — precision-only, zero rounding — so the
+      // accumulator type stays fixed and the sum stays exact.
+      (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+      .cast("double")
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", sqrt(dotDec(col("embedding"), col("embedding"))))
+
+  /** `sim_cosine_topk`: brute-force cosine top-k for the query set
+    * (vec_id < 8) against every other vector. The query side is
+    * broadcast, so the plan is a BroadcastNestedLoopJoin streaming the
+    * big side once — the right brute-force shape at any scale where the
+    * query set is small.
+    */
+  def cosineTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val base = withNorm(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    val q = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = broadcast(q)
+      .join(base, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotDec(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic ±1 random-hyperplane components for `tables` hash
+    * tables × `bits` planes × `dims` dimensions (integer-hash parity —
+    * no RNG, so plans are stable across runs and engines).
+    */
+  private def planesLit(tables: Int, bits: Int, dims: Int): Column = {
+    val planes: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        (0 until dims).map { i =>
+          val v = ((t * 73856093L + j * 19349663L + i * 83492791L) * 2654435761L) & 0xffffffffL
+          if (((v >> 16) & 1L) == 1L) 1.0 else -1.0
+        }
+      }
+    }
+    typedlit(planes)
+  }
+
+  /** Per-row array of L bucket ids: bucket bit j of table t is the sign
+    * of the projection onto plane (t, j). Computed in one pass inside
+    * the scan stage (nested higher-order functions, codegen'd).
+    */
+  private def bucketCol(tables: Int, bits: Int, dims: Int): Column = {
+    val pl = planesLit(tables, bits, dims)
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
+        (acc, j) => acc * 2 + when(
+          aggregate(
+            zip_with(col("embedding"), element_at(element_at(pl, t + 1), j + 1),
+              (x, p) => x.cast("double") * p),
+            lit(0.0), (a, v) => a + v) > 0, 1).otherwise(0)))
+  }
+
+  /** `sim_ann_lsh`: approximate top-k via L random-hyperplane hash
+    * tables. Candidates = vectors sharing a (table, bucket) with the
+    * query in any table; exact cosine re-ranks candidates only. Emits
+    * one row per (query, rank) plus a null-candidate row for queries
+    * whose buckets were empty, so the output always covers the query set.
+    */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 10,
+             tables: Int = 16, bits: Int = 4): DataFrame = {
+    val base = withNorm(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    val bucketed = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(bucketCol(tables, bits, 64)).as(Seq("table_id", "bucket")))
+    val q = bucketed.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+        col("table_id"), col("bucket"))
+    val cand = q.join(bucketed, Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("qn"), col("vec_id"), col("embedding"), col("nrm"))
+      .dropDuplicates("query_id", "vec_id")
+    val ranked = cand
+      .select(col("query_id"), col("vec_id"),
+        (dotDec(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+    base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
+      .join(ranked, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

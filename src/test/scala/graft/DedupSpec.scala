@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup partitions all documents into hash groups") {
+    val total = graft.sources.Tables.documents(spark, dir).count()
+    val groups = Dedup.exact(spark, dir)
+    assert(groups.agg(sum("n_copies")).head.getLong(0) == total)
+    assert(groups.filter(col("n_copies") < 1).isEmpty)
+  }
+
+  /** High-Jaccard ground truth from the exact n-gram operator. */
+  private lazy val truePairs: Set[(Long, Long)] =
+    Dedup.ngramJaccard(spark, dir, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("testdata contains planted near-duplicates (ground truth non-trivial)") {
+    assert(truePairs.nonEmpty)
+  }
+
+  test("minhash LSH candidates contain every Jaccard>=0.9 pair (recall)") {
+    val cands = Dedup.minhashCandidates(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truePairs -- cands
+    assert(missed.isEmpty, s"LSH missed true near-dup pairs: $missed")
+  }
+
+  test("minhash estimated Jaccard tracks exact Jaccard on true pairs") {
+    val exact = Dedup.ngramJaccard(spark, dir, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val perDoc = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    exact.foreach { case ((a, b), j) =>
+      // Each side of a true pair must see an estimated best >= j - 3σ
+      // (σ ≈ sqrt(j(1-j)/64) ≈ 0.04 at j=0.9; 0.25 is a generous bound).
+      assert(perDoc(a) >= j - 0.25, s"doc $a best_est ${perDoc(a)} << $j")
+      assert(perDoc(b) >= j - 0.25, s"doc $b best_est ${perDoc(b)} << $j")
+    }
+  }
+
+  test("simhash banding is complete for Hamming <= maxHamming (pigeonhole)") {
+    // Every pair whose fingerprints are within the verification radius
+    // MUST be surfaced — with 8 bands of 8 bits, Hamming <= 7 implies a
+    // shared band, so a miss here is an implementation bug, not noise.
+    val rows = Dedup.simhash(spark, dir).collect()
+    val fp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (a <- fp.keys; b <- fp.keys if a < b) {
+      if (java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 6) {
+        assert(near(a) >= 1 && near(b) >= 1,
+          s"pair ($a,$b) within Hamming 6 but not surfaced")
+      }
+    }
+  }
+
+  test("simhash detects most Jaccard>=0.95 near-duplicates (statistical recall)") {
+    val near = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val strong = Dedup.ngramJaccard(spark, dir, tau = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(strong.nonEmpty)
+    val found = strong.count { case (a, b) => near(a) >= 1 && near(b) >= 1 }
+    val recall = found.toDouble / strong.length
+    info(s"simhash recall on J>=0.95 pairs = $recall")
+    // SimHash on ~50-90-shingle docs is noisy (a J=0.95 pair can land at
+    // Hamming 9); 0.8 catches a broken fingerprint while tolerating that.
+    assert(recall >= 0.8, s"simhash recall collapsed: $recall")
+  }
+
+  test("no candidate pair escapes the a<b canonical ordering (no self/dup pairs)") {
+    val cands = Dedup.minhashCandidates(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.forall { case (a, b) => a < b })
+    assert(cands.length == cands.distinct.length)
+  }
+}

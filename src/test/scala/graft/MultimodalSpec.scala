@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("meta and features agree on payload sizes") {
+    val meta = Multimodal.meta(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feats = Multimodal.features(spark, dir).collect()
+    assert(feats.length == meta.size)
+    feats.foreach { r =>
+      assert(meta(r.getLong(0)) == r.getInt(3).toLong)
+    }
+  }
+
+  test("chunk count covers the payload exactly") {
+    Multimodal.meta(spark, dir).collect().foreach { r =>
+      val (bytes, chunks) = (r.getLong(1), r.getLong(4))
+      assert(chunks == (bytes + 63) / 64)
+    }
+  }
+
+  test("fake decode features are normalized and deterministic") {
+    val run1 = Multimodal.features(spark, dir).collect()
+    val run2 = Multimodal.features(spark, dir).collect()
+    run1.zip(run2).foreach { case (a, b) => assert(a == b) }
+    run1.foreach { r =>
+      val hist = r.getSeq[Double](1)
+      assert(hist.length == 8)
+      assert(math.abs(hist.sum - 1.0) < 1e-9, "histogram must be a distribution")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 256.0)
+    }
+  }
+}
