@@ -35,6 +35,24 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(w)-3), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
 
+  /** Same shingle sets, represented as 64-bit hashes of the word triple
+    * (words contain no spaces, so triple ↔ joined-string is a
+    * bijection; at 2^64 the collision probability is negligible even at
+    * 100 TB). Every downstream comparison — explode, doc-frequency,
+    * equi-joins, array_intersect — runs on fixed-width longs instead of
+    * strings: smaller shuffles, cheaper hashing. The string-based
+    * DuckDB oracle stays valid because the set cardinalities are
+    * identical.
+    */
+  private[operators] def shingledHashed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "sort_array(array_distinct(transform(sequence(0, size(w)-3), " +
+          "i -> xxhash64(w[i], w[i+1], w[i+2]))))").as("sh"))
+      // sorted once per doc so pairwise verification can merge-scan
+
   /** `dedup_exact`: duplicate groups via md5(text) hash-groupBy with a
     * min-id keeper. The only bytes that shuffle are (hash, doc_id) —
     * at 100 TB the text column never leaves the scan stage.
@@ -54,26 +72,33 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    tau: Double = 0.8, maxDf: Int = 10): DataFrame = {
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Shingling runs through higher-order functions (interpreted, not
+    // codegen'd) and this DAG reuses the shingle tables four times —
+    // persist so they materialize once. Same at cluster scale: the
+    // shingle table is the natural intermediate to cache/checkpoint.
+    val docsSh = shingledHashed(spark, dir).persist()
+    val sh = docsSh.select(col("doc_id"), explode(col("sh")).as("s")).persist()
     val docFreq = sh.groupBy("s").agg(count(lit(1)).as("d"))
     val rare = sh.join(docFreq.filter(col("d") <= maxDf), "s")
     val cand = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+    // Verification joins the *shingle arrays* (two hash joins on doc_id)
+    // and merge-counts the sorted arrays per pair inside codegen —
+    // O(|cand|·|sh|) primitive scans with no exploded-row blow-up (a
+    // candidate×shingle re-join would materialize |cand|·|sh| ROWS
+    // before aggregating; this plan never leaves one row per pair).
+    cand
+      .join(docsSh.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docsSh.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.IntersectCountSorted.intersect_count_sorted(
+          col("da.sh"), col("db.sh")).as("n_common"),
+        size(col("da.sh")).as("na"), size(col("db.sh")).as("nb"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
-          (col("na.n") + col("nb.n") - col("n_common")).cast("double")).as("jaccard"))
+          (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -89,6 +114,7 @@ object Dedup {
     val r = k / bands
     val sig = shingled(spark, dir)
       .select(col("doc_id"), MinHashSig.minhash_sig(col("sh"), k).as("sig"))
+      .persist() // reused by banding (x2), estimation (x2), and the final left join
     val bandKeys = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
@@ -125,6 +151,7 @@ object Dedup {
     val r = k / bands
     val sig = shingled(spark, dir)
       .select(col("doc_id"), MinHashSig.minhash_sig(col("sh"), k).as("sig"))
+      .persist()
     val bandKeys = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
@@ -146,6 +173,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     val fp = shingled(spark, dir)
       .select(col("doc_id"), SimHash64.simhash64(col("sh")).as("fp"))
+      .persist() // reused by banding (x2), Hamming check (x2), final join
     val bandKeys = fp.select(col("doc_id"),
       posexplode(expr("transform(sequence(0, 7), " +
         "b -> shiftrightunsigned(fp, b*8) & 255)")).as(Seq("band", "key")))

@@ -47,6 +47,7 @@ object Similarity {
     */
   def cosineTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val base = withNorm(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      .persist() // norm is an interpreted HOF; both join sides reuse it
     val q = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = broadcast(q)
@@ -101,8 +102,10 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String, k: Int = 10,
              tables: Int = 16, bits: Int = 4): DataFrame = {
     val base = withNorm(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      .persist()
     val bucketed = base.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(bucketCol(tables, bits, 64)).as(Seq("table_id", "bucket")))
+      .persist() // bucket signatures cost tables*bits*dims interpreted ops per row
     val q = bucketed.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"),
         col("table_id"), col("bucket"))
