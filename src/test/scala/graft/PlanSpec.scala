@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Explain-audits: the physical plans the 100-TB design depends on must
+  * actually materialize. A regression here (lost pushdown, dropped
+  * broadcast, a sneaky single-partition window) is a scale bug even
+  * when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.executedPlan
+    plan.toString + "\n" + df.queryExecution.toString
+  }
+
+  test("q2 pushes filters and projection into the parquet scan") {
+    val s = planString(Relational.q2FilterProject(spark, dir))
+    assert(s.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(s.contains("l_shipdate"), "shipdate predicate not at the scan")
+    // projection pruning: the scan must not read all 16 lineitem columns
+    val readSchema = "ReadSchema: struct<".r.findFirstIn(s)
+    assert(readSchema.isDefined)
+    assert(!s.contains("l_comment"), "unprojected column read from parquet")
+  }
+
+  test("q4 star join broadcasts both dimension tables") {
+    val s = planString(Relational.q4BroadcastJoin(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      "dims not broadcast — a shuffle join on region/nation is a scale bug")
+  }
+
+  test("q15 scalar subquery stays a broadcast, not a cartesian shuffle") {
+    val s = planString(Relational.q15Subquery(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("Subquery"),
+      "scalar subquery shape changed")
+  }
+
+  test("brute-force cosine streams the big side past a broadcast query set") {
+    val s = planString(Similarity.cosineTopk(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "query set must broadcast; anything else shuffles the embedding table")
+  }
+
+  test("dedup candidate generation has no cartesian product") {
+    for ((name, df) <- Seq(
+      "ngram" -> Dedup.ngramJaccard(spark, dir),
+      "minhash" -> Dedup.minhashLsh(spark, dir),
+      "simhash" -> Dedup.simhash(spark, dir))) {
+      val s = planString(df)
+      assert(!s.contains("CartesianProduct"),
+        s"$name plan contains an all-pairs CartesianProduct")
+    }
+  }
+
+  test("only page-bounded window operators run unpartitioned") {
+    // etl_channel_query's residual window runs over <= offset+limit rows
+    // by construction; nothing else may move all data to one partition.
+    def unpartitionedWindows(p: SparkPlan): Int =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.size
+    for ((name, fn) <- SparkEntry.queries if name != "etl_channel_query") {
+      val n = unpartitionedWindows(fn(spark, dir).queryExecution.executedPlan)
+      assert(n == 0, s"$name has $n unpartitioned Window operator(s)")
+    }
+  }
+}
