@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{MinHashSig, SimHash64}
+import graft.functions.{HashedShingles, MinHashShingled, SimHashShingled}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,36 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** words / 3-gram shingle columns shared by the near-dup operators.
-    * Documents with <3 words carry no 3-shingles and are excluded from
-    * near-dup detection (none exist in testdata; the exclusion is
-    * mirrored in the DuckDB oracle).
+  /** (doc_id, words) — documents with <3 words carry no 3-shingles and
+    * are excluded from near-dup detection (none exist in testdata; the
+    * exclusion is mirrored in the DuckDB oracle).
     */
-  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def tokenized(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(0, size(w)-3), " +
-          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
 
-  /** Same shingle sets, represented as 64-bit hashes of the word triple
+  /** Shingle sets as sorted distinct 64-bit hashes of each word triple
     * (words contain no spaces, so triple ↔ joined-string is a
     * bijection; at 2^64 the collision probability is negligible even at
     * 100 TB). Every downstream comparison — explode, doc-frequency,
-    * equi-joins, array_intersect — runs on fixed-width longs instead of
-    * strings: smaller shuffles, cheaper hashing. The string-based
+    * equi-joins, merge-intersection — runs on fixed-width longs instead
+    * of strings: smaller shuffles, cheaper hashing. The string-based
     * DuckDB oracle stays valid because the set cardinalities are
-    * identical.
+    * identical. Computed by the fused [[HashedShingles]] kernel (one
+    * codegen'd pass; the declarative transform/distinct/sort chain it
+    * replaces ran interpreted).
     */
   private[operators] def shingledHashed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), expr(
-        "sort_array(array_distinct(transform(sequence(0, size(w)-3), " +
-          "i -> xxhash64(w[i], w[i+1], w[i+2]))))").as("sh"))
-      // sorted once per doc so pairwise verification can merge-scan
+    tokenized(spark, dir)
+      .select(col("doc_id"), HashedShingles.hashed_shingles(col("w"), 3).as("sh"))
 
   /** `dedup_exact`: duplicate groups via md5(text) hash-groupBy with a
     * min-id keeper. The only bytes that shuffle are (hash, doc_id) —
@@ -112,8 +105,8 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
                  k: Int = 64, bands: Int = 16): DataFrame = {
     val r = k / bands
-    val sig = shingled(spark, dir)
-      .select(col("doc_id"), MinHashSig.minhash_sig(col("sh"), k).as("sig"))
+    val sig = tokenized(spark, dir)
+      .select(col("doc_id"), MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
       .persist() // reused by banding (x2), estimation (x2), and the final left join
     val bandKeys = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
@@ -149,8 +142,8 @@ object Dedup {
   def minhashCandidates(spark: SparkSession, dir: String,
                         k: Int = 64, bands: Int = 16): DataFrame = {
     val r = k / bands
-    val sig = shingled(spark, dir)
-      .select(col("doc_id"), MinHashSig.minhash_sig(col("sh"), k).as("sig"))
+    val sig = tokenized(spark, dir)
+      .select(col("doc_id"), MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
       .persist()
     val bandKeys = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
@@ -171,8 +164,8 @@ object Dedup {
     * shingled document, like [[minhashLsh]].
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val fp = shingled(spark, dir)
-      .select(col("doc_id"), SimHash64.simhash64(col("sh")).as("fp"))
+    val fp = tokenized(spark, dir)
+      .select(col("doc_id"), SimHashShingled.simhash_shingled(col("w"), 3).as("fp"))
       .persist() // reused by banding (x2), Hamming check (x2), final join
     val bandKeys = fp.select(col("doc_id"),
       posexplode(expr("transform(sequence(0, 7), " +

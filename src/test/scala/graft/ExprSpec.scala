@@ -1,0 +1,123 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Expression-level cross-validation: every custom Catalyst kernel is
+  * checked against either the declarative Spark form it replaces
+  * (bit-identical requirement) or an independent naive Scala
+  * reimplementation.
+  */
+class ExprSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def wordsDf = graft.sources.Tables.documents(spark, dir)
+    .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+    .filter(size(col("w")) >= 3)
+
+  test("HashedShingles is bit-identical to the declarative xxhash64 chain") {
+    val df = wordsDf.select(
+      HashedShingles.hashed_shingles(col("w"), 3).as("fused"),
+      expr("sort_array(array_distinct(transform(sequence(0, size(w)-3), " +
+        "i -> xxhash64(w[i], w[i+1], w[i+2]))))").as("declarative"))
+    assert(df.filter(col("fused") =!= col("declarative")).isEmpty)
+  }
+
+  /** Naive reference for the chained-gram hash. */
+  private def naiveGrams(words: Array[String], n: Int): Array[Long] =
+    words.sliding(n).map { g =>
+      g.foldLeft(42L)((h, w) =>
+        XXH64.hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(w), h))
+    }.toArray
+
+  test("MinHashShingled matches a naive reimplementation") {
+    val rows = wordsDf.select(col("text"),
+      MinHashShingled.minhash_shingled(col("w"), 3, 16).as("sig")).limit(50).collect()
+    rows.foreach { r =>
+      val grams = naiveGrams(r.getString(0).split(" "), 3)
+      val expected = Array.fill(16)(Long.MaxValue)
+      grams.foreach { g =>
+        val h1 = XXH64.hashLong(g, 0x9747b28cL)
+        val h2 = XXH64.hashLong(g, 0x85ebca6bL)
+        (0 until 16).foreach { i =>
+          val h = h1 + i * h2
+          if (h < expected(i)) expected(i) = h
+        }
+      }
+      assert(r.getSeq[Long](1).toArray.sameElements(expected))
+    }
+  }
+
+  test("SimHashShingled matches a naive reimplementation (set semantics)") {
+    val rows = wordsDf.select(col("text"),
+      SimHashShingled.simhash_shingled(col("w"), 3).as("fp")).limit(50).collect()
+    rows.foreach { r =>
+      val grams = naiveGrams(r.getString(0).split(" "), 3).distinct
+      val votes = new Array[Int](64)
+      grams.foreach { g =>
+        val h = XXH64.hashLong(g, 0xc2b2ae35L)
+        (0 until 64).foreach(j => if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1)
+      }
+      val expected = (0 until 64).foldLeft(0L)((acc, j) =>
+        if (votes(j) > 0) acc | (1L << j) else acc)
+      assert(r.getLong(1) == expected)
+    }
+  }
+
+  test("token-level MinHashSig / SimHash64 match naive reimplementations") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = wordsDf.select(col("text"),
+      MinHashSig.minhash_sig(col("w"), 8).as("sig"),
+      SimHash64.simhash64(col("w")).as("fp")).limit(30).collect()
+    rows.foreach { r =>
+      val tokens = r.getString(0).split(" ")
+      val sig = Array.fill(8)(Long.MaxValue)
+      tokens.foreach { t =>
+        val u = UTF8String.fromString(t)
+        val h1 = XXH64.hashUTF8String(u, 0x9747b28cL)
+        val h2 = XXH64.hashUTF8String(u, 0x85ebca6bL)
+        (0 until 8).foreach { i =>
+          val h = h1 + i * h2
+          if (h < sig(i)) sig(i) = h
+        }
+      }
+      assert(r.getSeq[Long](1).toArray.sameElements(sig))
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), 0xc2b2ae35L)
+        (0 until 64).foreach(j => if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1)
+      }
+      val fp = (0 until 64).foldLeft(0L)((acc, j) =>
+        if (votes(j) > 0) acc | (1L << j) else acc)
+      assert(r.getLong(2) == fp)
+    }
+  }
+
+  test("IntersectCountSorted equals size(array_intersect) on sorted arrays") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(7L), Seq(7L)),
+      (Seq(-5L, 0L, 5L), Seq(-5L, 5L, 6L))).toDF("a", "b")
+    val df = pairs.select(
+      IntersectCountSorted.intersect_count_sorted(col("a"), col("b")).as("merge"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+    assert(df.filter(col("merge") =!= col("builtin")).isEmpty)
+  }
+
+  test("DotDecimal is bit-identical to the declarative decimal aggregate") {
+    val emb = graft.sources.Tables.embeddings(spark, dir).limit(100)
+    val df = emb.select(
+      DotDecimal.dot_decimal(col("embedding"), col("embedding")).as("fused"),
+      expr("cast(aggregate(zip_with(embedding, embedding, (x, y) -> " +
+        "cast(cast(x as double) * cast(y as double) as decimal(30,12))), " +
+        "cast(0 as decimal(30,12)), (acc, v) -> cast(acc + v as decimal(30,12))) as double)")
+        .as("declarative"))
+    assert(df.filter(col("fused") =!= col("declarative")).isEmpty)
+  }
+}
