@@ -40,7 +40,15 @@ object Consolidate {
       when(col("stage") === "opportunity", 1L).otherwise(0L).as("opportunities"),
       when(col("stage") === "closed_won", 1L).otherwise(0L).as("closed_won"),
       when(col("stage") === "closed_won", col("amount")).otherwise(0.0).as("revenue"))
-    adsNorm.unionByName(crmNorm)
+    consolidateNormalized(adsNorm.unionByName(crmNorm))
+  }
+
+  /** Consolidate rows already in the normalized unioned schema — shared
+    * by the two-feed path above and the single-scan fused path
+    * (Marketing.unionedFeed).
+    */
+  def consolidateNormalized(unioned: DataFrame): DataFrame =
+    unioned
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(col("clicks")).as("clicks"),
@@ -50,7 +58,6 @@ object Consolidate {
         sum(col("opportunities")).as("opportunities"),
         sum(col("closed_won")).as("closed_won"),
         dsum(col("revenue")).as("revenue"))
-  }
 
   /** Derived metrics with the reference's divide-by-zero→0 guards.
     * Pure post-aggregation column expressions — no extra shuffle.

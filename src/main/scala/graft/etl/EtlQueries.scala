@@ -43,7 +43,7 @@ object EtlQueries {
       .orderBy(col("event_id"))
 
   def consolidate(spark: SparkSession, dir: String): DataFrame =
-    Consolidate.metrics(Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir))
+    Consolidate.consolidateNormalized(Marketing.unionedFeed(spark, dir))
       .orderBy(orderedKeys.map(col): _*)
 
   def metricsAll(spark: SparkSession, dir: String): DataFrame =

@@ -87,6 +87,35 @@ object Marketing {
         utmSource.as("utm_source"),
         utmMedium.as("utm_medium"))
 
+  /** Both feeds in ONE scan of events, already normalized to the
+    * consolidation schema (the unioned shape Consolidate.metrics
+    * produces from the two separate feeds). `adsFeed unionByName
+    * crmFeed` reads the fact table twice; at 100 TB the second scan is
+    * pure waste, so the registered consolidation queries use this fused
+    * projection — every event becomes exactly one normalized row via
+    * conditional columns, no union, no second scan. Equality with the
+    * two-feed path is asserted in EtlSpec.
+    */
+  def unionedFeed(spark: SparkSession, dir: String): DataFrame = {
+    val isAds = col("event_type").isin("view", "click")
+    Tables.events(spark, dir)
+      .select(
+        dstr(col("ts")).as("date"),
+        inferChannel(utmSource, utmMedium).as("channel"),
+        when(isAds, concat(lit("C-10"), (propsK % 10).cast("string")))
+          .otherwise("").as("campaign_id"),
+        concat(lit("camp_"), (propsK % 20).cast("string")).as("utm_campaign"),
+        utmSource.as("utm_source"),
+        utmMedium.as("utm_medium"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("clicks"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("impressions"),
+        when(isAds, col("value")).otherwise(0.0).as("cost"),
+        when(col("event_type") === "signup", 1L).otherwise(0L).as("leads"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("opportunities"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("closed_won"),
+        when(col("event_type") === "purchase", col("value")).otherwise(0.0).as("revenue"))
+  }
+
   /** CRM opportunities feed: one row per signup/error/purchase event,
     * stage-mapped (signup→lead, error→opportunity, purchase→closed_won).
     * Columns mirror models/crm.go CRMOpportunity; channel is inferred

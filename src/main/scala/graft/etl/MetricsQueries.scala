@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
 object MetricsQueries {
 
   def metrics(spark: SparkSession, dir: String): DataFrame =
-    Consolidate.withDerived(Consolidate.metrics(
-      Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir)))
+    Consolidate.withDerived(
+      Consolidate.consolidateNormalized(Marketing.unionedFeed(spark, dir)))
 
   /** FilterByDate(since): keep date >= since (transformer.go). */
   def filterSince(m: DataFrame, since: String): DataFrame =

@@ -54,6 +54,13 @@ class EtlSpec extends AnyFunSuite {
     assert(doubled.count() == once.count())
   }
 
+  test("fused single-scan consolidation equals the two-feed union path") {
+    val twoScan = Consolidate.metrics(
+      Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir))
+    val oneScan = Consolidate.consolidateNormalized(Marketing.unionedFeed(spark, dir))
+    assert(oneScan.exceptAll(twoScan).isEmpty && twoScan.exceptAll(oneScan).isEmpty)
+  }
+
   test("derived metrics guard non-positive denominators to zero") {
     import spark.implicits._
     val consolidated = Seq(
