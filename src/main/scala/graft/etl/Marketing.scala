@@ -47,7 +47,14 @@ object Marketing {
     * Offset/zone inputs resolve to the same instant in the UTC session,
     * matching Go's time.Parse semantics.
     */
-  def parseDateTimeLenient(s: Column): Column = {
+  def parseDateTimeLenient(s: Column): Column =
+    graft.functions.LenientTimestamp.lenient_timestamp(s)
+
+  /** The declarative form [[parseDateTimeLenient]] replaces: kept for
+    * the spec's equivalence check — the custom expression must accept
+    * exactly what this 8-arm cascade accepts.
+    */
+  def parseDateTimeCascade(s: Column): Column = {
     val norm = regexp_replace(trim(s), "/", "-")
     coalesce(
       try_to_timestamp(norm, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),

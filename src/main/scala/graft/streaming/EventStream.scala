@@ -9,8 +9,9 @@ import java.time.{Instant, ZoneOffset}
 
 /** Structured Streaming twins of the batch event operators (SURVEY
   * §2.7). Both run identically on `readStream` sources at cluster
-  * scale; the specs drive them through MemoryStream and assert equality
-  * with their batch twins (q13_hourly_agg, q18_sessionize).
+  * scale; the specs drive them through a file source split into
+  * multiple micro-batches and assert equality with their batch twins
+  * (q13_hourly_agg, q18_sessionize).
   */
 object EventStream {
 
@@ -18,12 +19,15 @@ object EventStream {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
 
-  /** Open-session state carried between micro-batches per user. Money
-    * accumulates as scale-4 BigDecimal so the emitted session_value is
-    * bit-identical to the batch path's DECIMAL(18,4) sum.
+  /** Per-user sessionizer state: events buffered until the watermark
+    * seals them, plus the currently-open session. `openN == 0` means no
+    * open session. Money accumulates as scale-4 BigDecimal so emitted
+    * session_value is bit-identical to the batch path's DECIMAL(18,4)
+    * sum.
     */
-  case class SessionState(startUs: Long, lastUs: Long, n: Long,
-                          sum: BigDecimal, idx: Long)
+  case class SessState(buf: Seq[(Long, Long, Double)],
+                       openStart: Long, openLast: Long, openN: Long,
+                       openSum: BigDecimal, emitted: Long)
 
   /** Closed session, schema-identical to q18_sessionize's output. */
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
@@ -58,51 +62,63 @@ object EventStream {
     fmt.format(Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
 
   /** Streaming twin of q18_sessionize: gap-based session windows via
-    * flatMapGroupsWithState. A session closes when a later event for
-    * the same user arrives more than 30 min after the last one; an
-    * `event_type == "flush"` sentinel closes whatever is open (the
-    * spec's substitute for event-time timeout on a finite feed — a
-    * production source would use GroupStateTimeout.EventTimeTimeout
-    * with the same transition function).
+    * flatMapGroupsWithState with event-time timeout.
     *
-    * Within a micro-batch events are buffered and sorted by (ts,
-    * event_id) — the same total order the batch twin's window uses —
-    * so replays in arrival order or as one big batch agree.
+    * Handles out-of-order and multi-micro-batch arrival the way a
+    * production job must: events buffer in state until the watermark
+    * passes them (no earlier event can still arrive), sealed events
+    * fold into sessions in (ts, event_id) order — the same total order
+    * the batch twin's window uses — and a session is emitted only once
+    * the watermark clears `last event + gap`, so no late event could
+    * still extend it. Event-time timeouts fire the final emissions when
+    * the watermark advances past a group's quiet period.
+    *
+    * The caller applies `withWatermark` on `ts` before this (the spec
+    * uses the feed's full span as the delay; a production job would use
+    * its actual late-data bound).
     */
-  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Ev], gapUs: Long = GapUs): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val prior = state.getOption.getOrElse(
+            SessState(Nil, 0L, 0L, 0L, BigDecimal(0), 0L))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = prior.buf ++ it.map(e => (tsUs(e.ts), e.event_id, e.value))
+          val (ready, pending) = all.partition(_._1 < wmUs)
+
           val out = Seq.newBuilder[SessionOut]
-          var cur: Option[SessionState] = state.getOption
-          def close(s: SessionState): Unit =
-            out += SessionOut(uid, s.idx, s.n, usToStr(s.startUs), s.sum.toDouble)
-          it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
-            val us = tsUs(e.ts)
-            if (e.event_type == "flush") {
-              cur.foreach(close)
-              cur = cur.map(s => s.copy(startUs = us, lastUs = us, n = 0,
-                sum = BigDecimal(0), idx = s.idx + 1))
-              // n == 0 marks "no real events yet"; a flush-only state
-              // never emits.
-            } else {
-              val v = BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-              cur match {
-                case Some(s) if s.n > 0 && us - s.lastUs <= GapUs =>
-                  cur = Some(s.copy(lastUs = us, n = s.n + 1, sum = s.sum + v))
-                case Some(s) =>
-                  if (s.n > 0) close(s)
-                  cur = Some(SessionState(us, us, 1, v, s.idx + (if (s.n > 0) 1 else 0)))
-                case None =>
-                  cur = Some(SessionState(us, us, 1, v, 1))
-              }
-            }
+          var (start, last, n, sum) =
+            (prior.openStart, prior.openLast, prior.openN, prior.openSum)
+          var emitted = prior.emitted
+          def close(): Unit = {
+            out += SessionOut(uid, emitted + 1, n, usToStr(start), sum.toDouble)
+            emitted += 1
+            n = 0; sum = BigDecimal(0)
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None    => state.remove()
+          ready.sortBy(e => (e._1, e._2)).foreach { case (us, _, v) =>
+            if (n > 0 && us - last > gapUs) close()
+            if (n == 0) { start = us; last = us }
+            else last = us
+            n += 1
+            sum += BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          }
+          // The trailing open session is final only once the watermark
+          // clears its gap window AND nothing buffered could extend it.
+          if (n > 0 && pending.isEmpty && wmUs > last + gapUs) close()
+
+          if (n == 0 && pending.isEmpty) {
+            state.remove()
+          } else {
+            state.update(SessState(pending, start, last, n, sum, emitted))
+            // Wake when the watermark can seal everything still held:
+            // past the newest held event plus the gap.
+            val maxHeldUs = (pending.map(_._1) ++ (if (n > 0) Seq(last) else Nil)).max
+            val timeoutMs = math.max(maxHeldUs / 1000L + gapUs / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(timeoutMs)
           }
           out.result().iterator
       }

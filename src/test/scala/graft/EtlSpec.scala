@@ -54,6 +54,22 @@ class EtlSpec extends AnyFunSuite {
     assert(doubled.count() == once.count())
   }
 
+  test("LenientTimestamp expression equals the try_to_timestamp cascade") {
+    import spark.implicits._
+    // every generated format arm at sf0.001 + handwritten edge cases
+    val gen = EtlQueries.dateParse(spark, dir) // exercises the expression itself
+    assert(gen.filter(col("parsed_date").isNull).isEmpty)
+    val edge = Seq("2024-01-02T15:04:05+07:00", "2024-01-02T15:04:05.123Z",
+      "2024-01-02 15:04:05 -0700", "2024-01-02 15:04:05 UTC",
+      "2024/01/02", "  2024-01-02 15:04:05.250  ", "garbage", "2024-13-99").toDF("raw")
+    val both = edge.select(col("raw"),
+      Marketing.parseDateTimeLenient(col("raw")).as("fused"),
+      Marketing.parseDateTimeCascade(col("raw")).as("cascade"))
+    both.collect().foreach { r =>
+      assert(r.get(1) == r.get(2), s"parse divergence on '${r.getString(0)}'")
+    }
+  }
+
   test("fused single-scan consolidation equals the two-feed union path") {
     val twoScan = Consolidate.metrics(
       Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir))

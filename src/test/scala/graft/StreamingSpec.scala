@@ -30,20 +30,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
-  test("streaming sessionize equals q18_sessionize batch") {
+  test("streaming sessionize equals q18_sessionize batch across out-of-order micro-batches") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventStream.Ev]
-    // A flush sentinel per user far past the feed's horizon closes every
-    // open session (the finite-feed stand-in for event-time timeout).
-    val maxTs = ev.toDF().agg(max(col("ts"))).head.getTimestamp(0)
-    val flushTs = new java.sql.Timestamp(maxTs.getTime + 36000000L)
-    val flush = ev.map(_.user_id).distinct().collect().toSeq
-      .map(u => EventStream.Ev(-1L, flushTs, u, "flush", 0.0))
+    val (minTs, maxTs) = {
+      val r = ev.toDF().agg(min(col("ts")), max(col("ts"))).head
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    // Watermark delay covers the feed's whole span: events arrive split
+    // across micro-batches in arbitrary (out-of-order) chunks, so
+    // nothing may be sealed until the horizon sentinel arrives.
+    val spanSec = (maxTs.getTime - minTs.getTime) / 1000 + 10
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
-    ev.union(flush.toDS()).write.mode("overwrite").parquet(tmp)
-    val src = spark.readStream.schema(ev.schema).parquet(tmp).as[EventStream.Ev]
+    // 3 part files -> 3 micro-batches of randomly-interleaved events
+    ev.repartition(3).write.mode("overwrite").parquet(tmp)
+    // horizon sentinel, written last -> final micro-batch; it pushes the
+    // watermark past every session's gap window. It belongs to a
+    // nonexistent user and its own event time sits beyond the final
+    // watermark, so it never seals and never emits a session — no
+    // filtering needed (a filter would be pushed below the watermark
+    // node and hide the sentinel from watermark tracking).
+    val horizonTs = new java.sql.Timestamp(
+      maxTs.getTime + spanSec * 1000 + EventStream.GapUs / 1000 + 3600000L)
+    Seq(EventStream.Ev(-1L, horizonTs, -1L, "horizon", 0.0)).toDS()
+      .write.mode("append").parquet(tmp)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .withWatermark("ts", s"$spanSec seconds")
+      .as[EventStream.Ev]
     val q = EventStream.sessionize(src).writeStream
       .format("memory").queryName("sess_stream").outputMode("append").start()
     try { q.processAllAvailable() } finally { q.stop() }
