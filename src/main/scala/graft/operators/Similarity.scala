@@ -57,36 +57,15 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic ±1 random-hyperplane components for `tables` hash
-    * tables × `bits` planes × `dims` dimensions (integer-hash parity —
-    * no RNG, so plans are stable across runs and engines).
-    */
-  private def planesLit(tables: Int, bits: Int, dims: Int): Column = {
-    val planes: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
-      (0 until bits).map { j =>
-        (0 until dims).map { i =>
-          val v = ((t * 73856093L + j * 19349663L + i * 83492791L) * 2654435761L) & 0xffffffffL
-          if (((v >> 16) & 1L) == 1L) 1.0 else -1.0
-        }
-      }
-    }
-    typedlit(planes)
-  }
-
   /** Per-row array of L bucket ids: bucket bit j of table t is the sign
-    * of the projection onto plane (t, j). Computed in one pass inside
-    * the scan stage (nested higher-order functions, codegen'd).
+    * of the projection onto a deterministic ±1 hyperplane (integer-hash
+    * parity, no RNG). One codegen'd pass via
+    * [[graft.functions.LshBuckets]] — the declarative
+    * transform/aggregate/zip_with nest it replaces evaluated
+    * interpreted (bit-equality asserted in ExprSpec).
     */
-  private def bucketCol(tables: Int, bits: Int, dims: Int): Column = {
-    val pl = planesLit(tables, bits, dims)
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
-        (acc, j) => acc * 2 + when(
-          aggregate(
-            zip_with(col("embedding"), element_at(element_at(pl, t + 1), j + 1),
-              (x, p) => x.cast("double") * p),
-            lit(0.0), (a, v) => a + v) > 0, 1).otherwise(0)))
-  }
+  private def bucketCol(tables: Int, bits: Int, dims: Int): Column =
+    graft.functions.LshBuckets.lsh_buckets(col("embedding"), tables, bits)
 
   /** `sim_ann_lsh`: approximate top-k via L random-hyperplane hash
     * tables. Candidates = vectors sharing a (table, bucket) with the

@@ -110,6 +110,27 @@ class ExprSpec extends AnyFunSuite {
     assert(df.filter(col("merge") =!= col("builtin")).isEmpty)
   }
 
+  test("LshBuckets is bit-identical to the declarative hyperplane nest") {
+    val (tables, bits) = (16, 4)
+    val planes: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        (0 until 64).map(i => LshBuckets.planeComponent(t, j, i))
+      }
+    }
+    val pl = typedlit(planes)
+    val declarative = transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
+        (acc, j) => acc * 2 + when(
+          aggregate(
+            zip_with(col("embedding"), element_at(element_at(pl, t + 1), j + 1),
+              (x, p) => x.cast("double") * p),
+            lit(0.0), (a, v) => a + v) > 0, 1).otherwise(0)))
+    val df = graft.sources.Tables.embeddings(spark, dir)
+      .select(LshBuckets.lsh_buckets(col("embedding"), tables, bits).as("fused"),
+        declarative.as("declarative"))
+    assert(df.filter(col("fused") =!= col("declarative")).isEmpty)
+  }
+
   test("DotDecimal is bit-identical to the declarative decimal aggregate") {
     val emb = graft.sources.Tables.embeddings(spark, dir).limit(100)
     val df = emb.select(
