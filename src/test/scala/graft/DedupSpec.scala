@@ -74,6 +74,34 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall collapsed: $recall")
   }
 
+  test("embedding-cosine near-dup: exact precision, high recall vs brute force") {
+    val tau = 0.35
+    val got = Dedup.embedCosine(spark, dir, tau).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty, "no embedding near-dup pairs found at tau=0.35")
+    // precision: every emitted pair really is >= tau (re-checked in Scala)
+    val emb = graft.sources.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    got.foreach { case ((a, b), c) =>
+      assert(math.abs(cos(emb(a), emb(b)) - c) < 1e-9 && c >= tau)
+    }
+    // recall: brute-force all pairs >= tau, LSH must surface most
+    val ids = emb.keys.toArray.sorted
+    val brute = for {
+      i <- ids.indices.iterator; j <- ((i + 1) until ids.length).iterator
+      if cos(emb(ids(i)), emb(ids(j))) >= tau
+    } yield (ids(i), ids(j))
+    val bruteSet = brute.toSet
+    val recall = bruteSet.count(got.contains).toDouble / math.max(bruteSet.size, 1)
+    info(s"embed-cosine recall = $recall over ${bruteSet.size} true pairs")
+    assert(recall >= 0.6, s"LSH recall collapsed: $recall")
+  }
+
   test("no candidate pair escapes the a<b canonical ordering (no self/dup pairs)") {
     val cands = Dedup.minhashCandidates(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
