@@ -63,6 +63,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
 
     "mm_meta"     -> Multimodal.meta _,
+    "mm_chunks"   -> ((s, d) => Multimodal.chunks(s, d)),
     "mm_features" -> Multimodal.features _
   )
 
@@ -507,7 +508,14 @@ object SparkEntry {
         |  md5(text) AS content_md5,
         |  octet_length(encode(text)) // 64
         |    + CASE WHEN octet_length(encode(text)) % 64 > 0 THEN 1 ELSE 0 END AS n_chunks
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_chunks" ->
+      """SELECT doc_id, i - 1 AS chunk_idx,
+        |  octet_length(encode(substring(text, (i-1)*64 + 1, 64))) AS chunk_bytes,
+        |  md5(substring(text, (i-1)*64 + 1, 64)) AS chunk_md5
+        |FROM documents, UNNEST(range(1, (len(text) + 63) // 64 + 1)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
     // mm_features: mapPartitions plumbing → rows-only + MultimodalSpec.
     // etl_hmac_export: no SQL oracle (HMAC not expressible in DuckDB);
     // rows-only check + EtlSpec vs javax.crypto.

@@ -39,6 +39,22 @@ object Multimodal {
         expr("(octet_length(blob) + 63) div 64").as("n_chunks"))
       .orderBy(col("doc_id"))
 
+  /** `mm_chunks`: explode each payload into fixed-size chunks with
+    * per-chunk hashes — the unit of work a distributed decoder fans out
+    * (and the dedup/integrity granularity for large media). One scan,
+    * fan-out bounded by payload size / chunk size.
+    */
+  def chunks(spark: SparkSession, dir: String, chunkSize: Int = 64): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (length(text) + ${chunkSize - 1}) div $chunkSize - 1), " +
+          s"i -> substring(text, i*$chunkSize + 1, $chunkSize))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        octet_length(col("chunk")).cast("long").as("chunk_bytes"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** `mm_features`: batched "decode→featurize" over binary payloads.
     * The fake decoder emits an 8-bin byte histogram + mean byte — the
     * real one would decode pixels/samples here with the exact same

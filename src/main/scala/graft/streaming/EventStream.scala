@@ -55,6 +55,16 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup on event_id: the streaming twin of
+    * `SELECT DISTINCT` / dedup_exact's hash-group discipline. State is
+    * bounded by the watermark — a duplicate arriving later than the
+    * allowed lateness is the source's contract violation, not ours.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     .withZone(ZoneOffset.UTC)
 

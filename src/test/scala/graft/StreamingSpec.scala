@@ -30,6 +30,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("streaming dedup removes cross-batch duplicates (twin of batch distinct)") {
+    val ev = Tables.events(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    // the same events written twice -> duplicates arrive in different
+    // micro-batches; watermark-bounded state must still drop them
+    ev.repartition(2).write.mode("overwrite").parquet(tmp)
+    ev.repartition(2).write.mode("append").parquet(tmp)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = EventStream.dedupEvents(src).writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("dedup_stream")
+    assert(got.count() == ev.count())
+    assert(got.select("event_id").distinct().count() == ev.count())
+  }
+
   test("streaming sessionize equals q18_sessionize batch across out-of-order micro-batches") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
