@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Date-partitioned metrics storage — the reference's own scale answer
+  * (SYSTEM_DESIGN.md: partition by date/channel) realized as a parquet
+  * layout Spark prunes natively.
+  *
+  * Writing `partitionBy("date")` turns every date-ranged query
+  * (filter_since, channel, funnel, export) into a directory prune: the
+  * scan lists only matching `date=...` directories instead of reading
+  * 100 TB and filtering. The channel sub-partition is deliberately NOT
+  * used — channel cardinality is tiny (≤ a few dozen) and a
+  * date×channel matrix would fragment files below HDFS block size at
+  * daily volume; channel stays a pushed row-group filter instead.
+  */
+object MetricsStore {
+
+  /** Persist consolidated metrics partitioned by date. Overwrite is
+    * idempotent per the reference's re-ingest contract: same input,
+    * same partitions, same rows.
+    */
+  def write(metrics: DataFrame, path: String): Unit =
+    metrics.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("date")
+      .parquet(path)
+
+  /** Read back; date filters become partition pruning (verified by
+    * PlanSpec — the scan's `PartitionFilters` must carry them).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

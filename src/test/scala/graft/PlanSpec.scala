@@ -58,6 +58,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("date-partitioned metrics store prunes partitions on date filters") {
+    import graft.etl.MetricsQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    graft.sources.MetricsStore.write(MetricsQueries.metrics(spark, dir), tmp)
+    val back = graft.sources.MetricsStore.read(spark, tmp)
+      .filter(org.apache.spark.sql.functions.col("date") === "2024-01-10")
+    val s = planString(back)
+    assert(s.contains("PartitionFilters: [") && s.contains("2024-01-10"),
+      "date filter did not become a partition prune")
+    // and the pruned read returns exactly the partition's rows
+    val direct = MetricsQueries.metrics(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("date") === "2024-01-10")
+    assert(back.count() == direct.count() && back.count() > 0)
+  }
+
   test("only page-bounded window operators run unpartitioned") {
     // etl_channel_query's residual window runs over <= offset+limit rows
     // by construction; nothing else may move all data to one partition.
