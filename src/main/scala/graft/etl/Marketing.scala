@@ -103,9 +103,16 @@ object Marketing {
     * conditional columns, no union, no second scan. Equality with the
     * two-feed path is asserted in EtlSpec.
     */
-  def unionedFeed(spark: SparkSession, dir: String): DataFrame = {
+  def unionedFeed(spark: SparkSession, dir: String): DataFrame =
+    unionedFeedFrom(Tables.events(spark, dir))
+
+  /** Same fused normalization over any events-shaped DataFrame —
+    * including a `readStream` source (the streaming consolidation twin
+    * runs this projection unchanged on the live feed).
+    */
+  def unionedFeedFrom(events: DataFrame): DataFrame = {
     val isAds = col("event_type").isin("view", "click")
-    Tables.events(spark, dir)
+    events
       .select(
         dstr(col("ts")).as("date"),
         inferChannel(utmSource, utmMedium).as("channel"),

@@ -55,6 +55,16 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming twin of etl_consolidate: the fused feed normalization
+    * (same projection as the batch path — Marketing.unionedFeedFrom)
+    * followed by the MetricKey aggregation, running incrementally on
+    * the live event stream. With a real source this is the reference's
+    * /ingest loop as a continuously-updating metrics table.
+    */
+  def consolidate(events: DataFrame): DataFrame =
+    graft.etl.Consolidate.consolidateNormalized(
+      graft.etl.Marketing.unionedFeedFrom(events))
+
   /** Streaming exact dedup on event_id: the streaming twin of
     * `SELECT DISTINCT` / dedup_exact's hash-group discipline. State is
     * bounded by the watermark — a duplicate arriving later than the

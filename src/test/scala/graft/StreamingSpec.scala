@@ -30,6 +30,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("streaming consolidation equals etl_consolidate batch") {
+    val ev = Tables.events(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cons").toString
+    ev.repartition(3).write.mode("overwrite").parquet(tmp)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = EventStream.consolidate(src).writeStream
+      .format("memory").queryName("cons_stream").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("cons_stream")
+    val want = graft.etl.EtlQueries.consolidate(spark, dir)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup removes cross-batch duplicates (twin of batch distinct)") {
     val ev = Tables.events(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
