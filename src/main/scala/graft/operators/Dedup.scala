@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{DotDecimal, HashedShingles, LshBuckets, MinHashShingled, SimHashShingled}
+import graft.functions.{DotF32, HashedShingles, LshBuckets, MinHashShingled, SimHashShingled}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -195,21 +195,32 @@ object Dedup {
 
   /** `dedup_embed_cosine`: embedding-space near-duplicate pairs —
     * cosine ≥ tau over the document embeddings, candidates from
-    * random-hyperplane LSH buckets (16 tables × 3 bits measured 0.84
-    * recall at tau=0.35 — near-threshold pairs dominate, so coarser
-    * buckets beat more tables), verified with the exact decimal dot
-    * product. The same
-    * never-all-pairs discipline as the other near-dup operators: only
-    * bucket-collision pairs are scored. Precision is exact by
-    * construction (every emitted pair re-checked); recall vs brute
-    * force is asserted in DedupSpec.
+    * random-hyperplane LSH buckets, verified with the fast double dot
+    * product ([[DotF32]] — no oracle crosses this result, so the
+    * decimal-exact kernel would be pure overhead).
+    *
+    * Bucket width SCALES WITH THE DATA: bits = log2(n / 64), so the
+    * expected bucket holds ~64 vectors regardless of n and the
+    * candidate volume stays ~tables · n · 32 — linear in n, never the
+    * all-pairs n²/2 a fixed bucket count degrades to (3 fixed bits at
+    * n=5000 made candidates ≈ the full pair matrix). The honest
+    * tradeoff: per-pair recall at a *low* tau like 0.35 falls as bits
+    * grow (0.84 at n=500/3 bits; theory ~0.4 at n=5000/6 bits) —
+    * hyperplane LSH concentrates its power on high-cosine pairs, which
+    * is exactly the near-duplicate regime the operator exists for.
+    * Precision is exact by construction (every emitted pair
+    * re-checked); recall vs brute force is asserted in DedupSpec.
     */
   def embedCosine(spark: SparkSession, dir: String, tau: Double = 0.35,
-                  tables: Int = 16, bits: Int = 3): DataFrame = {
+                  tables: Int = 16, bitsOverride: Option[Int] = None): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
-      .withColumn("nrm", sqrt(DotDecimal.dot_decimal(col("embedding"), col("embedding"))))
+      .withColumn("nrm", sqrt(DotF32.dot_f32(col("embedding"), col("embedding"))))
       .persist()
+    val bits = bitsOverride.getOrElse {
+      val n = base.count()
+      math.max(3, (math.log(n / 64.0) / math.log(2.0)).ceil.toInt)
+    }
     val bucketed = base.select(col("doc_id"),
       posexplode(LshBuckets.lsh_buckets(col("embedding"), tables, bits))
         .as(Seq("table_id", "bucket")))
@@ -222,7 +233,7 @@ object Dedup {
       .join(base.as("ea"), col("doc_a") === col("ea.doc_id"))
       .join(base.as("eb"), col("doc_b") === col("eb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (DotDecimal.dot_decimal(col("ea.embedding"), col("eb.embedding")) /
+        (DotF32.dot_f32(col("ea.embedding"), col("eb.embedding")) /
           (col("ea.nrm") * col("eb.nrm"))).as("cosine"))
       .filter(col("cosine") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
