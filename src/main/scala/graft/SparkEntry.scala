@@ -64,7 +64,10 @@ object SparkEntry {
 
     "mm_meta"     -> Multimodal.meta _,
     "mm_chunks"   -> ((s, d) => Multimodal.chunks(s, d)),
-    "mm_features" -> Multimodal.features _
+    "mm_features" -> Multimodal.features _,
+
+    "sketch_distinct"  -> Sketches.approxDistinct _,
+    "sketch_quantiles" -> Sketches.approxQuantiles _
   )
 
   /** Shared shingle/size CTEs for the dedup oracles — the SQL mirror of

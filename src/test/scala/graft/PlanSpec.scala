@@ -73,6 +73,26 @@ class PlanSpec extends AnyFunSuite {
     assert(back.count() == direct.count() && back.count() > 0)
   }
 
+  test("custom expressions stay inside whole-stage codegen") {
+    // A custom Expression that broke codegen would silently fall back
+    // to interpreted projection for the whole stage — the scan-stage
+    // kernels (fingerprint, shingles, signatures, buckets, dots) must
+    // keep their projections inside WholeStageCodegen spans.
+    // `*(N)` prefixes in the executed plan mark WholeStageCodegen
+    // spans; the kernel must appear on a starred operator line.
+    for ((name, kernel, df) <- Seq(
+      ("text_fingerprint", "rolling_fingerprint",
+        graft.operators.TextAnalysis.fingerprint(spark, dir)),
+      ("dedup_minhash_lsh", "minhash_shingled", Dedup.minhashLsh(spark, dir)),
+      ("sim_cosine_topk", "dot_decimal", Similarity.cosineTopk(spark, dir)),
+      ("etl_hmac_export", "hmac_sha256", graft.etl.EtlQueries.hmacExport(spark, dir)))) {
+      df.collect() // finalize the adaptive plan so codegen spans are visible
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      assert(lines.exists(l => l.contains("*(") && l.contains(kernel)),
+        s"$name: $kernel not inside a WholeStageCodegen (*) span")
+    }
+  }
+
   test("only page-bounded window operators run unpartitioned") {
     // etl_channel_query's residual window runs over <= offset+limit rows
     // by construction; nothing else may move all data to one partition.
