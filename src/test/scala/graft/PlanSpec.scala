@@ -73,6 +73,18 @@ class PlanSpec extends AnyFunSuite {
     assert(back.count() == direct.count() && back.count() > 0)
   }
 
+  test("q7 top-k prunes map-side before the shuffle (WindowGroupLimit Partial)") {
+    val df = Relational.q7WindowTopk(spark, dir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // Partial WindowGroupLimit = each map task forwards only its local
+    // top-k per key; without it the whole fact table crosses the wire
+    // to be ranked. This is the property that makes rank-filter top-k
+    // viable at 100 TB.
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      "rank filter not pushed into a partial per-partition group limit")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // A custom Expression that broke codegen would silently fall back
     // to interpreted projection for the whole stage — the scan-stage
