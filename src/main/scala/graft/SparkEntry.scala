@@ -67,7 +67,10 @@ object SparkEntry {
     "mm_features" -> Multimodal.features _,
 
     "sketch_distinct"  -> Sketches.approxDistinct _,
-    "sketch_quantiles" -> Sketches.approxQuantiles _
+    "sketch_quantiles" -> Sketches.approxQuantiles _,
+
+    "asof_attribution"     -> TemporalJoins.asofAttribution _,
+    "range_session_events" -> TemporalJoins.rangeSessionEvents _
   )
 
   /** Shared shingle/size CTEs for the dedup oracles — the SQL mirror of
@@ -512,6 +515,18 @@ object SparkEntry {
         |  octet_length(encode(text)) // 64
         |    + CASE WHEN octet_length(encode(text)) % 64 > 0 THEN 1 ELSE 0 END AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "asof_attribution" ->
+      """SELECT c.event_id, c.user_id,
+        |  (SELECT v.event_id FROM events v
+        |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        |     AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |   ORDER BY epoch_us(v.ts) DESC, v.event_id DESC LIMIT 1) AS attributed_view
+        |FROM events c WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin,
+    // range_session_events: rows-only (session reconstruction at
+    // second granularity is operator-internal; membership is checked
+    // against the window-derived truth in TemporalJoinSpec).
 
     "mm_chunks" ->
       """SELECT doc_id, i - 1 AS chunk_idx,
