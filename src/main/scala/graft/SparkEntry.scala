@@ -70,7 +70,9 @@ object SparkEntry {
     "sketch_quantiles" -> Sketches.approxQuantiles _,
 
     "asof_attribution"     -> TemporalJoins.asofAttribution _,
-    "range_session_events" -> TemporalJoins.rangeSessionEvents _
+    "range_session_events" -> TemporalJoins.rangeSessionEvents _,
+
+    "pipeline_corpus_clean" -> ((s, d) => Pipeline.corpusClean(s, d))
   )
 
   /** Shared shingle/size CTEs for the dedup oracles — the SQL mirror of
@@ -515,6 +517,45 @@ object SparkEntry {
         |  octet_length(encode(text)) // 64
         |    + CASE WHEN octet_length(encode(text)) % 64 > 0 THEN 1 ELSE 0 END AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_corpus_clean" -> (shingleCtes +
+      """, rare2 AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10
+        |), cand2 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN rare2 r ON a.s = r.s
+        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+        |), inter2 AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand2 c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        |  GROUP BY c.doc_a, c.doc_b
+        |), losers AS (
+        |  SELECT DISTINCT i.doc_b AS doc_id
+        |  FROM inter2 i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= 0.8
+        |), keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.25
+        |      + CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / CAST(len(text) AS DOUBLE) * 0.5 AS quality_score
+        |  FROM documents
+        |)
+        |SELECT q.doc_id, q.n_tokens, q.quality_score
+        |FROM q
+        |JOIN keepers k ON k.doc_id = q.doc_id
+        |WHERE q.quality_score >= 0.5
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY q.doc_id""".stripMargin),
 
     "asof_attribution" ->
       """SELECT c.event_id, c.user_id,
