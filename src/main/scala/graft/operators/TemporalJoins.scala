@@ -61,16 +61,22 @@ object TemporalJoins {
     * needs it at scale.
     */
   def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    val views = ev.filter(col("event_type") === "view")
+    // Both sides come from the same table, so the generic two-table
+    // union path would scan events twice; tagging sides in one
+    // filtered scan is the same plan shape minus a scan and a union.
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
       .select(col("event_id"), col("user_id"), col("ts"),
-        col("event_id").as("view_event_id"))
-    asofBackward(clicks, views, Seq("user_id"), "ts", "event_id",
-      Seq("view_event_id"))
-      .select(col("event_id"), col("user_id"),
-        col("asof_view_event_id").as("attributed_view"))
+        when(col("event_type") === "click", 1).otherwise(0).as("__side"),
+        when(col("event_type") === "view", col("event_id")).as("__view_id"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("__side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("attributed_view", last(col("__view_id"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("event_id"), col("user_id"), col("attributed_view"))
       .orderBy(col("event_id"))
   }
 
