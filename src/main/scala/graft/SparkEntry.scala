@@ -514,8 +514,7 @@ object SparkEntry {
         |  octet_length(encode(text)) AS n_bytes,
         |  lower(hex(encode(left(text, 1)))) AS magic_hex,
         |  md5(text) AS content_md5,
-        |  octet_length(encode(text)) // 64
-        |    + CASE WHEN octet_length(encode(text)) % 64 > 0 THEN 1 ELSE 0 END AS n_chunks
+        |  (len(text) + 63) // 64 AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipeline_corpus_clean" -> (shingleCtes +

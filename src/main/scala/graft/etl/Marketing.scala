@@ -51,8 +51,12 @@ object Marketing {
     graft.functions.LenientTimestamp.lenient_timestamp(s)
 
   /** The declarative form [[parseDateTimeLenient]] replaces: kept for
-    * the spec's equivalence check — the custom expression must accept
-    * exactly what this 8-arm cascade accepts.
+    * the spec's compatibility check — the custom expression must
+    * accept (and agree on) everything this 8-arm cascade accepts. The
+    * expression is deliberately a superset: it also takes 1–9-digit
+    * fractions and any RFC3339 offset form, like Go's time.Parse,
+    * where the cascade's fixed patterns require exactly 3 digits /
+    * ±hh:mm.
     */
   def parseDateTimeCascade(s: Column): Column = {
     val norm = regexp_replace(trim(s), "/", "-")

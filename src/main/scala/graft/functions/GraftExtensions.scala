@@ -24,15 +24,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+    // Wrap each builder so a wrong argument count raises a clear
+    // arity error naming the function, not a raw MatchError.
+    def reg(name: String, usage: String)(builder: PartialFunction[Seq[Expression], Expression]): Unit =
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name, usage), builder))
+        new ExpressionInfo("graft.functions", name, usage),
+        (args: Seq[Expression]) => builder.applyOrElse(args, (a: Seq[Expression]) =>
+          throw new IllegalArgumentException(
+            s"$name: wrong number of arguments (${a.length}); usage: $usage"))))
 
     reg("hmac_sha256", "hmac_sha256(data, key) - hex HMAC-SHA256 signature") {
       case Seq(d, k) => HmacSha256(d, k)
     }
     reg("lenient_timestamp", "lenient_timestamp(s) - multi-format lenient parse") {
-      case Seq(s) => LenientTimestamp(s)
+      // the session zone is captured at analysis time (driver side)
+      case Seq(s) => LenientTimestamp(s, LenientTimestamp.sessionZone)
     }
     reg("rolling_fingerprint", "rolling_fingerprint(text, window) - winnowing fingerprint") {
       case Seq(t, w) => RollingHash(t, intArg(w, "rolling_fingerprint", 2))

@@ -30,7 +30,8 @@ import java.util.Locale
   * Zone-suffixed inputs resolve to the UTC instant like Go's
   * time.Parse; zoneless inputs are UTC (the engine's session zone).
   */
-case class LenientTimestamp(child: Expression) extends UnaryExpression {
+case class LenientTimestamp(child: Expression, zoneId: String)
+    extends UnaryExpression {
 
   override def dataType: DataType = TimestampType
   override def nullable: Boolean = true
@@ -43,13 +44,14 @@ case class LenientTimestamp(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(s: Any): Any =
-    LenientTimestamp.parse(s.asInstanceOf[UTF8String])
+    LenientTimestamp.parse(s.asInstanceOf[UTF8String], zoneId)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val boxed = ctx.freshName("parsedTs")
+      val zone = ctx.addReferenceObj("zoneId", zoneId, "java.lang.String")
       s"""
-         |java.lang.Long $boxed = graft.functions.LenientTimestamp.parse($c);
+         |java.lang.Long $boxed = graft.functions.LenientTimestamp.parse($c, $zone);
          |if ($boxed == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -65,26 +67,33 @@ case class LenientTimestamp(child: Expression) extends UnaryExpression {
 object LenientTimestamp {
   private val dateTime =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss", Locale.US)
-  private val dateTimeFrac =
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS", Locale.US)
+  // 1-9 fractional digits, like Go's time.Parse and Spark's lenient
+  // 'SSS' (which accepts 1-3): strictly more forgiving than either.
+  private val dateTimeFrac = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+    .toFormatter(Locale.US)
   private val dateTimeOffset =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss Z", Locale.US)
   private val dateTimeZone =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss zzz", Locale.US)
   private val isoOffset = DateTimeFormatter.ISO_OFFSET_DATE_TIME // handles Z, ±hh:mm, fractions
 
-  /** Returns epoch micros, or null on unparseable input. Static entry
-    * point shared by the interpreted and codegen paths.
+  /** Returns epoch micros, or null on unparseable input; `zone`
+    * resolves zoneless inputs (the engine's session time zone — the
+    * Column/SQL builders capture it at plan time). Static entry point
+    * shared by the interpreted and codegen paths.
     */
-  def parse(u: UTF8String): java.lang.Long = {
+  def parse(u: UTF8String, zone: String): java.lang.Long = {
     if (u == null) return null
+    val zid = ZoneId.of(zone)
     val s = u.toString.trim.replace('/', '-')
     val n = s.length
     try {
       if (n == 10) {
         // 2006-01-02
         val d = LocalDate.parse(s)
-        micros(d.atStartOfDay(ZoneOffset.UTC).toInstant)
+        micros(d.atStartOfDay(zid).toInstant)
       } else if (n > 10 && s.charAt(10) == 'T') {
         // RFC3339 family: ...Z | ...±hh:mm | with optional fraction
         micros(OffsetDateTime.parse(s, isoOffset).toInstant)
@@ -95,9 +104,9 @@ object LenientTimestamp {
         else
           micros(ZonedDateTime.parse(s, dateTimeZone).toInstant)    //  ... MST
       } else if (n > 19 && s.charAt(19) == '.') {
-        micros(LocalDateTime.parse(s, dateTimeFrac).toInstant(ZoneOffset.UTC))
+        micros(LocalDateTime.parse(s, dateTimeFrac).atZone(zid).toInstant)
       } else if (n == 19) {
-        micros(LocalDateTime.parse(s, dateTime).toInstant(ZoneOffset.UTC))
+        micros(LocalDateTime.parse(s, dateTime).atZone(zid).toInstant)
       } else null
     } catch {
       case _: DateTimeException => null
@@ -107,6 +116,10 @@ object LenientTimestamp {
   private def micros(i: Instant): java.lang.Long =
     java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
 
+  /** Session time zone captured at plan construction (driver side). */
+  private[functions] def sessionZone: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   def lenient_timestamp(s: Column): Column =
-    GraftColumn.column(LenientTimestamp(GraftColumn.expression(s)))
+    GraftColumn.column(LenientTimestamp(GraftColumn.expression(s), sessionZone))
 }

@@ -102,8 +102,13 @@ object Dedup {
     * row per shingled document (candidate-free docs keep nulls) so the
     * result doubles as a dedup report: keep rows where best_est < tau.
     */
-  def minhashLsh(spark: SparkSession, dir: String,
-                 k: Int = 64, bands: Int = 16): DataFrame = {
+  /** MinHash signatures + banded LSH candidate pairs — the shared core
+    * of [[minhashLsh]] and [[minhashCandidates]] (one definition so the
+    * spec's recall check exercises exactly the registered operator's
+    * candidate set). Returns (persisted signature table, candidates).
+    */
+  private def minhashSigAndCandidates(spark: SparkSession, dir: String,
+                                      k: Int, bands: Int): (DataFrame, DataFrame) = {
     val r = k / bands
     val sig = tokenized(spark, dir)
       .select(col("doc_id"), MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
@@ -116,6 +121,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (sig, cand)
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String,
+                 k: Int = 64, bands: Int = 16): DataFrame = {
+    val (sig, cand) = minhashSigAndCandidates(spark, dir, k, bands)
     val est = cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -137,23 +148,11 @@ object Dedup {
   }
 
   /** Candidate pairs from MinHash LSH banding (used by the spec's
-    * recall check against exact Jaccard).
+    * recall check against exact Jaccard) — same core as [[minhashLsh]].
     */
   def minhashCandidates(spark: SparkSession, dir: String,
-                        k: Int = 64, bands: Int = 16): DataFrame = {
-    val r = k / bands
-    val sig = tokenized(spark, dir)
-      .select(col("doc_id"), MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
-      .persist()
-    val bandKeys = sig.select(col("doc_id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
-    bandKeys.as("a").join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+                        k: Int = 64, bands: Int = 16): DataFrame =
+    minhashSigAndCandidates(spark, dir, k, bands)._2
 
   /** `dedup_simhash`: 64-bit SimHash fingerprint (single-pass custom
     * expression); candidates share one of eight 8-bit bands — by

@@ -27,16 +27,21 @@ object Multimodal {
 
   /** `mm_meta`: typed metadata over an opaque binary column — size,
     * magic byte (format sniffing), content hash (dedup / integrity),
-    * and fixed-size chunk count (the unit a distributed decoder would
-    * fan out). Pure column expressions, no shuffle.
+    * and chunk count (the unit a distributed decoder would fan out).
+    * Pure column expressions, no shuffle.
+    *
+    * n_chunks counts [[chunks]]' character-window chunks (64 chars;
+    * = 64 bytes on this ASCII corpus) so the two operators always
+    * agree; n_bytes stays a true byte count.
     */
   def meta(spark: SparkSession, dir: String): DataFrame =
-    blobs(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("text").cast("binary").as("blob"))
       .select(col("doc_id"),
         octet_length(col("blob")).cast("long").as("n_bytes"),
         lower(hex(substring(col("blob"), 1, 1))).as("magic_hex"),
         md5(col("blob")).as("content_md5"),
-        expr("(octet_length(blob) + 63) div 64").as("n_chunks"))
+        expr("(length(text) + 63) div 64").as("n_chunks"))
       .orderBy(col("doc_id"))
 
   /** `mm_chunks`: explode each payload into fixed-size chunks with
@@ -46,9 +51,14 @@ object Multimodal {
     */
   def chunks(spark: SparkSession, dir: String, chunkSize: Int = 64): DataFrame =
     Tables.documents(spark, dir)
+      // empty payloads chunk to zero rows — without the guard,
+      // sequence(0, -1) yields the DESCENDING array [0, -1] and two
+      // phantom chunks
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (length(text) + ${chunkSize - 1}) div $chunkSize - 1), " +
-          s"i -> substring(text, i*$chunkSize + 1, $chunkSize))"))
+        s"CASE WHEN length(text) > 0 THEN " +
+          s"transform(sequence(0, (length(text) + ${chunkSize - 1}) div $chunkSize - 1), " +
+          s"i -> substring(text, i*$chunkSize + 1, $chunkSize)) " +
+          s"ELSE array() END"))
         .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         octet_length(col("chunk")).cast("long").as("chunk_bytes"),

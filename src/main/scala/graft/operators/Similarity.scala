@@ -64,7 +64,7 @@ object Similarity {
     * transform/aggregate/zip_with nest it replaces evaluated
     * interpreted (bit-equality asserted in ExprSpec).
     */
-  private def bucketCol(tables: Int, bits: Int, dims: Int): Column =
+  private def bucketCol(tables: Int, bits: Int): Column =
     graft.functions.LshBuckets.lsh_buckets(col("embedding"), tables, bits)
 
   /** `sim_ann_lsh`: approximate top-k via L random-hyperplane hash
@@ -78,7 +78,7 @@ object Similarity {
     val base = withNorm(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
       .persist()
     val bucketed = base.select(col("vec_id"), col("embedding"), col("nrm"),
-      posexplode(bucketCol(tables, bits, 64)).as(Seq("table_id", "bucket")))
+      posexplode(bucketCol(tables, bits)).as(Seq("table_id", "bucket")))
       .persist() // bucket signatures cost tables*bits*dims interpreted ops per row
     val q = bucketed.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"),

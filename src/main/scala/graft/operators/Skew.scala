@@ -30,11 +30,15 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[Column], buckets: Int,
                 partials: Seq[Column], merges: Seq[Column]): DataFrame = {
-    // Salt assignment need not be stable across task retries: with
-    // algebraic aggregates the merged result is invariant to how rows
-    // split across salts, so the cheap nondeterministic id is safe.
+    // The salt MUST be deterministic per row content: a retried map
+    // task re-evaluates the salt, and a nondeterministic one (e.g.
+    // monotonically_increasing_id) can re-assign rows whose original
+    // salt's partial was already consumed — double-counting or losing
+    // them (the classic shuffle-replay hazard). Hashing the row is
+    // retry-stable; fully identical duplicate rows share a salt, which
+    // only matters if the hot key consists of byte-identical rows.
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets)))
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
     // Phase 1: (keys, salt) — the hot key's rows spread over `buckets`
     // reducers, each holding only a partial.
     val partial = salted

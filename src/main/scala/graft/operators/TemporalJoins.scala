@@ -102,27 +102,29 @@ object TemporalJoins {
 
   /** `range_session_events`: q18's sessions re-joined to their member
     * events through the bucketed range join — every event must land
-    * back in exactly the session whose [start, end+gap) window holds
-    * it, which the spec checks against q18's own membership counts.
+    * back in exactly the session whose [start, end+1µs) window holds
+    * it. Session boundaries use the same µs-precision >30 min gap as
+    * q18; the spec checks membership against an independent
+    * collect-and-scan reimplementation.
     */
   def rangeSessionEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapS = 1800L
+    val gapUs = 1800L * 1000000L
     val flagged = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         when(lag(col("ts"), 1).over(w).isNull ||
-          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > gapS, 1)
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
           .otherwise(0).as("new_session"))
       .withColumn("session_id", sum(col("new_session")).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val sessions = flagged.groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts").cast("long")).as("lo"),
-        (max(col("ts").cast("long")) + 1L).as("hi"))
-    rangeJoinBucketed(ev, col("ts_s"), sessions, col("lo"), col("hi"),
-      Seq("user_id"), bucketWidth = 3600L)
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        (max(unix_micros(col("ts"))) + 1L).as("hi"))
+    rangeJoinBucketed(ev, col("ts_us"), sessions, col("lo"), col("hi"),
+      Seq("user_id"), bucketWidth = 3600L * 1000000L)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("user_id"), col("session_id"))

@@ -54,20 +54,31 @@ class EtlSpec extends AnyFunSuite {
     assert(doubled.count() == once.count())
   }
 
-  test("LenientTimestamp expression equals the try_to_timestamp cascade") {
+  test("LenientTimestamp accepts a superset of the try_to_timestamp cascade") {
     import spark.implicits._
     // every generated format arm at sf0.001 + handwritten edge cases
     val gen = EtlQueries.dateParse(spark, dir) // exercises the expression itself
     assert(gen.filter(col("parsed_date").isNull).isEmpty)
     val edge = Seq("2024-01-02T15:04:05+07:00", "2024-01-02T15:04:05.123Z",
       "2024-01-02 15:04:05 -0700", "2024-01-02 15:04:05 UTC",
-      "2024/01/02", "  2024-01-02 15:04:05.250  ", "garbage", "2024-13-99").toDF("raw")
+      "2024/01/02", "  2024-01-02 15:04:05.250  ", "garbage", "2024-13-99",
+      // cascade-null, expression-parsed (documented extra leniency):
+      "2024-01-02 15:04:05.25", "2024-01-02T15:04:05.123456Z").toDF("raw")
     val both = edge.select(col("raw"),
       Marketing.parseDateTimeLenient(col("raw")).as("fused"),
-      Marketing.parseDateTimeCascade(col("raw")).as("cascade"))
-    both.collect().foreach { r =>
-      assert(r.get(1) == r.get(2), s"parse divergence on '${r.getString(0)}'")
+      Marketing.parseDateTimeCascade(col("raw")).as("cascade")).collect()
+    both.foreach { r =>
+      // wherever the cascade parses, the expression must agree exactly
+      if (!r.isNullAt(2)) assert(r.get(1) == r.get(2), s"divergence on '${r.getString(0)}'")
     }
+    val extra = both.filter(r => r.isNullAt(2) && !r.isNullAt(1)).map(_.getString(0))
+    // Spark's lenient 'SSS' already takes 1-3 fraction digits, so the
+    // short-fraction case agrees with the cascade; only sub-ms
+    // fractions are genuinely extra leniency.
+    assert(extra.toSet == Set("2024-01-02T15:04:05.123456Z"))
+    // short fraction parses to the value Go's time.Parse would produce
+    val frac = both.find(_.getString(0) == "2024-01-02 15:04:05.25").get
+    assert(frac.getTimestamp(1).toInstant == java.time.Instant.parse("2024-01-02T15:04:05.250Z"))
   }
 
   test("fused single-scan consolidation equals the two-feed union path") {

@@ -18,11 +18,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("chunk count covers the payload exactly") {
-    Multimodal.meta(spark, dir).collect().foreach { r =>
-      val (bytes, chunks) = (r.getLong(1), r.getLong(4))
-      assert(chunks == (bytes + 63) / 64)
-    }
+  test("meta chunk counts equal the chunks operator's actual fan-out") {
+    val declared = Multimodal.meta(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val actual = Multimodal.chunks(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.length.toLong }
+    assert(declared == actual)
+    // and chunk bytes re-assemble to the full payload size (ASCII corpus)
+    val reassembled = Multimodal.chunks(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.map(_.getLong(2)).sum }
+    val sizes = Multimodal.meta(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reassembled == sizes)
   }
 
   test("fake decode features are normalized and deterministic") {

@@ -31,7 +31,7 @@ class SkewSpec extends AnyFunSuite {
     val hot = (1 to 10000).map(i => ("hot", i.toDouble)) ++ Seq(("cold", 1.0))
     val df = hot.toDF("k", "v")
     val phase1Groups = df.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(8)))
+        pmod(hash(df.columns.map(col): _*), lit(8)))
       .groupBy(col("k"), col("__salt")).count()
       .filter(col("k") === "hot")
     val n = phase1Groups.count()

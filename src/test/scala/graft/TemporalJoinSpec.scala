@@ -75,17 +75,17 @@ class TemporalJoinSpec extends AnyFunSuite {
     val got = TemporalJoins.rangeSessionEvents(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts").cast("long").as("s"), col("event_id")).collect()
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
       val sorted = rows.sortBy(r => (r._2, r._3))
       var sid = 0L
       var last = Long.MinValue
       val counts = scala.collection.mutable.Map[Long, Long]()
-      sorted.foreach { case (_, s, _) =>
-        if (last == Long.MinValue || s - last > 1800L) sid += 1
+      sorted.foreach { case (_, us, _) =>
+        if (last == Long.MinValue || us - last > 1800L * 1000000L) sid += 1
         counts(sid) = counts.getOrElse(sid, 0L) + 1
-        last = s
+        last = us
       }
       counts.map { case (k, v) => (u, k) -> v }
     }.toMap
