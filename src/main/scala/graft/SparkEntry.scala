@@ -35,6 +35,7 @@ object SparkEntry {
     "q16_pivot"         -> Relational.q16Pivot _,
     "q17_median_disc"   -> Relational.q17MedianDisc _,
     "q18_sessionize"    -> Relational.q18Sessionize _,
+    "q19_range_window"  -> Relational.q19RangeWindow _,
 
     "etl_ads_extract"   -> EtlQueries.adsExtract _,
     "etl_crm_extract"   -> EtlQueries.crmExtract _,
@@ -335,6 +336,16 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q19_range_window" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_trailing_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_trailing_hour
+        |FROM events
+        |WHERE user_id < 8
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "etl_ads_extract" -> (feedCtes +
       """SELECT event_id, date, campaign_id, channel, clicks, impressions,

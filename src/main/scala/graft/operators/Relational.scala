@@ -248,4 +248,25 @@ object Relational {
         dsum(col("value")).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** q19: sliding event-time window via a RANGE frame — each event's
+    * trailing-1-hour activity (count + decimal-exact value sum) per
+    * user. RANGE frames bound by the *ordering value*, not row
+    * position, so ties at the same µs are all peers in the frame —
+    * deterministic under any tie order, unlike a ROWS frame. Ordering
+    * on unix_micros keeps the frame arithmetic integer-exact in both
+    * engines.
+    */
+  def q19RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(w)
+          .cast("double").as("value_trailing_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }
