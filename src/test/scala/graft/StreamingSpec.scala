@@ -62,6 +62,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == ev.count())
   }
 
+  test("sessionizer state survives a checkpointed restart (exactly-once)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Ev]
+    val (minTs, maxTs) = {
+      val r = ev.toDF().agg(min(col("ts")), max(col("ts"))).head
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    val spanSec = (maxTs.getTime - minTs.getTime) / 1000 + 10
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    def startQuery() = {
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withWatermark("ts", s"$spanSec seconds")
+        .as[EventStream.Ev]
+      EventStream.sessionize(src).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+    // run 1: first half of the feed only — all state still open/buffered
+    ev.filter(col("event_id") % 2 === 0).repartition(2)
+      .write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    // "process restart": second half + horizon land, a NEW query
+    // instance resumes from the checkpointed state store
+    ev.filter(col("event_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(srcDir)
+    val horizonTs = new java.sql.Timestamp(
+      maxTs.getTime + spanSec * 1000 + EventStream.GapUs / 1000 + 3600000L)
+    Seq(EventStream.Ev(-1L, horizonTs, -1L, "horizon", 0.0)).toDS()
+      .write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))
+    val got = spark.read.parquet(outDir).collect().map(key).sortBy(t => (t._1, t._2))
+    val want = Relational.q18Sessionize(spark, dir).collect().map(key).sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("streaming sessionize equals q18_sessionize batch across out-of-order micro-batches") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
