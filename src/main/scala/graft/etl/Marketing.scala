@@ -44,8 +44,9 @@ object Marketing {
     *   2006-01-02 15:04:05 -0700   → yyyy-MM-dd HH:mm:ss Z
     *   2006-01-02 15:04:05 MST     → yyyy-MM-dd HH:mm:ss zzz
     *   2006-01-02 15:04:05.000     → yyyy-MM-dd HH:mm:ss.SSS
-    * Offset/zone inputs resolve to the same instant in the UTC session,
-    * matching Go's time.Parse semantics.
+    * Offset/zone-suffixed inputs resolve to their own UTC instant;
+    * zoneless inputs resolve in the session time zone (UTC in every
+    * graft session), matching Go's time.Parse semantics.
     */
   def parseDateTimeLenient(s: Column): Column =
     graft.functions.LenientTimestamp.lenient_timestamp(s)

@@ -37,8 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(d, k) => HmacSha256(d, k)
     }
     reg("lenient_timestamp", "lenient_timestamp(s) - multi-format lenient parse") {
-      // the session zone is captured at analysis time (driver side)
-      case Seq(s) => LenientTimestamp(s, LenientTimestamp.sessionZone)
+      // session zone injected by the analyzer's ResolveTimeZone rule
+      case Seq(s) => LenientTimestamp(s)
     }
     reg("rolling_fingerprint", "rolling_fingerprint(text, window) - winnowing fingerprint") {
       case Seq(t, w) => RollingHash(t, intArg(w, "rolling_fingerprint", 2))

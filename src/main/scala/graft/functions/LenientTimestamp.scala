@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TimeZoneAwareExpression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,15 +27,22 @@ import java.util.Locale
   *   2006-01-02 15:04:05 [±hhmm | zone-name | .fraction]      (space forms)
   *   2006-01-02                                               (date only)
   *
-  * Zone-suffixed inputs resolve to the UTC instant like Go's
-  * time.Parse; zoneless inputs are UTC (the engine's session zone).
+  * Zone-suffixed inputs resolve to their own UTC instant like Go's
+  * time.Parse; zoneless inputs resolve in the session time zone —
+  * [[TimeZoneAwareExpression]], so the analyzer's ResolveTimeZone rule
+  * injects `spark.sql.session.timeZone` exactly as it does for the
+  * built-in timestamp functions.
   */
-case class LenientTimestamp(child: Expression, zoneId: String)
-    extends UnaryExpression {
+case class LenientTimestamp(child: Expression,
+                            timeZoneId: Option[String] = None)
+    extends UnaryExpression with TimeZoneAwareExpression {
 
   override def dataType: DataType = TimestampType
   override def nullable: Boolean = true
   override def prettyName: String = "lenient_timestamp"
+
+  override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
+    copy(timeZoneId = Some(timeZoneId))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -49,7 +56,7 @@ case class LenientTimestamp(child: Expression, zoneId: String)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val boxed = ctx.freshName("parsedTs")
-      val zone = ctx.addReferenceObj("zoneId", zoneId, "java.lang.String")
+      val zone = ctx.addReferenceObj("zoneId", zoneId, "java.time.ZoneId")
       s"""
          |java.lang.Long $boxed = graft.functions.LenientTimestamp.parse($c, $zone);
          |if ($boxed == null) {
@@ -79,14 +86,13 @@ object LenientTimestamp {
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss zzz", Locale.US)
   private val isoOffset = DateTimeFormatter.ISO_OFFSET_DATE_TIME // handles Z, ±hh:mm, fractions
 
-  /** Returns epoch micros, or null on unparseable input; `zone`
-    * resolves zoneless inputs (the engine's session time zone — the
-    * Column/SQL builders capture it at plan time). Static entry point
-    * shared by the interpreted and codegen paths.
+  /** Returns epoch micros, or null on unparseable input; `zid`
+    * (resolved once by the expression, not per row) anchors zoneless
+    * inputs. Static entry point shared by the interpreted and codegen
+    * paths.
     */
-  def parse(u: UTF8String, zone: String): java.lang.Long = {
+  def parse(u: UTF8String, zid: ZoneId): java.lang.Long = {
     if (u == null) return null
-    val zid = ZoneId.of(zone)
     val s = u.toString.trim.replace('/', '-')
     val n = s.length
     try {
@@ -116,10 +122,6 @@ object LenientTimestamp {
   private def micros(i: Instant): java.lang.Long =
     java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
 
-  /** Session time zone captured at plan construction (driver side). */
-  private[functions] def sessionZone: String =
-    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
-
   def lenient_timestamp(s: Column): Column =
-    GraftColumn.column(LenientTimestamp(GraftColumn.expression(s), sessionZone))
+    GraftColumn.column(LenientTimestamp(GraftColumn.expression(s)))
 }

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * Correct only for algebraic aggregates (sum/count/min/max — anything
   * with an associative merge); the caller provides both the per-salt
   * partial and the merge expression per output column.
+  *
+  * Known limitation: the salt hashes row CONTENT (retry-safe — see
+  * below), so a hot key made of byte-identical duplicate rows all
+  * lands on one salt and gains nothing. For that shape, dedup-count
+  * first (collapse identical rows to (row, n) with a count, then
+  * aggregate weighted) or include a distinguishing column.
   */
 object Skew {
 

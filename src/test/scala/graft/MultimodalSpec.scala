@@ -19,16 +19,18 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("meta chunk counts equal the chunks operator's actual fan-out") {
-    val declared = Multimodal.meta(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(4)).toMap
-    val actual = Multimodal.chunks(spark, dir).collect()
-      .groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.length.toLong }
+    val metaRows = Multimodal.meta(spark, dir).collect()
+    val chunkRows = Multimodal.chunks(spark, dir).collect().groupBy(_.getLong(0))
+    val declared = metaRows.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // empty payloads legitimately have zero chunk rows — read them as 0,
+    // not a missing key
+    val actual = declared.keys.map(id =>
+      id -> chunkRows.get(id).map(_.length.toLong).getOrElse(0L)).toMap
     assert(declared == actual)
     // and chunk bytes re-assemble to the full payload size (ASCII corpus)
-    val reassembled = Multimodal.chunks(spark, dir).collect()
-      .groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.map(_.getLong(2)).sum }
-    val sizes = Multimodal.meta(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = metaRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reassembled = declared.keys.map(id =>
+      id -> chunkRows.get(id).map(_.map(_.getLong(2)).sum).getOrElse(0L)).toMap
     assert(reassembled == sizes)
   }
 
