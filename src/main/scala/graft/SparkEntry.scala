@@ -48,6 +48,8 @@ object SparkEntry {
     "etl_export_daily"  -> EtlQueries.exportDaily _,
     "etl_matches"       -> EtlQueries.matches _,
     "etl_hmac_export"   -> EtlQueries.hmacExport _,
+    "etl_debug_ads"     -> EtlQueries.debugAds _,
+    "etl_debug_crm"     -> EtlQueries.debugCrm _,
 
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -327,8 +329,11 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    -- CAST: DuckDB widens windowed SUM(int) to HUGEINT (pandas
+        |    -- float64) which hash-mismatches Spark's int64 (r2 verdict)
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -405,6 +410,16 @@ object SparkEntry {
         |  CASE WHEN cost > 0 THEN revenue / cost ELSE 0.0 END AS roas
         |FROM daily
         |ORDER BY channel, campaign_id, utm_campaign""".stripMargin),
+
+    "etl_debug_ads" -> (feedCtes +
+      """SELECT event_id, date, campaign_id, channel, clicks, impressions,
+        |  cost, utm_campaign, utm_source, utm_medium
+        |FROM ads WHERE date = '2024-01-10' ORDER BY event_id""".stripMargin),
+
+    "etl_debug_crm" -> (feedCtes +
+      """SELECT event_id, date, stage, amount, channel,
+        |  utm_campaign, utm_source, utm_medium
+        |FROM crm WHERE date = '2024-01-10' ORDER BY event_id""".stripMargin),
 
     "etl_matches" -> (feedCtes +
       """SELECT side, n, total_value FROM (
@@ -584,8 +599,33 @@ object SparkEntry {
         |  octet_length(encode(substring(text, (i-1)*64 + 1, 64))) AS chunk_bytes,
         |  md5(substring(text, (i-1)*64 + 1, 64)) AS chunk_md5
         |FROM documents, UNNEST(range(1, (len(text) + 63) // 64 + 1)) AS t(i)
-        |ORDER BY doc_id, chunk_idx""".stripMargin
-    // mm_features: mapPartitions plumbing → rows-only + MultimodalSpec.
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mm_features: the fake decoder's byte histogram/mean are exact
+    // integer counts over one double division, so DuckDB reproduces
+    // them bit-for-bit via per-char codepoints (= bytes on the ASCII
+    // corpus — the same equivalence mm_chunks' oracle already relies
+    // on). Empty payloads: histogram all-zero, mean 0 (n clamps to 1).
+    "mm_features" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(text) + 1), i -> ord(text[i])) AS cs,
+        |    greatest(len(text), 1) AS n,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(cs, c -> c // 32 = 0)) AS DOUBLE) / n AS hist_0,
+        |  CAST(len(list_filter(cs, c -> c // 32 = 1)) AS DOUBLE) / n AS hist_1,
+        |  CAST(len(list_filter(cs, c -> c // 32 = 2)) AS DOUBLE) / n AS hist_2,
+        |  CAST(len(list_filter(cs, c -> c // 32 = 3)) AS DOUBLE) / n AS hist_3,
+        |  CAST(len(list_filter(cs, c -> c // 32 = 4)) AS DOUBLE) / n AS hist_4,
+        |  CAST(len(list_filter(cs, c -> c // 32 = 5)) AS DOUBLE) / n AS hist_5,
+        |  CAST(len(list_filter(cs, c -> c // 32 = 6)) AS DOUBLE) / n AS hist_6,
+        |  CAST(len(list_filter(cs, c -> c // 32 = 7)) AS DOUBLE) / n AS hist_7,
+        |  CAST(coalesce(list_sum(cs), 0) AS DOUBLE) / n AS mean_byte,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM codes ORDER BY doc_id""".stripMargin
     // etl_hmac_export: no SQL oracle (HMAC not expressible in DuckDB);
     // rows-only check + EtlSpec vs javax.crypto.
   )

@@ -69,6 +69,24 @@ object EtlQueries {
     MetricsQueries.matches(
       Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir), "camp_3")
 
+  /** Per-date ads feed inspection (reference: internal/api/handlers.go
+    * debugAds, /debug/ads?date=YYYY-MM-DD): the full extracted ads feed
+    * filtered to one date. The date filter lands on a derived column
+    * here, but on the date-partitioned store (MetricsStore) the same
+    * predicate becomes partition pruning.
+    */
+  def debugAds(spark: SparkSession, dir: String): DataFrame =
+    Marketing.adsFeed(spark, dir)
+      .filter(col("date") === "2024-01-10")
+      .orderBy(col("event_id"))
+
+  /** Per-date CRM feed inspection (reference: internal/api/handlers.go
+    * debugCRM, /debug/crm?date=YYYY-MM-DD). */
+  def debugCrm(spark: SparkSession, dir: String): DataFrame =
+    Marketing.crmFeed(spark, dir)
+      .filter(col("date") === "2024-01-10")
+      .orderBy(col("event_id"))
+
   /** Signed export payload: each consolidated row serialized to canonical
     * JSON and HMAC-SHA256-signed with the sink secret (handlers.go
     * exportToSink + generateHMACSignature). No SQL oracle — covered by

@@ -118,6 +118,12 @@ object Marketing {
   def unionedFeedFrom(events: DataFrame): DataFrame = {
     val isAds = col("event_type").isin("view", "click")
     events
+      // Only the five event types the two feeds recognize: without this,
+      // any other type would become an all-zero-measure row with
+      // campaign_id='' — a consolidation key the adsFeed∪crmFeed path
+      // (and the oracle) would never produce. Equality with the union
+      // path must hold semantically, not just on current testdata.
+      .filter(col("event_type").isin("view", "click", "signup", "error", "purchase"))
       .select(
         dstr(col("ts")).as("date"),
         inferChannel(utmSource, utmMedium).as("channel"),

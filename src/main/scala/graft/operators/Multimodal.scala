@@ -70,10 +70,18 @@ object Multimodal {
     * real one would decode pixels/samples here with the exact same
     * iterator shape. mapPartitions keeps the work executor-local and
     * batch-amortized (one decoder init per partition, not per row).
+    *
+    * The histogram is flattened to scalar `hist_0..hist_7` columns
+    * (not an `array<double>`): downstream sorts/hashes — including the
+    * driver's pandas-based gate — need hashable scalars, and 8 doubles
+    * are codegen/pushdown-friendlier than one array anyway. Each bin is
+    * count(byte >> 5 == b)/n and mean_byte is an exact integer sum over
+    * one double division, so the DuckDB oracle reproduces both
+    * bit-for-bit on the ASCII corpus.
     */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    blobs(spark, dir)
+    val raw = blobs(spark, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // Per-partition "decoder" init happens here (stubbed: none).
@@ -92,6 +100,10 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "byte_hist", "mean_byte", "n_bytes")
+    raw
+      .select(Seq(col("doc_id")) ++
+        (0 to 7).map(b => col("byte_hist")(b).as(s"hist_$b")) ++
+        Seq(col("mean_byte"), col("n_bytes").cast("long").as("n_bytes")): _*)
       .orderBy(col("doc_id"))
   }
 }

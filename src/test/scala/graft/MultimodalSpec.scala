@@ -14,7 +14,7 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = Multimodal.features(spark, dir).collect()
     assert(feats.length == meta.size)
     feats.foreach { r =>
-      assert(meta(r.getLong(0)) == r.getInt(3).toLong)
+      assert(meta(r.getLong(0)) == r.getLong(10))
     }
   }
 
@@ -39,10 +39,9 @@ class MultimodalSpec extends AnyFunSuite {
     val run2 = Multimodal.features(spark, dir).collect()
     run1.zip(run2).foreach { case (a, b) => assert(a == b) }
     run1.foreach { r =>
-      val hist = r.getSeq[Double](1)
-      assert(hist.length == 8)
+      val hist = (1 to 8).map(r.getDouble)
       assert(math.abs(hist.sum - 1.0) < 1e-9, "histogram must be a distribution")
-      assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 256.0)
+      assert(r.getDouble(9) > 0.0 && r.getDouble(9) < 256.0)
     }
   }
 }
