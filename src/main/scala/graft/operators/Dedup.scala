@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hyperplane-LSH bucket width for n vectors: bits = log2(n/64), so
+    * the expected bucket holds ~64 vectors REGARDLESS of n and candidate
+    * volume stays linear in n (fixed bits degrade to all-pairs as n
+    * grows). Shared by [[embedCosine]] and
+    * [[graft.operators.Similarity.annLsh]].
+    */
+  def adaptiveLshBits(n: Long): Int =
+    math.max(3, (math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).ceil.toInt)
+
   /** (doc_id, words) — documents with <3 words carry no 3-shingles and
     * are excluded from near-dup detection (none exist in testdata; the
     * exclusion is mirrored in the DuckDB oracle).
@@ -216,10 +225,10 @@ object Dedup {
       .select(col("vec_id").as("doc_id"), col("embedding"))
       .withColumn("nrm", sqrt(DotF32.dot_f32(col("embedding"), col("embedding"))))
       .persist()
-    val bits = bitsOverride.getOrElse {
-      val n = base.count()
-      math.max(3, (math.log(n / 64.0) / math.log(2.0)).ceil.toInt)
-    }
+    // n from parquet footer metadata — a count() here would be a full
+    // extra scan of the table at 100 TB just to pick a bucket width.
+    val bits = bitsOverride.getOrElse(
+      Dedup.adaptiveLshBits(Tables.parquetRowCount(spark, dir, "embeddings")))
     val bucketed = base.select(col("doc_id"),
       posexplode(LshBuckets.lsh_buckets(col("embedding"), tables, bits))
         .as(Seq("table_id", "bucket")))

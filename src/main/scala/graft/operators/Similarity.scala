@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.DotF32
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -15,88 +16,140 @@ import org.apache.spark.sql.functions._
   * sharing a bucket in one of L tables (equi-join on (table, bucket),
   * shuffle bounded by bucket sizes, never all-pairs).
   *
-  * Determinism (§4): dot products accumulate per-element products as
-  * DECIMAL(30,12) — exact, order-independent — so the cosine is a fixed
-  * chain of double ops on identical inputs in Spark and DuckDB.
+  * Determinism (§4): only the cosines that cross the oracle boundary
+  * are computed with the exact order-independent decimal kernel
+  * ([[graft.functions.DotDecimal]]). Candidate SELECTION runs on the
+  * plain-double [[DotF32]] kernel — 64 fused multiply-adds per pair vs
+  * 64 BigDecimal allocations — and the exact kernel re-ranks only the
+  * ~k survivors per query (the pattern proven in Dedup.embedCosine).
   */
 object Similarity {
 
-  /** Exact, order-independent dot product of two float vectors:
-    * per-element double product → scale-12 decimal → exact sum →
-    * double, via the codegen'd [[graft.functions.DotDecimal]]
-    * expression (bit-identical to the declarative
-    * aggregate-over-zip_with form it replaces, ~6× faster because
-    * higher-order functions evaluate interpreted).
+  /** Exact, order-independent dot product (scale-12 decimal
+    * accumulation) — used ONLY where a value crosses the oracle
+    * boundary; see [[DotF32]] for candidate scoring.
     */
   private def dotDec(a: Column, b: Column): Column =
     graft.functions.DotDecimal.dot_decimal(a, b)
 
-  private def withNorm(emb: DataFrame): DataFrame =
-    emb.withColumn("nrm", sqrt(dotDec(col("embedding"), col("embedding"))))
+  private def fastCosine(qe: Column, qn: Column, e: Column, n: Column): Column =
+    (DotF32.dot_f32(qe, e) / (qn * n)).as("cosine_fast")
 
-  /** `sim_cosine_topk`: brute-force cosine top-k for the query set
-    * (vec_id < 8) against every other vector. The query side is
-    * broadcast, so the plan is a BroadcastNestedLoopJoin streaming the
-    * big side once — the right brute-force shape at any scale where the
-    * query set is small.
+  /** Big side with the cheap double norm for candidate scoring. */
+  private def withFastNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nf", sqrt(DotF32.dot_f32(col("embedding"), col("embedding"))))
+
+  /** Exact decimal re-rank of a small (query_id, vec_id) candidate set:
+    * fetches embeddings back from `base` via broadcast hash joins (the
+    * candidate set is O(queries·k) rows — the big side streams, nothing
+    * shuffles), recomputes norms and cosines decimal-exactly, and keeps
+    * the top k per query by (cosine desc, vec_id).
     */
-  def cosineTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val base = withNorm(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
-      .persist() // norm is an interpreted HOF; both join sides reuse it
-    val q = base.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val scored = broadcast(q)
-      .join(base, col("vec_id") =!= col("query_id"))
+  private def exactTopK(base: DataFrame, winners: DataFrame, k: Int): DataFrame = {
+    val exactNorm = sqrt(dotDec(col("embedding"), col("embedding")))
+    val qSide = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        exactNorm.as("qn"))
+    val candVecs = base
+      .join(broadcast(winners), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        exactNorm.as("nrm"))
+    candVecs
+      .join(broadcast(qSide), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dotDec(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
-    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+  }
+
+  /** `sim_cosine_topk`: brute-force cosine top-k for the query set
+    * (vec_id < 8) against every other vector. The query side is
+    * broadcast, so the fast-scoring plan is a BroadcastNestedLoopJoin
+    * streaming the big side once — the right brute-force shape at any
+    * scale where the query set is small. The rank<= filter compiles to
+    * a map-side WindowGroupLimit, so only ~(k+margin) rows per query
+    * per map task reach the ranking shuffle.
+    *
+    * `margin` guards the fast→exact hand-off: |fast − exact| per cosine
+    * is bounded by the 64 scale-12 roundings plus double summation
+    * error (≲1e-9 total), so the exact top-k can only differ from the
+    * fast top-(k+margin) if >margin candidates crowd within ~2e-9 of
+    * the k-th cosine — which real embeddings don't do (and the oracle
+    * hash-checks the result at two scale factors).
+    */
+  def cosineTopk(spark: SparkSession, dir: String, k: Int = 10,
+                 margin: Int = 16): DataFrame = {
+    val base = withFastNorm(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      .persist() // reused: fast scan side + exact re-rank fetch
+    val q = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nf").as("qnf"))
+    val winners = broadcast(q)
+      .join(base, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fastCosine(col("qe"), col("qnf"), col("embedding"), col("nf")))
+      .withColumn("rank_f", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine_fast").desc, col("vec_id"))))
+      .filter(col("rank_f") <= k + margin)
+      .select(col("query_id"), col("vec_id"))
+    exactTopK(base, winners, k).orderBy(col("query_id"), col("rank"))
   }
 
   /** Per-row array of L bucket ids: bucket bit j of table t is the sign
     * of the projection onto a deterministic ±1 hyperplane (integer-hash
     * parity, no RNG). One codegen'd pass via
-    * [[graft.functions.LshBuckets]] — the declarative
-    * transform/aggregate/zip_with nest it replaces evaluated
-    * interpreted (bit-equality asserted in ExprSpec).
+    * [[graft.functions.LshBuckets]].
     */
   private def bucketCol(tables: Int, bits: Int): Column =
     graft.functions.LshBuckets.lsh_buckets(col("embedding"), tables, bits)
 
   /** `sim_ann_lsh`: approximate top-k via L random-hyperplane hash
     * tables. Candidates = vectors sharing a (table, bucket) with the
-    * query in any table; exact cosine re-ranks candidates only. Emits
-    * one row per (query, rank) plus a null-candidate row for queries
-    * whose buckets were empty, so the output always covers the query set.
+    * query in any table; fast cosine prunes candidates to k+margin and
+    * the exact kernel re-ranks those. Emits one row per (query, rank)
+    * plus a null-candidate row for queries whose buckets were empty, so
+    * the output always covers the query set.
+    *
+    * Bucket width SCALES WITH THE DATA (bitsOverride unset): bits =
+    * log2(n/64) from parquet footer metadata — expected bucket
+    * occupancy stays ~64 regardless of n, so candidate volume is
+    * ~tables·64 per query instead of degrading toward a full scan the
+    * way a fixed bucket count does (16 fixed buckets at sf0.1 already
+    * put ~300 vectors in every bucket; at 100 TB each bucket would BE
+    * the table). Recall@10 vs brute force is asserted in
+    * SimilaritySpec at the adaptive width.
     */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10,
-             tables: Int = 16, bits: Int = 4): DataFrame = {
-    val base = withNorm(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+             tables: Int = 16, bitsOverride: Option[Int] = None,
+             margin: Int = 16): DataFrame = {
+    val bits = bitsOverride.getOrElse(
+      Dedup.adaptiveLshBits(Tables.parquetRowCount(spark, dir, "embeddings")))
+    val base = withFastNorm(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
       .persist()
-    val bucketed = base.select(col("vec_id"), col("embedding"), col("nrm"),
+    val bucketed = base.select(col("vec_id"), col("embedding"), col("nf"),
       posexplode(bucketCol(tables, bits)).as(Seq("table_id", "bucket")))
-      .persist() // bucket signatures cost tables*bits*dims interpreted ops per row
+      .persist() // signature pass reused by both sides of the bucket join
     val q = bucketed.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nf").as("qnf"),
         col("table_id"), col("bucket"))
-    val cand = q.join(bucketed, Seq("table_id", "bucket"))
+    val winners = q.join(bucketed, Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("qn"), col("vec_id"), col("embedding"), col("nrm"))
+      .select(col("query_id"), col("qe"), col("qnf"), col("vec_id"),
+        col("embedding"), col("nf"))
       .dropDuplicates("query_id", "vec_id")
-    val ranked = cand
       .select(col("query_id"), col("vec_id"),
-        (dotDec(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
+        fastCosine(col("qe"), col("qnf"), col("embedding"), col("nf")))
+      .withColumn("rank_f", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine_fast").desc, col("vec_id"))))
+      .filter(col("rank_f") <= k + margin)
+      .select(col("query_id"), col("vec_id"))
     base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
-      .join(ranked, Seq("query_id"), "left")
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("cosine"))
+      .join(exactTopK(base, winners, k), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

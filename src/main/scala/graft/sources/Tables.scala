@@ -37,4 +37,35 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Exact row count from parquet footer metadata — no data scan, no
+    * Spark job. Operators that size themselves to n (adaptive LSH bucket
+    * widths) must not pay a full `count()` action for it: at 100 TB that
+    * is an extra pass over the table, while footers are a few KB per
+    * file. Driver-side file listing is O(#files); a cluster deployment
+    * with millions of files would take n from catalog statistics
+    * instead, but the sizing only needs log2(n) so even a stale count
+    * is fine.
+    */
+  def parquetRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def footerCount(f: org.apache.hadoop.fs.FileStatus): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }
+    val status = fs.getFileStatus(root)
+    if (status.isFile) footerCount(status)
+    else {
+      var total = 0L
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) total += footerCount(f)
+      }
+      total
+    }
+  }
 }

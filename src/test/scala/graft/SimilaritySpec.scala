@@ -36,9 +36,10 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(s"mean recall@10 = $mean")
-    // 16 tables x 4-bit signatures measured ~0.74 on this data; 0.4
-    // leaves margin while still catching a broken hash family (~0.02
-    // expected under random candidate selection).
+    // 16 tables x adaptive-width signatures (3 bits at n=500) measured
+    // ~0.84 on this data; 0.4 leaves margin while still catching a
+    // broken hash family (~0.02 expected under random candidate
+    // selection).
     assert(mean >= 0.4, s"ANN recall collapsed: $mean")
   }
 
