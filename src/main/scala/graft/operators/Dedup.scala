@@ -164,25 +164,28 @@ object Dedup {
     minhashSigAndCandidates(spark, dir, k, bands)._2
 
   /** `dedup_simhash`: 64-bit SimHash fingerprint (single-pass custom
-    * expression); candidates share one of eight 8-bit bands — by
-    * pigeonhole, any pair within Hamming distance 7 differs in at most
-    * 7 bands and therefore agrees on ≥1, so banding is *complete* for
-    * the default maxHamming=6 verification threshold. Near-duplicates
+    * expression); candidates come from 4×16-bit banding with single-bit
+    * MULTIPROBE on one join side — by pigeonhole, a pair within Hamming
+    * distance 7 has ≥1 band differing in ≤1 bit (4 bands can't each
+    * absorb 2 of ≤7 flipped bits), and the probe side emits every
+    * 1-bit perturbation of each band key, so banding stays *complete*
+    * for the default maxHamming=6 verification radius. Near-duplicates
     * are verified with bit_count(xor) ≤ maxHamming. One row per
     * shingled document, like [[minhashLsh]].
+    *
+    * Scale math (why not 8×8-bit bands, which are equally complete):
+    * random fingerprints collide per 8-bit band at p=1/256, i.e.
+    * ~C(n,2)·8/256 ≈ n²/64 false candidates — quadratic blow-up the
+    * codebase's own LSH standard forbids. Here a random pair collides
+    * at ≤ 4·17/2^16 ≈ 1/964 (17 probe keys per band), ~30× fewer false
+    * candidates for the same recall, at the linear cost of 4·17 probe
+    * rows per document. False candidates are still Θ(n²·p); beyond
+    * n≈10⁸ grow the band width with log2(n) (narrowing the complete
+    * radius, same knob as [[adaptiveLshBits]]) or pre-shard the corpus.
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val fp = tokenized(spark, dir)
-      .select(col("doc_id"), SimHashShingled.simhash_shingled(col("w"), 3).as("fp"))
-      .persist() // reused by banding (x2), Hamming check (x2), final join
-    val bandKeys = fp.select(col("doc_id"),
-      posexplode(expr("transform(sequence(0, 7), " +
-        "b -> shiftrightunsigned(fp, b*8) & 255)")).as(Seq("band", "key")))
-    val near = bandKeys.as("a").join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val (fp, cand) = simhashFpAndCandidates(spark, dir)
+    val near = cand
       .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -200,6 +203,37 @@ object Dedup {
         col("best.hamming").as("min_hamming"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fingerprints + banded-multiprobe candidate pairs — the shared core
+    * of [[simhash]] and [[simhashCandidates]]. The plain side emits 4
+    * band keys per doc; the probe side emits each key plus its 16
+    * single-bit perturbations, so the equi-join surfaces every pair
+    * with a band differing in ≤1 bit — a superset of all pairs within
+    * Hamming 7.
+    */
+  private def simhashFpAndCandidates(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fp = tokenized(spark, dir)
+      .select(col("doc_id"), SimHashShingled.simhash_shingled(col("w"), 3).as("fp"))
+      .persist() // reused by banding (x2), Hamming check (x2), final join
+    val bandKeys = fp.select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, 3), " +
+        "b -> shiftrightunsigned(fp, b*16) & 65535)")).as(Seq("band", "key")))
+    val probeKeys = bandKeys.select(col("doc_id"), col("band"),
+      explode(expr("transform(sequence(-1, 15), " +
+        "j -> IF(j < 0, key, key ^ shiftleft(1L, j)))")).as("key"))
+    val cand = bandKeys.as("a").join(probeKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    (fp, cand)
+  }
+
+  /** Candidate pairs from simhash banded multiprobe (used by the spec's
+    * completeness/volume properties) — same core as [[simhash]].
+    */
+  def simhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    simhashFpAndCandidates(spark, dir)._2
 
   /** `dedup_embed_cosine`: embedding-space near-duplicate pairs —
     * cosine ≥ tau over the document embeddings, candidates from

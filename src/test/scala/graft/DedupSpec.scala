@@ -47,8 +47,10 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash banding is complete for Hamming <= maxHamming (pigeonhole)") {
     // Every pair whose fingerprints are within the verification radius
-    // MUST be surfaced — with 8 bands of 8 bits, Hamming <= 7 implies a
-    // shared band, so a miss here is an implementation bug, not noise.
+    // MUST be surfaced — with 4 bands of 16 bits and single-bit
+    // multiprobe, Hamming <= 7 implies some band differs in <= 1 bit
+    // and therefore collides with a probe key, so a miss here is an
+    // implementation bug, not noise.
     val rows = Dedup.simhash(spark, dir).collect()
     val fp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val near = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
@@ -58,6 +60,31 @@ class DedupSpec extends AnyFunSuite {
           s"pair ($a,$b) within Hamming 6 but not surfaced")
       }
     }
+  }
+
+  test("simhash candidate set: complete for Hamming<=7, and far from all-pairs") {
+    val fp = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands = Dedup.simhashCandidates(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within7 = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 7
+    } yield (a, b)).toSet
+    assert((within7 -- cands).isEmpty, "banding+probe missed an in-radius pair")
+    // Volume: random band collisions run at p <= 4*17/2^16 per pair;
+    // everything beyond that must be real structure (pairs within a
+    // small Hamming ball). Assert the candidate set stays a sliver of
+    // the pair matrix — the property a fixed-width 8x8 banding (p=1/32)
+    // loses at scale.
+    val n = fp.size.toLong
+    val allPairs = n * (n - 1) / 2
+    val pRandom = 4.0 * 17.0 / 65536.0
+    val bound = within7.size + (allPairs * pRandom * 10).toLong + 50
+    info(s"simhash candidates = ${cands.size} of $allPairs pairs " +
+      s"(in-radius ${within7.size}, random-collision expectation ${(allPairs * pRandom).round})")
+    assert(cands.size <= bound,
+      s"candidate volume ${cands.size} exceeds structural+random bound $bound")
   }
 
   test("simhash detects most Jaccard>=0.95 near-duplicates (statistical recall)") {
