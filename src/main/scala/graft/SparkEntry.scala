@@ -64,6 +64,9 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.quality _,
     "text_langid"      -> TextAnalysis.langid _,
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_pii_scrub"   -> Curation.piiScrub _,
+    "split_train_test" -> Curation.splitAssign _,
+    "corpus_stats"     -> Curation.corpusStats _,
 
     "mm_meta"     -> Multimodal.meta _,
     "mm_chunks"   -> ((s, d) => Multimodal.chunks(s, d)),
@@ -534,6 +537,71 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // text_fingerprint: custom rolling-hash expression → rows-only +
     // TextSpec vs an independent reimplementation.
+
+    // PII patterns are written to the Java-regex/RE2 common subset;
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics.
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\+?[0-9][0-9 -]{7,}[0-9]')) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+?[0-9][0-9 -]{7,}[0-9]', '[PHONE]', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "split_train_test" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(text) AS n_chars,
+        |    least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.25
+        |      + CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / CAST(len(text) AS DOUBLE) * 0.5 AS quality_score,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','is'], x))) AS score_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['el','la','de','y','es'], x))) AS score_es,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['der','die','das','und','ist'], x))) AS score_de,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['le','la','de','et','est'], x))) AS score_fr
+        |  FROM documents
+        |), pred AS (
+        |  SELECT *,
+        |    CASE WHEN score_en = best AND best > 0 THEN 'en'
+        |         WHEN score_es = best AND best > 0 THEN 'es'
+        |         WHEN score_de = best AND best > 0 THEN 'de'
+        |         WHEN score_fr = best AND best > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM (SELECT *, greatest(score_en, score_es, score_de, score_fr) AS best
+        |        FROM scored)
+        |)
+        |SELECT lang_pred, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_doc_tokens
+        |FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

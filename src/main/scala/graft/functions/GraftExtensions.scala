@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("intersect_count_sorted", "intersect_count_sorted(a, b) - |A∩B| of sorted long arrays") {
       case Seq(a, b) => IntersectCountSorted(a, b)
     }
+    reg("match_count", "match_count(a, b) - positions where two long arrays agree") {
+      case Seq(a, b) => MatchCount(a, b)
+    }
     reg("dot_decimal", "dot_decimal(a, b) - decimal-exact float-vector dot product") {
       case Seq(a, b) => DotDecimal(a, b)
     }

@@ -140,7 +140,7 @@ object Dedup {
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (expr("aggregate(zip_with(sa.sig, sb.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        (graft.functions.MatchCount.match_count(col("sa.sig"), col("sb.sig"))
           .cast("double") / k).as("est_jaccard"))
     val perDoc = est.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("est_jaccard"))
       .unionByName(est.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("est_jaccard")))

@@ -45,22 +45,33 @@ object TextAnalysis {
     * quality score — the standard cheap pre-filter in front of
     * expensive pipeline stages (dedup, embedding) at 100 TB.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def stopRatioCol: Column = {
     val stopArr = array(Stopwords.map(lit): _*)
-    val nTok = size(words).cast("double")
+    size(filter(words, w => array_contains(stopArr, w))).cast("double") /
+      size(words).cast("double")
+  }
+
+  private[operators] def alphaRatioCol: Column =
+    length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+      length(col("text")).cast("double")
+
+  /** The [0,1] quality score as a reusable column over `text` (also
+    * consumed by [[Curation.corpusStats]] and Pipeline).
+    */
+  private[operators] def qualityScoreCol: Column = {
     val len = length(col("text")).cast("double")
-    val stopRatio = size(filter(words, w => array_contains(stopArr, w))).cast("double") / nTok
-    val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / len
+    least(len / 500.0, lit(1.0)) * 0.25 + stopRatioCol * 0.25 + alphaRatioCol * 0.5
+  }
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_measured"),
         size(words).cast("long").as("n_tokens"),
-        stopRatio.as("stopword_ratio"),
-        alphaRatio.as("alpha_ratio"),
-        (least(len / 500.0, lit(1.0)) * 0.25 + stopRatio * 0.25 + alphaRatio * 0.5)
-          .as("quality_score"))
+        stopRatioCol.as("stopword_ratio"),
+        alphaRatioCol.as("alpha_ratio"),
+        qualityScoreCol.as("quality_score"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-language marker words for the heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -74,23 +85,31 @@ object TextAnalysis {
     * maximal positive marker count; no marker hits → 'und'. The
     * priority chain makes ties deterministic in both engines.
     */
-  def langid(spark: SparkSession, dir: String): DataFrame = {
-    val scores = LangMarkers.map { case (lang, markers) =>
+  private[operators] def langScoreCols: Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
       val arr = array(markers.map(lit): _*)
       lang -> size(filter(words, w => array_contains(arr, w)))
     }
+
+  /** The predicted-language column over `text` (also consumed by
+    * [[Curation.corpusStats]]). foldRight builds
+    * when(en)...otherwise(when(es)...): first-match priority follows
+    * [[LangMarkers]] order, making ties deterministic in both engines.
+    */
+  private[operators] def langPredCol: Column = {
+    val scores = langScoreCols
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+    scores.foldRight(lit("und")) { case ((lang, s), rest) =>
       when(s === best && best > 0, lang).otherwise(rest)
     }
-    // foldRight builds when(en)...otherwise(when(es)...): first-match
-    // priority follows LangMarkers order.
+  }
+
+  def langid(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id") +:
-        scores.map { case (lang, s) => s.cast("long").as(s"score_$lang") } :+
-        pred.as("lang_pred"): _*)
+        langScoreCols.map { case (lang, s) => s.cast("long").as(s"score_$lang") } :+
+        langPredCol.as("lang_pred"): _*)
       .orderBy(col("doc_id"))
-  }
 
   /** `text_fingerprint`: winnowing rolling-hash fingerprint via the
     * [[RollingHash]] custom expression (rows-only; verified against an

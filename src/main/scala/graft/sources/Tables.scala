@@ -32,9 +32,17 @@ object Tables {
     * precision at 1e18) to µs here. DuckDB's epoch_us truncates the same
     * way, so event timestamps agree across the oracle boundary.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    // Scaled-up copies (graft.ScaleData) write ts as a true µs
+    // timestamp; only the driver's original nanos-long column needs
+    // the DIV-1000 conversion.
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

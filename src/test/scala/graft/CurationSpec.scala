@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Curation, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("pii scrub redacts emails, ips and phones from crafted text") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "contact bob.smith+spam@mail.example.org for details"),
+      (2L, "server at 192.168.10.254 timed out"),
+      (3L, "call +1 415 555-0173 or 020 7946 0958 today"),
+      (4L, "no pii here at all"),
+      (5L, "a@b.io and 10.0.0.1 and +44 7700 900123 mixed")
+    ).toDF("doc_id", "text")
+    val rows = Curation.piiScrubFrom(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1).getLong(1) == 1 && rows(1).getString(4)
+      == "contact [EMAIL] for details")
+    assert(rows(2).getLong(2) == 1 && rows(2).getString(4)
+      == "server at [IP] timed out")
+    assert(rows(3).getLong(3) == 2 && rows(3).getString(4)
+      == "call [PHONE] or [PHONE] today")
+    assert(rows(4).getString(4) == "no pii here at all"
+      && (1 to 3).forall(i => rows(4).getLong(i) == 0))
+    // the IP must be eaten by the IP pattern, not half-eaten as a phone
+    assert(rows(5).getString(4) == "[EMAIL] and [IP] and [PHONE] mixed")
+  }
+
+  test("pii scrub over the corpus is a verified no-op (corpus is synthetic)") {
+    val out = Curation.piiScrub(spark, dir)
+    assert(out.agg(sum(col("n_emails") + col("n_ips") + col("n_phones")))
+      .head.getLong(0) == 0)
+  }
+
+  test("split assignment is deterministic, complete, and near 90/5/5") {
+    val a = Curation.splitAssign(spark, dir).collect()
+    val b = Curation.splitAssign(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "split must be reproducible run-to-run")
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+    val n = a.length.toDouble
+    val frac = a.groupBy(_.getString(2)).map { case (s, rs) => s -> rs.length / n }
+    info(s"split fractions: $frac")
+    // 500 docs: binomial noise on 90% is ~1.3pp; generous 3x bounds
+    assert(frac("train") > 0.85 && frac("train") < 0.95)
+    assert(frac.getOrElse("val", 0.0) < 0.10 && frac.getOrElse("test", 0.0) < 0.10)
+  }
+
+  test("corpus stats reconcile with the per-document operators") {
+    val stats = Curation.corpusStats(spark, dir).collect()
+    val docs = graft.sources.Tables.documents(spark, dir).count()
+    assert(stats.map(_.getLong(1)).sum == docs, "language partition must cover corpus")
+    val tokenTotal = TextAnalysis.tokens(spark, dir)
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(stats.map(_.getLong(2)).sum == tokenTotal)
+    val hiQ = TextAnalysis.quality(spark, dir)
+      .filter(col("quality_score") >= 0.5).count()
+    assert(stats.map(_.getLong(4)).sum == hiQ)
+    stats.foreach { r =>
+      assert(r.getDouble(5) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+  }
+}

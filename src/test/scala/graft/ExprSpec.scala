@@ -110,6 +110,20 @@ class ExprSpec extends AnyFunSuite {
     assert(df.filter(col("merge") =!= col("builtin")).isEmpty)
   }
 
+  test("MatchCount equals the declarative zip_with coordinate-match count") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(1L, 4L, 5L, 9L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(7L), Seq(7L)),
+      (Seq(-5L, 0L, 5L), Seq(-5L, 1L, 6L))).toDF("a", "b")
+    val df = pairs.select(
+      graft.functions.MatchCount.match_count(col("a"), col("b")).as("fused"),
+      expr("aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        .cast("long").as("declarative"))
+    assert(df.filter(col("fused") =!= col("declarative")).isEmpty)
+  }
+
   test("LshBuckets is bit-identical to the declarative hyperplane nest") {
     val (tables, bits) = (16, 4)
     val planes: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>

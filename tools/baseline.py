@@ -12,7 +12,7 @@ Usage: python3 tools/baseline.py <sfDir> <verifyOutDir> [reps]
 (verifyOutDir only needs oracle_sql.json — run graft.Verify first.)
 Prints one JSON line: {"queries": {name: best_sec}, "total": sec}.
 """
-import sys, json, time
+import os, sys, json, time
 
 import duckdb
 
@@ -23,8 +23,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir: str, out_dir: str, reps: int = 3) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata = single file; graft.ScaleData output = a
+        # directory of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     timings = {}
     for name in sorted(oracles):
