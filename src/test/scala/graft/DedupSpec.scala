@@ -129,6 +129,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall collapsed: $recall")
   }
 
+  test("adaptive LSH bits keep expected bucket occupancy constant in n") {
+    // The scale property the fixed-bits bug violated: occupancy
+    // n/2^bits must stay in a constant band as n grows, so candidate
+    // volume stays linear. Checked across 6 decades.
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 100000000L, 10000000000L)) {
+      val occ = n.toDouble / (1L << Dedup.adaptiveLshBits(n))
+      assert(occ > 16 && occ <= 64, s"n=$n: occupancy $occ outside (16,64]")
+    }
+    // tiny corpora floor at 3 bits rather than degenerating to 1 bucket
+    assert(Dedup.adaptiveLshBits(10) == 3 && Dedup.adaptiveLshBits(1) == 3)
+  }
+
   test("no candidate pair escapes the a<b canonical ordering (no self/dup pairs)") {
     val cands = Dedup.minhashCandidates(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -105,6 +105,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("curation map-stages don't shuffle; corpus_stats shuffles once") {
+    import graft.operators.Curation
+    // pii scrub and split assignment are pure projections: the only
+    // Exchange allowed is the presentation sort's range partitioning.
+    for ((name, df) <- Seq(
+      "text_pii_scrub" -> Curation.piiScrub(spark, dir),
+      "split_train_test" -> Curation.splitAssign(spark, dir))) {
+      val s = planString(df)
+      assert(!s.contains("hashpartitioning"),
+        s"$name introduced a hash shuffle into a map stage")
+    }
+    // corpus_stats: one hash shuffle (<=5 language keys) with a map-side
+    // partial aggregate in front of it.
+    val stats = Curation.corpusStats(spark, dir)
+    stats.collect()
+    val s = stats.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(s).size == 1,
+      "corpus_stats must aggregate in exactly one shuffle")
+    assert(s.contains("partial_"), "corpus_stats lost its map-side partial aggregate")
+  }
+
   test("only page-bounded window operators run unpartitioned") {
     // etl_channel_query's residual window runs over <= offset+limit rows
     // by construction; nothing else may move all data to one partition.
