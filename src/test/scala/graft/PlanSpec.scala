@@ -19,6 +19,13 @@ class PlanSpec extends AnyFunSuite {
     plan.toString + "\n" + df.queryExecution.toString
   }
 
+  /** AdaptiveSparkPlan.toString prints BOTH "Final Plan" and "Initial
+    * Plan" sections, so any exact-count assertion over the raw string
+    * sees each operator twice. Count only the final (executed) section.
+    */
+  private def finalPlanOnly(s: String): String =
+    s.split(java.util.regex.Pattern.quote("== Initial Plan ==")).head
+
   test("q2 pushes filters and projection into the parquet scan") {
     val s = planString(Relational.q2FilterProject(spark, dir))
     assert(s.contains("PushedFilters: ["), "no pushed filters in scan")
@@ -120,7 +127,7 @@ class PlanSpec extends AnyFunSuite {
     // partial aggregate in front of it.
     val stats = Curation.corpusStats(spark, dir)
     stats.collect()
-    val s = stats.queryExecution.executedPlan.toString
+    val s = finalPlanOnly(stats.queryExecution.executedPlan.toString)
     assert("hashpartitioning".r.findAllIn(s).size == 1,
       "corpus_stats must aggregate in exactly one shuffle")
     assert(s.contains("partial_"), "corpus_stats lost its map-side partial aggregate")
