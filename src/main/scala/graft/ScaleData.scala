@@ -48,6 +48,12 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt
+    // The text/embedding perturbations cycle at 26 (Caesar rotation) and
+    // 64 (vector rotation): copy 26 / copy 64 would be byte-identical to
+    // copy 0, silently reintroducing the quadratic exact-duplicate
+    // explosion the perturbation exists to prevent. Fail loudly instead.
+    require(factor <= 26,
+      s"factor $factor exceeds the perturbation period (26): scaled copies would repeat")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -26,10 +26,30 @@ object Dedup {
     * the expected bucket holds ~64 vectors REGARDLESS of n and candidate
     * volume stays linear in n (fixed bits degrade to all-pairs as n
     * grows). Shared by [[embedCosine]] and
-    * [[graft.operators.Similarity.annLsh]].
+    * [[graft.operators.Similarity.annLsh]]. Capped at 30 bits —
+    * [[graft.functions.LshBuckets]] rejects wider keys — so beyond
+    * n ≈ 6.9e10 occupancy grows with n instead of failing analysis;
+    * at that scale shard the corpus before bucketing.
     */
   def adaptiveLshBits(n: Long): Int =
-    math.max(3, (math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).ceil.toInt)
+    math.min(30, math.max(3, (math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).ceil.toInt))
+
+  /** SimHash band width for n documents: the smallest w ∈ {16, 32, 64}
+    * whose expected RANDOM probe-collision count per document,
+    * n · (64/w) · (w+1) / 2^w, stays ≤ 1 — so false candidates stay
+    * O(n) at every scale instead of the Θ(n²/964) a fixed 4×16 banding
+    * pays. w=16 to n≈1.9e3, w=32 to n≈6.5e7, then w=64. The price of a
+    * wider band is a narrower *complete* radius (see [[simhash]]):
+    * 64/w bands with single-bit multiprobe are pigeonhole-complete to
+    * Hamming 2·(64/w) − 1, i.e. 7 / 3 / 1 — beyond that, recall is
+    * probabilistic, which is the correct trade once the corpus is big
+    * enough that a Hamming-6 ball around every doc no longer fits in a
+    * linear candidate budget.
+    */
+  def simhashBandWidth(n: Long): Int =
+    Seq(16, 32).find { w =>
+      n.toDouble * (64.0 / w) * (w + 1) / math.pow(2.0, w.toDouble) <= 1.0
+    }.getOrElse(64)
 
   /** (doc_id, words) — documents with <3 words carry no 3-shingles and
     * are excluded from near-dup detection (none exist in testdata; the
@@ -164,27 +184,28 @@ object Dedup {
     minhashSigAndCandidates(spark, dir, k, bands)._2
 
   /** `dedup_simhash`: 64-bit SimHash fingerprint (single-pass custom
-    * expression); candidates come from 4×16-bit banding with single-bit
-    * MULTIPROBE on one join side — by pigeonhole, a pair within Hamming
-    * distance 7 has ≥1 band differing in ≤1 bit (4 bands can't each
-    * absorb 2 of ≤7 flipped bits), and the probe side emits every
-    * 1-bit perturbation of each band key, so banding stays *complete*
-    * for the default maxHamming=6 verification radius. Near-duplicates
-    * are verified with bit_count(xor) ≤ maxHamming. One row per
-    * shingled document, like [[minhashLsh]].
+    * expression); candidates come from (64/w)-band banding with
+    * single-bit MULTIPROBE on one join side, band width w picked from
+    * the corpus size by [[simhashBandWidth]]. By pigeonhole, a pair
+    * within Hamming distance 2·bands−1 has ≥1 band differing in ≤1 bit
+    * (bands can't each absorb 2 of the flipped bits), and the probe
+    * side emits every 1-bit perturbation of each band key, so banding
+    * is *complete* to Hamming 7 at w=16 (covering the default
+    * maxHamming=6 verification radius), Hamming 3 at w=32, Hamming 1
+    * at w=64. Near-duplicates are verified with bit_count(xor) ≤
+    * maxHamming. One row per shingled document, like [[minhashLsh]].
     *
-    * Scale math (why not 8×8-bit bands, which are equally complete):
-    * random fingerprints collide per 8-bit band at p=1/256, i.e.
-    * ~C(n,2)·8/256 ≈ n²/64 false candidates — quadratic blow-up the
-    * codebase's own LSH standard forbids. Here a random pair collides
-    * at ≤ 4·17/2^16 ≈ 1/964 (17 probe keys per band), ~30× fewer false
-    * candidates for the same recall, at the linear cost of 4·17 probe
-    * rows per document. False candidates are still Θ(n²·p); beyond
-    * n≈10⁸ grow the band width with log2(n) (narrowing the complete
-    * radius, same knob as [[adaptiveLshBits]]) or pre-shard the corpus.
+    * Scale math (why adaptive, and why not 8×8-bit bands, which are
+    * "more complete"): a random pair collides per w-bit band at
+    * (w+1)/2^w (w+1 probe keys), so false candidates run at
+    * C(n,2) · (64/w) · (w+1)/2^w — quadratic in n for any FIXED w.
+    * [[simhashBandWidth]] grows w so the random term stays ≤ n/2 at
+    * every scale; the narrower complete radius is the honest price
+    * (same knob as [[adaptiveLshBits]], same reason).
     */
-  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val (fp, cand) = simhashFpAndCandidates(spark, dir)
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6,
+              widthOverride: Option[Int] = None): DataFrame = {
+    val (fp, cand) = simhashFpAndCandidates(spark, dir, widthOverride)
     val near = cand
       .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
@@ -205,21 +226,28 @@ object Dedup {
   }
 
   /** Fingerprints + banded-multiprobe candidate pairs — the shared core
-    * of [[simhash]] and [[simhashCandidates]]. The plain side emits 4
-    * band keys per doc; the probe side emits each key plus its 16
+    * of [[simhash]] and [[simhashCandidates]]. The plain side emits
+    * 64/w band keys per doc; the probe side emits each key plus its w
     * single-bit perturbations, so the equi-join surfaces every pair
     * with a band differing in ≤1 bit — a superset of all pairs within
-    * Hamming 7.
+    * Hamming 2·(64/w)−1. Width comes from the parquet-footer row count
+    * (no extra scan), like [[embedCosine]]'s bucket bits.
     */
-  private def simhashFpAndCandidates(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def simhashFpAndCandidates(spark: SparkSession, dir: String,
+                                     widthOverride: Option[Int] = None): (DataFrame, DataFrame) = {
+    val w = widthOverride.getOrElse(
+      simhashBandWidth(Tables.parquetRowCount(spark, dir, "documents")))
+    require(w == 16 || w == 32 || w == 64, s"band width $w must divide 64")
+    val bands = 64 / w
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val fp = tokenized(spark, dir)
       .select(col("doc_id"), SimHashShingled.simhash_shingled(col("w"), 3).as("fp"))
       .persist() // reused by banding (x2), Hamming check (x2), final join
     val bandKeys = fp.select(col("doc_id"),
-      posexplode(expr("transform(sequence(0, 3), " +
-        "b -> shiftrightunsigned(fp, b*16) & 65535)")).as(Seq("band", "key")))
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> shiftrightunsigned(fp, b*$w) & ${mask}L)")).as(Seq("band", "key")))
     val probeKeys = bandKeys.select(col("doc_id"), col("band"),
-      explode(expr("transform(sequence(-1, 15), " +
+      explode(expr(s"transform(sequence(-1, ${w - 1}), " +
         "j -> IF(j < 0, key, key ^ shiftleft(1L, j)))")).as("key"))
     val cand = bandKeys.as("a").join(probeKeys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -232,8 +260,9 @@ object Dedup {
   /** Candidate pairs from simhash banded multiprobe (used by the spec's
     * completeness/volume properties) — same core as [[simhash]].
     */
-  def simhashCandidates(spark: SparkSession, dir: String): DataFrame =
-    simhashFpAndCandidates(spark, dir)._2
+  def simhashCandidates(spark: SparkSession, dir: String,
+                        widthOverride: Option[Int] = None): DataFrame =
+    simhashFpAndCandidates(spark, dir, widthOverride)._2
 
   /** `dedup_embed_cosine`: embedding-space near-duplicate pairs —
     * cosine ≥ tau over the document embeddings, candidates from
@@ -252,9 +281,17 @@ object Dedup {
     * is exactly the near-duplicate regime the operator exists for.
     * Precision is exact by construction (every emitted pair
     * re-checked); recall vs brute force is asserted in DedupSpec.
+    *
+    * OUTPUT is linear by construction: even when the corpus contains a
+    * dense cosine-cluster (the sf1 scale sweep showed 13.5× output
+    * growth on 10× data at tau=0.35 with no cap), each doc keeps only
+    * its top `maxPairsPerDoc` partners by cosine, so |result| ≤ n·cap.
+    * The rank filter compiles to a map-side WindowGroupLimit — partitions
+    * prune their local losers before the doc_a shuffle.
     */
   def embedCosine(spark: SparkSession, dir: String, tau: Double = 0.35,
-                  tables: Int = 16, bitsOverride: Option[Int] = None): DataFrame = {
+                  tables: Int = 16, bitsOverride: Option[Int] = None,
+                  maxPairsPerDoc: Int = 10): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
       .withColumn("nrm", sqrt(DotF32.dot_f32(col("embedding"), col("embedding"))))
@@ -278,6 +315,12 @@ object Dedup {
         (DotF32.dot_f32(col("ea.embedding"), col("eb.embedding")) /
           (col("ea.nrm") * col("eb.nrm"))).as("cosine"))
       .filter(col("cosine") >= tau)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_a"))
+          .orderBy(col("cosine").desc, col("doc_b"))))
+      .filter(col("rk") <= maxPairsPerDoc)
+      .drop("rk")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

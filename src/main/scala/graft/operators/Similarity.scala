@@ -85,9 +85,19 @@ object Similarity {
     val base = withFastNorm(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
       .persist() // reused: fast scan side + exact re-rank fetch
+    exactTopK(base, cosineTopkCandidates(base, k, margin), k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The fast-double prune: top-(k+margin) per query by [[DotF32]]
+    * cosine. Package-visible so SimilaritySpec can assert the hand-off
+    * invariant directly — the survivors must contain the EXACT top-k,
+    * or the margin is too small for the corpus.
+    */
+  private[graft] def cosineTopkCandidates(base: DataFrame, k: Int, margin: Int): DataFrame = {
     val q = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nf").as("qnf"))
-    val winners = broadcast(q)
+    broadcast(q)
       .join(base, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fastCosine(col("qe"), col("qnf"), col("embedding"), col("nf")))
@@ -95,8 +105,10 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cosine_fast").desc, col("vec_id"))))
       .filter(col("rank_f") <= k + margin)
       .select(col("query_id"), col("vec_id"))
-    exactTopK(base, winners, k).orderBy(col("query_id"), col("rank"))
   }
+
+  private[graft] def fastNormBase(spark: SparkSession, dir: String): DataFrame =
+    withFastNorm(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
 
   /** Per-row array of L bucket ids: bucket bit j of table t is the sign
     * of the projection onto a deterministic ±1 hyperplane (integer-hash

@@ -129,6 +129,68 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall collapsed: $recall")
   }
 
+  test("simhash band width adapts to corpus size; random collisions stay O(n)") {
+    // The thresholds: w=16 while n*(64/w)*(w+1)/2^w <= 1, then 32, then 64.
+    assert(Dedup.simhashBandWidth(500) == 16)
+    assert(Dedup.simhashBandWidth(5000) == 32)
+    assert(Dedup.simhashBandWidth(10000000) == 32)
+    assert(Dedup.simhashBandWidth(100000000) == 64)
+    assert(Dedup.simhashBandWidth(100000000000L) == 64)
+    // the linearity property itself: expected random candidates <= n/2
+    // at every scale (this is what a fixed width loses)
+    for (n <- Seq(100L, 10000L, 1000000L, 100000000L, 10000000000L)) {
+      val w = Dedup.simhashBandWidth(n)
+      val expectedRandom = n.toDouble * (n - 1) / 2 * (64.0 / w) * (w + 1) / math.pow(2.0, w.toDouble)
+      assert(expectedRandom <= n / 2.0 + 1,
+        s"n=$n w=$w: expected random candidates $expectedRandom super-linear")
+    }
+  }
+
+  test("simhash banding at width 32 is complete for Hamming <= 3 (pigeonhole)") {
+    // 2 bands of 32 bits, single-bit multiprobe: a pair within Hamming 3
+    // has >= 1 band differing in <= 1 bit. The verdict-requested second
+    // width: completeness must hold at the wide setting too, just with
+    // the narrower radius the docstring derives.
+    val fp = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands = Dedup.simhashCandidates(spark, dir, widthOverride = Some(32)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within3 = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 3
+    } yield (a, b)).toSet
+    assert(within3.nonEmpty, "testdata has no Hamming<=3 pairs — property vacuous")
+    assert((within3 -- cands).isEmpty,
+      s"width-32 banding missed in-radius pairs: ${within3 -- cands}")
+  }
+
+  test("simhash candidate volume grows sub-quadratically from sf0.01 to sf0.1") {
+    // 10x documents (500 -> 5000). A fixed 4x16 banding pays ~100x more
+    // random collisions; the adaptive width flips to 32 bits at n=5000
+    // so candidates track the planted structure (~linear), not n^2.
+    val small = Dedup.simhashCandidates(spark, "/root/testdata/sf0.01").count()
+    val big = Dedup.simhashCandidates(spark, "/root/testdata/sf0.1").count()
+    info(s"simhash candidates: sf0.01=$small sf0.1=$big (${big.toDouble / small}x on 10x docs)")
+    assert(big <= small * 30,
+      s"candidate growth ${big.toDouble / small}x on 10x data — quadratic regime")
+  }
+
+  test("embed-cosine output is linear: per-doc pair cap enforced, top pairs kept") {
+    val capped = Dedup.embedCosine(spark, dir, tau = 0.35, maxPairsPerDoc = 2).collect()
+    val perDoc = capped.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ <= 2), "a doc_a exceeded the pair cap")
+    // the kept pairs are each doc's best: every kept cosine >= every
+    // dropped cosine for the same doc_a
+    val uncapped = Dedup.embedCosine(spark, dir, tau = 0.35, maxPairsPerDoc = Int.MaxValue).collect()
+      .groupBy(_.getLong(0))
+    capped.groupBy(_.getLong(0)).foreach { case (a, kept) =>
+      val keptMin = kept.map(_.getDouble(2)).min
+      val droppedMax = uncapped(a).map(_.getDouble(2)).sorted(Ordering[Double].reverse)
+        .drop(kept.length).headOption.getOrElse(Double.NegativeInfinity)
+      assert(keptMin >= droppedMax, s"doc $a kept a worse pair than it dropped")
+    }
+  }
+
   test("adaptive LSH bits keep expected bucket occupancy constant in n") {
     // The scale property the fixed-bits bug violated: occupancy
     // n/2^bits must stay in a constant band as n grows, so candidate

@@ -43,6 +43,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.4, s"ANN recall collapsed: $mean")
   }
 
+  test("fast top-(k+margin) prune contains the exact top-k (hand-off guard)") {
+    // The oracle-exactness of sim_cosine_topk rests on this containment:
+    // if >margin candidates crowded within the fast kernel's ~1e-9 error
+    // of the k-th cosine, the double prune could drop a true top-k
+    // member before the exact re-rank ever saw it. Assert it directly on
+    // both test corpora instead of assuming it.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val emb = graft.sources.Tables.embeddings(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (dd, na, nb) = (0.0, 0.0, 0.0)
+        for (i <- a.indices) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        dd / math.sqrt(na * nb)
+      }
+      val survivors = Similarity.cosineTopkCandidates(
+          Similarity.fastNormBase(spark, d), k = 10, margin = 16).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      for (q <- emb.keys.filter(_ < 8)) {
+        val exactTop = emb.keys.filter(_ != q).toSeq
+          .map(v => (v, cos(emb(q), emb(v))))
+          .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+        val missed = exactTop -- survivors(q)
+        assert(missed.isEmpty, s"$d query $q: fast prune dropped exact-top-k members $missed")
+      }
+    }
+  }
+
   test("ANN re-ranking is exact cosine (ann scores match brute on shared pairs)") {
     val bruteScores = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val shared = Similarity.annLsh(spark, dir).collect()

@@ -8,7 +8,7 @@ run the matching oracle SQL in DuckDB (tables = views over the sfDir
 parquet files), sort columns by name and rows by all values, and
 compare row counts, schemas (loosely) and values.
 """
-import sys, json, glob, math
+import sys, os, json, glob, math
 
 import duckdb
 import pandas as pd
@@ -41,8 +41,10 @@ def cell_eq(a, b) -> bool:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # ScaleData writes a directory of parts
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
