@@ -79,10 +79,11 @@ object Curation {
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     docs
-      .select(TextAnalysis.langPredCol.as("lang_pred"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      .withColumn("ts", TextAnalysis.statsCol)
+      .select(TextAnalysis.langPred(col("ts")).as("lang_pred"),
+        col("ts.n_tokens").cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
-        when(TextAnalysis.qualityScoreCol >= 0.5, 1L).otherwise(0L).as("hi_q"))
+        when(TextAnalysis.qualityScore(col("ts")) >= 0.5, 1L).otherwise(0L).as("hi_q"))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.RollingHash
+import graft.functions.{RollingHash, TextStats}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,104 +11,98 @@ import org.apache.spark.sql.functions._
   * except the final presentation ORDER BY, so each operator scales as a
   * pure map stage over the scan. All ratios are single double divisions
   * of exact integer counts (deterministic across engines, SURVEY §4).
+  *
+  * Every counting statistic comes from ONE pass of the codegen'd
+  * [[TextStats]] kernel (whole-stage codegen CSE evaluates it once per
+  * row however many fields a query reads) — the declarative
+  * `size(filter(split(text), λ))` trees it replaced ran interpreted,
+  * re-splitting the text ~20× per row across langid + quality +
+  * corpus_stats.
   */
 object TextAnalysis {
 
   /** BPE-ish token pattern: letter runs, digit runs, or single
     * non-alphanumeric marks — the pre-tokenization split most BPE
-    * vocabularies assume. Shared with the DuckDB oracle verbatim.
+    * vocabularies assume. The DuckDB oracle uses this regex verbatim;
+    * [[TextStats]] counts its matches in the fused byte scan.
     */
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-
-  private val words: Column = split(col("text"), " ")
-
-  /** `text_tokens`: whitespace token count, regex (BPE-ish) token
-    * count, and mean token length.
-    */
-  def tokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(words).cast("long").as("n_tokens"),
-        size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).cast("long").as("n_bpe_tokens"),
-        (length(regexp_replace(col("text"), " ", "")).cast("double") /
-          size(words).cast("double")).as("avg_token_len"))
-      .orderBy(col("doc_id"))
 
   /** Stopword list used by the quality score (English function words;
     * the synthetic corpus draws from a SQL-ish vocabulary where only
     * 'the' and 'a' occur, which is fine — the *ratio machinery* is what
     * the operator contributes).
     */
-  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+  val Stopwords: Seq[String] = TextStats.Stopwords
 
-  /** `text_quality`: length/stopword/alpha ratios folded into a [0,1]
-    * quality score — the standard cheap pre-filter in front of
-    * expensive pipeline stages (dedup, embedding) at 100 TB.
+  /** Per-language marker words for the heuristic language ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = TextStats.LangMarkers
+
+  /** The fused per-row statistics struct (see [[TextStats.Schema]]). */
+  private[operators] def statsCol: Column = TextStats.text_stats(col("text"))
+
+  /** `text_tokens`: whitespace token count, regex (BPE-ish) token
+    * count, and mean token length (non-space chars / tokens).
     */
-  private[operators] def stopRatioCol: Column = {
-    val stopArr = array(Stopwords.map(lit): _*)
-    size(filter(words, w => array_contains(stopArr, w))).cast("double") /
-      size(words).cast("double")
-  }
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ts", statsCol)
+      .select(col("doc_id"),
+        col("ts.n_tokens").cast("long").as("n_tokens"),
+        col("ts.n_bpe").cast("long").as("n_bpe_tokens"),
+        ((length(col("text")) - col("ts.n_space")).cast("double") /
+          col("ts.n_tokens").cast("double")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
 
-  private[operators] def alphaRatioCol: Column =
-    length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-      length(col("text")).cast("double")
+  private[operators] def stopRatio(ts: Column): Column =
+    ts("n_stop").cast("double") / ts("n_tokens").cast("double")
 
-  /** The [0,1] quality score as a reusable column over `text` (also
-    * consumed by [[Curation.corpusStats]] and Pipeline).
+  private[operators] def alphaRatio(ts: Column): Column =
+    ts("n_alpha").cast("double") / length(col("text")).cast("double")
+
+  /** The [0,1] quality score — length/stopword/alpha ratios folded into
+    * the standard cheap pre-filter in front of expensive pipeline
+    * stages (dedup, embedding) at 100 TB. Also consumed by
+    * [[Curation.corpusStats]] and [[Pipeline]].
     */
-  private[operators] def qualityScoreCol: Column = {
+  private[operators] def qualityScore(ts: Column): Column = {
     val len = length(col("text")).cast("double")
-    least(len / 500.0, lit(1.0)) * 0.25 + stopRatioCol * 0.25 + alphaRatioCol * 0.5
+    least(len / 500.0, lit(1.0)) * 0.25 + stopRatio(ts) * 0.25 + alphaRatio(ts) * 0.5
   }
 
   def quality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .withColumn("ts", statsCol)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_measured"),
-        size(words).cast("long").as("n_tokens"),
-        stopRatioCol.as("stopword_ratio"),
-        alphaRatioCol.as("alpha_ratio"),
-        qualityScoreCol.as("quality_score"))
+        col("ts.n_tokens").cast("long").as("n_tokens"),
+        stopRatio(col("ts")).as("stopword_ratio"),
+        alphaRatio(col("ts")).as("alpha_ratio"),
+        qualityScore(col("ts")).as("quality_score"))
       .orderBy(col("doc_id"))
 
-  /** Per-language marker words for the heuristic language ID. */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "es" -> Seq("el", "la", "de", "y", "es"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "fr" -> Seq("le", "la", "de", "et", "est"))
-
-  /** `text_langid`: stopword-marker language heuristic. Prediction is
-    * the first language (in [[LangMarkers]] order) achieving the
-    * maximal positive marker count; no marker hits → 'und'. The
-    * priority chain makes ties deterministic in both engines.
+  /** The predicted-language column over a [[TextStats]] struct.
+    * Prediction is the first language (in [[LangMarkers]] order)
+    * achieving the maximal positive marker count; no marker hits →
+    * 'und'. foldRight builds when(en)...otherwise(when(es)...):
+    * first-match priority makes ties deterministic in both engines.
     */
-  private[operators] def langScoreCols: Seq[(String, Column)] =
-    LangMarkers.map { case (lang, markers) =>
-      val arr = array(markers.map(lit): _*)
-      lang -> size(filter(words, w => array_contains(arr, w)))
-    }
-
-  /** The predicted-language column over `text` (also consumed by
-    * [[Curation.corpusStats]]). foldRight builds
-    * when(en)...otherwise(when(es)...): first-match priority follows
-    * [[LangMarkers]] order, making ties deterministic in both engines.
-    */
-  private[operators] def langPredCol: Column = {
-    val scores = langScoreCols
+  private[operators] def langPred(ts: Column): Column = {
+    val scores = LangMarkers.map { case (lang, _) => lang -> ts(s"s_$lang") }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, s), rest) =>
       when(s === best && best > 0, lang).otherwise(rest)
     }
   }
 
+  /** `text_langid`: stopword-marker language heuristic. */
   def langid(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .withColumn("ts", statsCol)
       .select(col("doc_id") +:
-        langScoreCols.map { case (lang, s) => s.cast("long").as(s"score_$lang") } :+
-        langPredCol.as("lang_pred"): _*)
+        LangMarkers.map { case (lang, _) =>
+          col(s"ts.s_$lang").cast("long").as(s"score_$lang") } :+
+        langPred(col("ts")).as("lang_pred"): _*)
       .orderBy(col("doc_id"))
 
   /** `text_fingerprint`: winnowing rolling-hash fingerprint via the

@@ -102,6 +102,8 @@ class PlanSpec extends AnyFunSuite {
     for ((name, kernel, df) <- Seq(
       ("text_fingerprint", "rolling_fingerprint",
         graft.operators.TextAnalysis.fingerprint(spark, dir)),
+      ("text_langid", "text_stats", graft.operators.TextAnalysis.langid(spark, dir)),
+      ("corpus_stats", "text_stats", graft.operators.Curation.corpusStats(spark, dir)),
       ("dedup_minhash_lsh", "minhash_shingled", Dedup.minhashLsh(spark, dir)),
       ("sim_cosine_topk", "dot_decimal", Similarity.cosineTopk(spark, dir)),
       ("etl_hmac_export", "hmac_sha256", graft.etl.EtlQueries.hmacExport(spark, dir)))) {
