@@ -93,12 +93,19 @@ object Dedup {
     * low-frequency shingles) always survive.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   tau: Double = 0.8, maxDf: Int = 10): DataFrame = {
-    // Shingling runs through higher-order functions (interpreted, not
-    // codegen'd) and this DAG reuses the shingle tables four times —
-    // persist so they materialize once. Same at cluster scale: the
-    // shingle table is the natural intermediate to cache/checkpoint.
-    val docsSh = shingledHashed(spark, dir).persist()
+                   tau: Double = 0.8, maxDf: Int = 10): DataFrame =
+    ngramJaccardFrom(shingledHashed(spark, dir), tau, maxDf)
+
+  /** [[ngramJaccard]] over any (doc_id, sh) pre-shingled frame — lets
+    * [[Pipeline.corpusClean]] feed the shared single-scan projection
+    * instead of re-reading `documents`.
+    */
+  def ngramJaccardFrom(shingled: DataFrame,
+                       tau: Double = 0.8, maxDf: Int = 10): DataFrame = {
+    // This DAG reuses the shingle tables four times — persist so they
+    // materialize once. Same at cluster scale: the shingle table is the
+    // natural intermediate to cache/checkpoint.
+    val docsSh = shingled.persist()
     val sh = docsSh.select(col("doc_id"), explode(col("sh")).as("s")).persist()
     val docFreq = sh.groupBy("s").agg(count(lit(1)).as("d"))
     val rare = sh.join(docFreq.filter(col("d") <= maxDf), "s")

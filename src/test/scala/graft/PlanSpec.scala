@@ -135,6 +135,36 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("partial_"), "corpus_stats lost its map-side partial aggregate")
   }
 
+  test("pipeline_corpus_clean scans documents once (stages share the cached projection)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = graft.operators.Pipeline.corpusClean(spark, dir)
+    df.collect()
+    // full traversal: AQE hides materialized stages behind QueryStageExec
+    // leaves, so a naive collect() sees neither scans nor cache reads
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (through ++ p.children.flatMap(nodes))
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    // FileScans of documents.parquet OUTSIDE the cached relation — at
+    // 100 TB every extra one is a full re-read of the text corpus
+    val direct = all.count {
+      case f: FileSourceScanExec => f.toString.contains("documents")
+      case _ => false
+    }
+    assert(direct == 0,
+      s"$direct pipeline stage(s) scanned documents directly instead of the shared projection")
+    val cacheReads = all.count(_.isInstanceOf[InMemoryTableScanExec])
+    assert(cacheReads >= 2,
+      s"expected the quality/exact/ngram stages to read the shared cache, got $cacheReads reads")
+  }
+
   test("only page-bounded window operators run unpartitioned") {
     // etl_channel_query's residual window runs over <= offset+limit rows
     // by construction; nothing else may move all data to one partition.
