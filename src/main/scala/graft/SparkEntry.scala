@@ -50,6 +50,8 @@ object SparkEntry {
     "etl_hmac_export"   -> EtlQueries.hmacExport _,
     "etl_debug_ads"     -> EtlQueries.debugAds _,
     "etl_debug_crm"     -> EtlQueries.debugCrm _,
+    "etl_ingest_ads"    -> EtlQueries.ingestAds _,
+    "etl_ingest_crm"    -> EtlQueries.ingestCrm _,
 
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -103,14 +105,14 @@ object SparkEntry {
     */
   private val feedCtes: String =
     """WITH ev AS (
-      |  SELECT event_id, ts, event_type, value,
+      |  SELECT event_id, user_id, ts, event_type, value,
       |    CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k,
       |    list_extract(['google','facebook','tiktok','linkedin','newsletter'],
       |                 CAST(user_id % 5 AS INTEGER) + 1) AS utm_source,
       |    CASE WHEN user_id % 2 = 0 THEN 'cpc' ELSE 'social' END AS utm_medium
       |  FROM events
       |), feat AS (
-      |  SELECT event_id, ts, event_type, value, k, utm_source, utm_medium,
+      |  SELECT event_id, user_id, ts, event_type, value, k, utm_source, utm_medium,
       |    CASE WHEN utm_source = 'google' THEN 'google_ads'
       |         WHEN utm_source = 'facebook' THEN 'facebook_ads'
       |         WHEN utm_source = 'tiktok' THEN 'tiktok_ads'
@@ -127,6 +129,8 @@ object SparkEntry {
       |  FROM feat WHERE event_type IN ('view', 'click')
       |), crm AS (
       |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS date,
+      |    'O-' || CAST(event_id AS VARCHAR) AS opportunity_id,
+      |    'user' || CAST(user_id AS VARCHAR) || '@example.com' AS contact_email,
       |    CASE WHEN event_type = 'signup' THEN 'lead'
       |         WHEN event_type = 'error' THEN 'opportunity'
       |         ELSE 'closed_won' END AS stage,
@@ -361,8 +365,8 @@ object SparkEntry {
         |FROM ads ORDER BY event_id""".stripMargin),
 
     "etl_crm_extract" -> (feedCtes +
-      """SELECT event_id, date, stage, amount, channel,
-        |  utm_campaign, utm_source, utm_medium
+      """SELECT event_id, date, opportunity_id, contact_email, stage, amount,
+        |  channel, utm_campaign, utm_source, utm_medium
         |FROM crm ORDER BY event_id""".stripMargin),
 
     "etl_date_parse" ->
@@ -420,8 +424,8 @@ object SparkEntry {
         |FROM ads WHERE date = '2024-01-10' ORDER BY event_id""".stripMargin),
 
     "etl_debug_crm" -> (feedCtes +
-      """SELECT event_id, date, stage, amount, channel,
-        |  utm_campaign, utm_source, utm_medium
+      """SELECT event_id, date, opportunity_id, contact_email, stage, amount,
+        |  channel, utm_campaign, utm_source, utm_medium
         |FROM crm WHERE date = '2024-01-10' ORDER BY event_id""".stripMargin),
 
     "etl_matches" -> (feedCtes +

@@ -20,6 +20,15 @@ object EtlQueries {
   def crmExtract(spark: SparkSession, dir: String): DataFrame =
     Marketing.crmFeed(spark, dir).orderBy(col("event_id"))
 
+  /** Ingest-stamped feed surfaces (extractor.go IngestedAt) — rows-only:
+    * the stamp is wall-clock time and cannot cross a hash oracle.
+    */
+  def ingestAds(spark: SparkSession, dir: String): DataFrame =
+    Marketing.stamped(Marketing.adsFeed(spark, dir)).orderBy(col("event_id"))
+
+  def ingestCrm(spark: SparkSession, dir: String): DataFrame =
+    Marketing.stamped(Marketing.crmFeed(spark, dir)).orderBy(col("event_id"))
+
   /** Round-trip through the lenient parser: format ts eight different
     * ways — one per reference format (crm.go parseDateTime), including a
     * slash variant that exercises the `/`→`-` normalization — then parse

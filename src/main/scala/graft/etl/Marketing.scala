@@ -143,8 +143,12 @@ object Marketing {
 
   /** CRM opportunities feed: one row per signup/error/purchase event,
     * stage-mapped (signup→lead, error→opportunity, purchase→closed_won).
-    * Columns mirror models/crm.go CRMOpportunity; channel is inferred
-    * from UTM because CRM rows carry no campaign_id (transformer.go).
+    * Columns mirror models/crm.go CRMOpportunity — including the
+    * passthrough identifiers opportunity_id and contact_email
+    * (models/crm.go:8-20, returned verbatim by debugCRM), derived as
+    * deterministic stand-ins from the event key / user key so the
+    * DuckDB oracle can hash-check them. Channel is inferred from UTM
+    * because CRM rows carry no campaign_id (transformer.go).
     */
   def crmFeed(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -152,6 +156,9 @@ object Marketing {
       .select(
         col("event_id"),
         dstr(col("ts")).as("date"),
+        concat(lit("O-"), col("event_id").cast("string")).as("opportunity_id"),
+        concat(lit("user"), col("user_id").cast("string"), lit("@example.com"))
+          .as("contact_email"),
         when(col("event_type") === "signup", "lead")
           .when(col("event_type") === "error", "opportunity")
           .otherwise("closed_won").as("stage"),
@@ -160,4 +167,13 @@ object Marketing {
         concat(lit("camp_"), (propsK % 20).cast("string")).as("utm_campaign"),
         utmSource.as("utm_source"),
         utmMedium.as("utm_medium"))
+
+  /** Ingest stamping (reference: internal/etl/extractor.go:58-76 —
+    * every extracted ads/CRM row carries IngestedAt = fetch wall-clock
+    * time). Inherently nondeterministic, so it lives on a separate
+    * wrapper surface: the hash-checked extract queries stay
+    * deterministic, and the stamped twins are registered rows-only.
+    */
+  def stamped(feed: DataFrame): DataFrame =
+    feed.withColumn("ingested_at", current_timestamp())
 }

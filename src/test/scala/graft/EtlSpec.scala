@@ -81,6 +81,35 @@ class EtlSpec extends AnyFunSuite {
     assert(frac.getTimestamp(1).toInstant == java.time.Instant.parse("2024-01-02T15:04:05.250Z"))
   }
 
+  test("ingest stamping: every stamped feed row carries a plausible ingested_at") {
+    val before = new java.sql.Timestamp(System.currentTimeMillis() - 1000)
+    for (feed <- Seq(EtlQueries.ingestAds(spark, dir), EtlQueries.ingestCrm(spark, dir))) {
+      val stamps = feed.select(col("ingested_at")).collect()
+      val after = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+      assert(stamps.nonEmpty)
+      stamps.foreach { r =>
+        val t = r.getTimestamp(0)
+        assert(t != null && !t.before(before) && !t.after(after),
+          s"ingested_at $t outside the ingest run window [$before, $after]")
+      }
+    }
+  }
+
+  test("crm feed passes through opportunity_id and contact_email stand-ins") {
+    // models/crm.go:8-20 — debugCRM returns these verbatim; the stand-ins
+    // must be deterministic functions of the event/user keys.
+    val crm = Marketing.crmFeed(spark, dir).collect()
+    val users = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(crm.nonEmpty)
+    crm.foreach { r =>
+      val eid = r.getAs[Long]("event_id")
+      assert(r.getAs[String]("opportunity_id") == s"O-$eid")
+      assert(r.getAs[String]("contact_email") == s"user${users(eid)}@example.com")
+    }
+  }
+
   test("fused single-scan consolidation equals the two-feed union path") {
     val twoScan = Consolidate.metrics(
       Marketing.adsFeed(spark, dir), Marketing.crmFeed(spark, dir))
