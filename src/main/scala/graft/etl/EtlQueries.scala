@@ -101,12 +101,22 @@ object EtlQueries {
     * exportToSink + generateHMACSignature). No SQL oracle — covered by
     * HmacSpec against javax.crypto.
     */
-  def hmacExport(spark: SparkSession, dir: String): DataFrame =
-    exportDaily(spark, dir)
+  /** Sink signing secret (reference: handlers.go SINK_SECRET example). */
+  val ExportSecret = "admira_secret_example"
+
+  /** Canonical-JSON payload + HMAC-SHA256 signature columns over export
+    * rows — shared by the batch export and the streaming signed-export
+    * twin so both produce byte-identical signatures for the same totals.
+    */
+  def signExportRows(rows: DataFrame, secret: String = ExportSecret): DataFrame =
+    rows
       .withColumn("payload", to_json(struct(
         col("channel"), col("campaign_id"), col("utm_campaign"),
         col("clicks"), col("cost"), col("revenue"))))
-      .withColumn("signature", hmac_sha256(col("payload"), lit("admira_secret_example")))
+      .withColumn("signature", hmac_sha256(col("payload"), lit(secret)))
+
+  def hmacExport(spark: SparkSession, dir: String): DataFrame =
+    signExportRows(exportDaily(spark, dir))
       .select(col("channel"), col("campaign_id"), col("utm_campaign"),
         col("payload"), col("signature"))
       .orderBy(col("channel"), col("campaign_id"), col("utm_campaign"))

@@ -75,6 +75,86 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of the reference's export loop (handlers.go
+    * runExport → consolidateMetricsByDate → HMAC sign → POST): daily
+    * (date, channel, campaign_id, utm_campaign) export totals are
+    * maintained incrementally by a streaming aggregation; each
+    * micro-batch, the CHANGED daily rows are re-derived, re-signed
+    * ([[graft.etl.EtlQueries.signExportRows]] — same bytes as the batch
+    * etl_hmac_export for the same totals) and merged into the
+    * date-partitioned export store.
+    *
+    * Idempotent by construction: totals come from the streaming state,
+    * never from arithmetic against the store, so a replayed micro-batch
+    * (or a full re-run over the same feed) rewrites byte-identical rows
+    * instead of duplicating or double-counting. StreamingSpec asserts
+    * both properties.
+    *
+    * Production note: an unbounded run would add `withWatermark` on the
+    * event time before the groupBy so state for long-closed dates ages
+    * out; the finite spec feed doesn't need it.
+    */
+  def signedExport(events: DataFrame, storeDir: String, checkpointDir: String,
+                   secret: String = graft.etl.EtlQueries.ExportSecret)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val daily = graft.etl.Marketing.unionedFeedFrom(events)
+      .groupBy(col("date"), col("channel"), col("campaign_id"), col("utm_campaign"))
+      .agg(
+        sum(col("clicks")).as("clicks"),
+        sum(col("impressions")).as("impressions"),
+        dsum(col("cost")).as("cost"),
+        sum(col("leads")).as("leads"),
+        sum(col("opportunities")).as("opportunities"),
+        sum(col("closed_won")).as("closed_won"),
+        dsum(col("revenue")).as("revenue"))
+    daily.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeSignedBatch(batch, storeDir, secret)
+      }
+      .start()
+  }
+
+  /** Upsert one micro-batch of changed daily rows into the store:
+    * derived metrics + signature recomputed, then the touched DATE
+    * partitions are rewritten (dynamic partition overwrite) as
+    * kept-existing-keys ∪ changed-keys. The driver only ever
+    * materializes the tiny changed-row/partition-key metadata — the
+    * store I/O stays distributed.
+    */
+  private[streaming] def mergeSignedBatch(batch: DataFrame, storeDir: String,
+                                          secret: String): Unit = {
+    val spark = batch.sparkSession
+    val keyCols = Seq("date", "channel", "campaign_id", "utm_campaign")
+    val signed = graft.etl.EtlQueries.signExportRows(
+      graft.etl.Consolidate.withDerived(batch), secret).persist()
+    try {
+      val dates = signed.select(col("date")).distinct().collect().map(_.getString(0)).toSeq
+      if (dates.nonEmpty) {
+        val existingKept = scala.util.Try(spark.read.parquet(storeDir)).toOption match {
+          case Some(store) =>
+            // partition-dir inference types `date` as DATE on read-back;
+            // normalize to the feed's string form for the key join/union
+            val kept = store.withColumn("date", col("date").cast("string"))
+              .filter(col("date").isin(dates: _*))
+              .join(signed.select(keyCols.map(col): _*), keyCols, "left_anti")
+              .persist()
+            kept.count() // materialize BEFORE the overwrite deletes its source files
+            Some(kept)
+          case None => None
+        }
+        val out = existingKept.fold(signed)(k => k.unionByName(signed))
+        out.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("date")
+          .parquet(storeDir)
+        existingKept.foreach(_.unpersist())
+      }
+    } finally signed.unpersist()
+  }
+
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     .withZone(ZoneOffset.UTC)
 

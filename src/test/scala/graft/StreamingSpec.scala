@@ -62,6 +62,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == ev.count())
   }
 
+  test("streaming signed export equals per-date batch export; replay leaves the store unchanged") {
+    import graft.etl.{Consolidate, EtlQueries, MetricsQueries}
+    val ev = Tables.events(spark, dir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_export_src").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_export_store").toString + "/store"
+    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    def run(): Unit = {
+      // fresh checkpoint each run = the full feed replays into the SAME store
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_export_ckpt").toString
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EventStream.signedExport(src, storeDir, ckpt)
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    run()
+    def snapshot() = spark.read.parquet(storeDir)
+      .withColumn("date", col("date").cast("string"))
+    val first = snapshot().collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty)
+    // batch reference: handlers.go runExport per date — exportDaily +
+    // signing, composed from the already-verified batch operators
+    val m = MetricsQueries.metrics(spark, dir).persist()
+    val dates = m.select(col("date")).distinct().collect().map(_.getString(0))
+    val want = dates.flatMap { d =>
+      EtlQueries.signExportRows(
+          MetricsQueries.exportDaily(m, d).withColumn("date", lit(d)))
+        .collect().map(_.toString)
+    }.sorted.toSeq
+    // compare on the batch reference's column order
+    val refCols = EtlQueries.signExportRows(
+      MetricsQueries.exportDaily(m, dates.head).withColumn("date", lit(dates.head))).columns
+    val gotRows = snapshot().select(refCols.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotRows == want, "streaming export store diverges from batch per-date export")
+    // replay the whole feed into the same store: byte-identical, no dups
+    run()
+    val second = snapshot().collect().map(_.toString).sorted.toSeq
+    assert(second == first, "replaying the feed changed the store (not idempotent)")
+    m.unpersist()
+  }
+
   test("sessionizer state survives a checkpointed restart (exactly-once)") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
