@@ -278,53 +278,67 @@ object Dedup {
     * decimal-exact kernel would be pure overhead).
     *
     * Bucket width SCALES WITH THE DATA: bits = log2(n / 64), so the
-    * expected bucket holds ~64 vectors regardless of n and the
-    * candidate volume stays ~tables · n · 32 — linear in n, never the
-    * all-pairs n²/2 a fixed bucket count degrades to (3 fixed bits at
-    * n=5000 made candidates ≈ the full pair matrix). The honest
-    * tradeoff: per-pair recall at a *low* tau like 0.35 falls as bits
-    * grow (0.84 at n=500/3 bits; theory ~0.4 at n=5000/6 bits) —
-    * hyperplane LSH concentrates its power on high-cosine pairs, which
-    * is exactly the near-duplicate regime the operator exists for.
-    * Precision is exact by construction (every emitted pair
-    * re-checked); recall vs brute force is asserted in DedupSpec.
+    * expected bucket holds ~64 vectors regardless of n. Expected is not
+    * guaranteed: REAL embedding corpora are clustered, and a dense
+    * cosine-cluster collapses into the same bucket in every table (the
+    * sf1 sweep measured a 1366-doc bucket against a 39-doc target —
+    * 29.6M candidate pairs, quadratic in cluster mass). So pairing is
+    * additionally BLOCKED within each bucket: docs are ordered by a
+    * table-salted hash and only paired inside blocks of `blockSize`,
+    * which caps candidates at tables · n · blockSize/2 — linear in n
+    * no matter how skewed the buckets. A dense cluster still matches:
+    * each doc pairs with blockSize−1 near-identical co-members per
+    * table, and the per-table salt re-deals the blocks 16 ways.
     *
-    * OUTPUT is linear by construction: even when the corpus contains a
-    * dense cosine-cluster (the sf1 scale sweep showed 13.5× output
-    * growth on 10× data at tau=0.35 with no cap), each doc keeps only
-    * its top `maxPairsPerDoc` partners by cosine, so |result| ≤ n·cap.
-    * The rank filter compiles to a map-side WindowGroupLimit — partitions
-    * prune their local losers before the doc_a shuffle.
+    * Verification happens IN the block join (the embedding rides the
+    * explode, one fused [[DotF32]] per pair) — no re-join against the
+    * base table and no 30M-row pre-verification distinct; the dedup
+    * runs on the small ≥ tau survivor set instead.
+    *
+    * The honest recall tradeoff of bucketing stands: per-pair recall at
+    * a *low* tau like 0.35 falls as bits grow — hyperplane LSH
+    * concentrates its power on high-cosine pairs, which is exactly the
+    * near-duplicate regime the operator exists for. Precision is exact
+    * by construction (every emitted pair carries its exact cosine);
+    * recall vs brute force is asserted in DedupSpec.
+    *
+    * OUTPUT is linear by construction too: each doc keeps only its top
+    * `maxPairsPerDoc` partners by cosine (|result| ≤ n·cap). The rank
+    * filter compiles to a map-side WindowGroupLimit — partitions prune
+    * their local losers before the doc_a shuffle.
     */
   def embedCosine(spark: SparkSession, dir: String, tau: Double = 0.35,
                   tables: Int = 16, bitsOverride: Option[Int] = None,
-                  maxPairsPerDoc: Int = 10): DataFrame = {
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("doc_id"), col("embedding"))
-      .withColumn("nrm", sqrt(DotF32.dot_f32(col("embedding"), col("embedding"))))
-      .persist()
+                  maxPairsPerDoc: Int = 10, blockSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // n from parquet footer metadata — a count() here would be a full
     // extra scan of the table at 100 TB just to pick a bucket width.
     val bits = bitsOverride.getOrElse(
       Dedup.adaptiveLshBits(Tables.parquetRowCount(spark, dir, "embeddings")))
-    val bucketed = base.select(col("doc_id"),
-      posexplode(LshBuckets.lsh_buckets(col("embedding"), tables, bits))
-        .as(Seq("table_id", "bucket")))
-    val cand = bucketed.as("a").join(bucketed.as("b"),
+    val bucketed = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .withColumn("nrm", sqrt(DotF32.dot_f32(col("embedding"), col("embedding"))))
+      .select(col("doc_id"), col("embedding"), col("nrm"),
+        posexplode(LshBuckets.lsh_buckets(col("embedding"), tables, bits))
+          .as(Seq("table_id", "bucket")))
+    val blocked = bucketed.withColumn("blk",
+      floor((row_number().over(
+        Window.partitionBy(col("table_id"), col("bucket"))
+          .orderBy(xxhash64(col("doc_id"), col("table_id")), col("doc_id"))) - 1)
+        / blockSize))
+      .persist() // both sides of the block self-join
+    blocked.as("a").join(blocked.as("b"),
         col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(base.as("ea"), col("doc_a") === col("ea.doc_id"))
-      .join(base.as("eb"), col("doc_b") === col("eb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (DotF32.dot_f32(col("ea.embedding"), col("eb.embedding")) /
-          (col("ea.nrm") * col("eb.nrm"))).as("cosine"))
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (DotF32.dot_f32(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= tau)
+      // a surviving pair may collide in several tables — dedup the
+      // small ≥ tau set, not the raw candidate stream
+      .groupBy(col("doc_a"), col("doc_b")).agg(first(col("cosine")).as("cosine"))
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_a"))
+        Window.partitionBy(col("doc_a"))
           .orderBy(col("cosine").desc, col("doc_b"))))
       .filter(col("rk") <= maxPairsPerDoc)
       .drop("rk")
