@@ -14,16 +14,27 @@ import org.apache.spark.sql.functions._
   * throughput so BASELINE.md's "within small factors of a native
   * engine at the same scale" claim is measured, not extrapolated.
   * Payload columns are PERTURBED per copy — text through a per-copy
-  * Caesar rotation of a-z, embeddings by rotating the vector i
-  * positions — so copies are not near-duplicates of each other and the
-  * dedup/similarity operators measure 10× the *work*, not a 45×
-  * explosion of the *output* (verbatim replication makes every doc a
-  * 10-way exact-dup group: candidate pairs and result rows then grow
-  * quadratically in the factor by construction, which benchmarks the
-  * output writer, not the engine). Within-copy structure — planted
-  * near-dups, value distributions, word lengths — is preserved.
+  * AFFINE substitution of a-z (c → a·c+b mod 26: 312 distinct
+  * permutations; two distinct ones agree on ≤1 letter, so no word —
+  * let alone shingle — survives between copies), embeddings by
+  * rotating the vector i mod 64 positions and negating every
+  * second 64-block (cosine structure within a copy is preserved;
+  * cross-sign cosines flip negative) — so copies are not
+  * near-duplicates of each other and the dedup/similarity operators
+  * measure 10× the *work*, not a 45× explosion of the *output*
+  * (verbatim replication makes every doc a 10-way exact-dup group:
+  * candidate pairs and result rows then grow quadratically in the
+  * factor by construction, which benchmarks the output writer, not
+  * the engine). Within-copy structure — planted near-dups, value
+  * distributions, word lengths — is preserved.
   *
   * Usage: runMain graft.ScaleData <srcDir> <dstDir> <factor>
+  *
+  * ALWAYS scale from the ORIGINAL testdata, never from a scaled
+  * output: composing two runs composes the perturbations, and composed
+  * permutations collide (run 10 then 10 of the old Caesar scheme gave
+  * every doc ~9 byte-identical twins at rotation i+j — measured as a
+  * 14× minhash blow-up at "sf10"). One step, factor ≤ 128.
   */
 object ScaleData {
 
@@ -48,12 +59,13 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt
-    // The text/embedding perturbations cycle at 26 (Caesar rotation) and
-    // 64 (vector rotation): copy 26 / copy 64 would be byte-identical to
-    // copy 0, silently reintroducing the quadratic exact-duplicate
-    // explosion the perturbation exists to prevent. Fail loudly instead.
-    require(factor <= 26,
-      s"factor $factor exceeds the perturbation period (26): scaled copies would repeat")
+    // The perturbation families are finite: 312 affine text permutations,
+    // 128 embedding (rotation, sign) states. Past the smaller period a
+    // copy would repeat copy 0 byte-identically, silently reintroducing
+    // the quadratic exact-duplicate explosion the perturbation exists to
+    // prevent. Fail loudly instead.
+    require(factor <= 128,
+      s"factor $factor exceeds the perturbation period (128): scaled copies would repeat")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -99,10 +111,18 @@ object ScaleData {
     val docs = Tables.documents(spark, srcDir)
     val offD = offset(docs, "doc_id")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // Affine cipher c -> a*c + b (mod 26): a must be a unit mod 26.
+    // Copy i uses (a, b) = (units[i % 12], i / 12) -- distinct pairs for
+    // i < 312, and i = 0 is the identity (copy 0 = original bytes).
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affine(i: Int): String = {
+      val a = units(i % units.length)
+      val b = i / units.length
+      alpha.map(c => ('a' + ((c - 'a') * a + b) % 26).toChar).mkString
+    }
     write("documents", (0 until factor).map { i =>
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
       docs.select((col("doc_id") + lit(i * offD)).as("doc_id"),
-        translate(col("text"), alpha, rot).as("text"))
+        translate(col("text"), alpha, affine(i)).as("text"))
     }.reduce(_ unionByName _))
 
     val emb = Tables.embeddings(spark, srcDir)
@@ -112,7 +132,12 @@ object ScaleData {
       val rotated =
         if (r == 0) col("embedding")
         else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))
-      emb.select((col("vec_id") + lit(i * offV)).as("vec_id"), rotated.as("embedding"))
+      // second dimension past the 64 rotations: negate the whole vector
+      // (within-copy cosines unchanged; cross-sign cosines flip negative)
+      val perturbed =
+        if ((i / 64) % 2 == 1) transform(rotated, v => -v) else rotated
+      emb.select((col("vec_id") + lit(i * offV)).as("vec_id"),
+        perturbed.cast("array<float>").as("embedding"))
     }.reduce(_ unionByName _))
 
     spark.stop()

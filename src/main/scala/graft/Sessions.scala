@@ -19,6 +19,14 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Start wide, let AQE coalesce down: a fixed partition count equal
+      // to the core count makes every big shuffle a handful of giant
+      // sort-and-spill tasks once the data outgrows it (the sf10 sweep
+      // measured dedup_ngram_jaccard at 271 s with 8 fixed partitions,
+      // 134 s with AQE coalescing from 64). Small queries still coalesce
+      // to one or two partitions, so the constant stays amortized.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(cores * 8, 64).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -445,12 +445,21 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> (shingleCtes +
-      """, rare AS (
-        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10
+      """, prefix AS (
+        |  -- AllPairs prefix filter: complete for Jaccard >= 0.8 under
+        |  -- ANY global token order (DuckDB uses string order; the Spark
+        |  -- plan uses 64-bit-hash order -- different candidates, same
+        |  -- verified output, because both candidate sets are supersets
+        |  -- of the true pairs and verification is exact)
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS pos,
+        |      COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |    FROM sh)
+        |  WHERE pos <= n - CEIL(0.8 * n - 1e-9) + 1
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN rare r ON a.s = r.s
-        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+        |  FROM prefix a JOIN prefix b ON b.s = a.s AND a.doc_id < b.doc_id
         |), inter AS (
         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
         |  FROM cand c

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * Scale design (§5): never an all-pairs comparison.
   *   - exact: group on a 128-bit hash of the text — one shuffle of
   *     (hash, id), never of the full text bytes.
-  *   - n-gram Jaccard: candidates come from a rare-shingle equi-join
-  *     (document frequency ≤ maxDf bounds the per-shingle fan-out, so
-  *     the candidate set is O(Σ df²) over rare shingles, not O(n²));
+  *   - n-gram Jaccard: candidates come from a prefix-filtered
+  *     equi-join (AllPairs/PPJoin — complete for J ≥ tau, postings
+  *     bounded to each doc's (1−tau)-fraction smallest hashes);
   *     exact Jaccard is then computed only for candidates.
   *   - MinHash/LSH: signatures are computed per-row by [[MinHashSig]]
   *     (one pass, zero shuffle — not the explode+groupBy shape), and
@@ -85,31 +85,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
 
-  /** `dedup_ngram_jaccard`: exact 3-gram Jaccard ≥ tau over candidate
-    * pairs that share at least one *rare* shingle (doc-frequency ≤
-    * maxDf). Rarity bounds the join fan-out: a shingle appearing in d
-    * documents contributes d·(d−1)/2 candidate pairs, so capping d caps
-    * the quadratic term while near-duplicates (which share many
-    * low-frequency shingles) always survive.
+  /** `dedup_ngram_jaccard`: EXACT 3-gram Jaccard ≥ tau — every
+    * qualifying pair in the corpus, with prefix-filtered candidate
+    * generation (see [[ngramJaccardFrom]]). Because the prefix filter
+    * is complete for J ≥ tau under any global token order, the DuckDB
+    * oracle runs the same algorithm under string order and the verified
+    * outputs agree structurally, not just on current testdata.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   tau: Double = 0.8, maxDf: Int = 10): DataFrame =
-    ngramJaccardFrom(shingledHashed(spark, dir), tau, maxDf)
+                   tau: Double = 0.8): DataFrame =
+    ngramJaccardFrom(shingledHashed(spark, dir), tau)
 
   /** [[ngramJaccard]] over any (doc_id, sh) pre-shingled frame — lets
     * [[Pipeline.corpusClean]] feed the shared single-scan projection
     * instead of re-reading `documents`.
+    *
+    * Candidate generation is PREFIX-FILTERED (the AllPairs/PPJoin
+    * prefix theorem): the shingle arrays are sorted by hash (a global
+    * total order), and for any pair with Jaccard ≥ tau the smallest
+    * common hash provably sits within each side's first
+    * |sh| − ⌈tau·|sh|⌉ + 1 elements — proof: J ≥ τ ⇒ |r∩s| ≥ τ·|r|,
+    * and every r-element before the smallest common one is outside s.
+    * So exploding and joining only that prefix (≈ 11 of ~52 shingles at
+    * tau=0.8) finds EVERY qualifying pair: complete with no
+    * document-frequency cap, unlike the rare-shingle heuristic it
+    * replaces (which silently dropped near-dup cliques bigger than its
+    * cap, and joined ~5× more postings — the sf10 sweep measured it at
+    * 126 s / 43.6M candidates vs 22.9M raw prefix pair-rows, linear
+    * per decade from sf0.1 to sf10).
+    *
+    * Worst case: a clique of m byte-identical documents makes both the
+    * candidate set and the TRUE OUTPUT Θ(m²) — no complete algorithm
+    * avoids it. The production answer is exact-dedup first, which is
+    * precisely what [[Pipeline.corpusClean]] composes.
     */
-  def ngramJaccardFrom(shingled: DataFrame,
-                       tau: Double = 0.8, maxDf: Int = 10): DataFrame = {
+  def ngramJaccardFrom(shingled: DataFrame, tau: Double = 0.8): DataFrame = {
     // This DAG reuses the shingle tables four times — persist so they
     // materialize once. Same at cluster scale: the shingle table is the
     // natural intermediate to cache/checkpoint.
     val docsSh = shingled.persist()
-    val sh = docsSh.select(col("doc_id"), explode(col("sh")).as("s")).persist()
-    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("d"))
-    val rare = sh.join(docFreq.filter(col("d") <= maxDf), "s")
-    val cand = rare.as("a").join(rare.as("b"),
+    // ε guards FP in ⌈τ·n⌉: 50·0.8 evaluates to 40.000000000000006 and
+    // would ceil to 41, shortening the prefix below what the
+    // completeness theorem requires (a longer prefix is always safe)
+    val prefixLen =
+      (size(col("sh")) - ceil(size(col("sh")) * tau - lit(1e-9)) + 1).cast("int")
+    val pre = docsSh
+      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+      .persist()
+    val cand = pre.as("a").join(pre.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
