@@ -26,7 +26,7 @@ object Sessions {
       // 134 s with AQE coalescing from 64). Small queries still coalesce
       // to one or two partitions, so the constant stays amortized.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(cores * 8, 64).toString)
+        math.max(cores * 4, 32).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
