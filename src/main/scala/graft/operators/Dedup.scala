@@ -130,10 +130,26 @@ object Dedup {
     val prefixLen =
       (size(col("sh")) - ceil(size(col("sh")) * tau - lit(1e-9)) + 1).cast("int")
     val pre = docsSh
-      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("p", "s")))
       .persist()
+    // PPJoin pruning inside the posting join — both filters only drop
+    // pairs that PROVABLY cannot reach J ≥ tau, so the verified output
+    // is untouched (and the oracle needs no mirror):
+    //   length: J ≥ τ ⇒ |r∩s| ≥ τ·max(|r|,|s|) ⇒ min ≥ τ·max;
+    //   position: for the smallest common token at 0-based (pa, pb),
+    //     every other common token sits after it in BOTH arrays, so
+    //     |r∩s| ≤ 1 + min(|r|−pa−1, |s|−pb−1), which must reach the
+    //     J ≥ τ overlap requirement τ/(1+τ)·(|r|+|s|).
+    // At sf10 they cut the candidate stream ~22M → ~6M before the
+    // distinct and the array-fetch verification joins.
+    val minOverlap = lit(tau / (1 + tau)) * (col("a.n") + col("b.n")) - lit(1e-9)
     val cand = pre.as("a").join(pre.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * tau - lit(1e-9) <= col("b.n") &&
+          col("b.n") * tau - lit(1e-9) <= col("a.n") &&
+          (lit(1) + least(col("a.n") - col("a.p") - 1,
+            col("b.n") - col("b.p") - 1)) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // Verification joins the *shingle arrays* (two hash joins on doc_id)
