@@ -45,6 +45,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram Jaccard equals brute-force all-pairs exactly (prefix filter is complete)") {
+    // The operator's contract since the prefix-filter rewrite: EVERY
+    // pair with Jaccard >= tau, not a heuristic subset. Verified against
+    // a from-scratch O(n^2) reimplementation (plain Scala sets, no
+    // shared code with the operator's shingle hashing).
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 3)
+    val shingles = docs.map { case (id, w) =>
+      id -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = shingles.keys.toArray.sorted
+    for (tau <- Seq(0.8, 0.9)) {
+      val brute = (for {
+        i <- ids.indices.iterator; j <- (i + 1) until ids.length
+        a = shingles(ids(i)); b = shingles(ids(j))
+        c = (a & b).size
+        if c.toDouble / (a.size + b.size - c) >= tau
+      } yield (ids(i), ids(j))).toSet
+      val got = Dedup.ngramJaccard(spark, dir, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"tau=$tau: missed=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("simhash banding is complete for Hamming <= maxHamming (pigeonhole)") {
     // Every pair whose fingerprints are within the verification radius
     // MUST be surfaced — with 4 bands of 16 bits and single-bit
