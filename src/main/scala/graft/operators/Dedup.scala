@@ -208,6 +208,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (graft.functions.MatchCount.match_count(col("sa.sig"), col("sb.sig"))
           .cast("double") / k).as("est_jaccard"))
+      // consumed twice by the per-doc union below: without this the
+      // whole banding join re-executes per branch (sf10: 2×11 s for a
+      // 37k-row result)
+      .persist()
     val perDoc = est.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("est_jaccard"))
       .unionByName(est.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("est_jaccard")))
       .groupBy("doc_id")
@@ -258,6 +262,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fa.fp").bitwiseXOR(col("fb.fp"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .persist() // consumed twice by the per-doc union below
     val perDoc = near.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("hamming"))
       .unionByName(near.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("hamming")))
       .groupBy("doc_id")
