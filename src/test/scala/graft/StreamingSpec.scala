@@ -100,6 +100,26 @@ class StreamingSpec extends AnyFunSuite {
     run()
     val second = snapshot().collect().map(_.toString).sorted.toSeq
     assert(second == first, "replaying the feed changed the store (not idempotent)")
+    // checkpointed RESTART: a second source feeds half its files to one
+    // query instance, then a NEW instance resumes from the same
+    // checkpoint for the rest — exactly-once recovery must land the
+    // store in the same final state
+    val src2 = java.nio.file.Files.createTempDirectory("graft_export_src2").toString
+    val store2 = java.nio.file.Files.createTempDirectory("graft_export_store2").toString + "/store"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_export_ckpt2").toString
+    def startOn(src: String) = EventStream.signedExport(
+      spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src),
+      store2, ckpt2)
+    ev.filter(col("event_id") % 2 === 0).repartition(2).write.mode("append").parquet(src2)
+    val q1 = startOn(src2)
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    ev.filter(col("event_id") % 2 === 1).repartition(2).write.mode("append").parquet(src2)
+    val q2 = startOn(src2)
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val resumed = spark.read.parquet(store2)
+      .withColumn("date", col("date").cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(resumed == first, "checkpointed restart diverged from the single-run store")
     m.unpersist()
   }
 
