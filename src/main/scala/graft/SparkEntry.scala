@@ -69,6 +69,8 @@ object SparkEntry {
     "text_pii_scrub"   -> Curation.piiScrub _,
     "split_train_test" -> Curation.splitAssign _,
     "corpus_stats"     -> Curation.corpusStats _,
+    "corpus_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
+    "corpus_pack_shards"       -> ((s, d) => Curation.packShards(s, d)),
 
     "mm_meta"     -> Multimodal.meta _,
     "mm_chunks"   -> ((s, d) => Multimodal.chunks(s, d)),
@@ -579,6 +581,50 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "corpus_sample_stratified" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','is'], x))) AS score_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['el','la','de','y','es'], x))) AS score_es,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['der','die','das','und','ist'], x))) AS score_de,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['le','la','de','et','est'], x))) AS score_fr
+        |  FROM documents
+        |), pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score_en = best AND best > 0 THEN 'en'
+        |         WHEN score_es = best AND best > 0 THEN 'es'
+        |         WHEN score_de = best AND best > 0 THEN 'de'
+        |         WHEN score_fr = best AND best > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM (SELECT *, greatest(score_en, score_es, score_de, score_fr) AS best
+        |        FROM scored)
+        |), bucketed AS (
+        |  SELECT doc_id, lang_pred,
+        |    CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 1)) * 65536
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':sample'), 2, 1)) * 256
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':sample'), 3, 1))) % 100 AS BIGINT)
+        |      AS sample_bucket
+        |  FROM pred
+        |)
+        |SELECT doc_id, lang_pred, sample_bucket
+        |FROM bucketed
+        |WHERE sample_bucket < CASE WHEN lang_pred = 'en' THEN 50 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack_shards" ->
+      """SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000 AS shard_id
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_stats" ->
       """WITH scored AS (
         |  SELECT doc_id,
@@ -625,12 +671,17 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipeline_corpus_clean" -> (shingleCtes +
-      """, rare2 AS (
-        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10
+      """, prefix2 AS (
+        |  -- same complete prefix filter as dedup_ngram_jaccard's oracle
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS pos,
+        |      COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |    FROM sh)
+        |  WHERE pos <= n - CEIL(0.8 * n - 1e-9) + 1
         |), cand2 AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN rare2 r ON a.s = r.s
-        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+        |  FROM prefix2 a JOIN prefix2 b ON b.s = a.s AND a.doc_id < b.doc_id
         |), inter2 AS (
         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
         |  FROM cand2 c

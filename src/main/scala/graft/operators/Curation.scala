@@ -69,6 +69,66 @@ object Curation {
           .otherwise("test"))
       .orderBy(col("doc_id"))
 
+  /** `corpus_sample_stratified`: deterministic per-language downsampling
+    * — the standard rebalancing step in corpus assembly (e.g. cap the
+    * dominant language while keeping the long tail whole). Keep
+    * decisions are content-addressed like [[splitAssign]]: a salted
+    * md5 bucket in [0,100) per doc compared against the stratum's keep
+    * rate, so the sample is stable under reprocessing and appends, needs
+    * no RNG state, and runs as a pure map. The salt decorrelates the
+    * sample from the train/val/test assignment (both hash doc_id; an
+    * unsalted bucket would make a 50% sample exactly the train half).
+    */
+  def sampleStratified(spark: SparkSession, dir: String,
+                       ratesPct: Map[String, Int] = Map("en" -> 50),
+                       defaultPct: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ts", TextAnalysis.statsCol)
+      .select(col("doc_id"), TextAnalysis.langPred(col("ts")).as("lang_pred"),
+        splitBucket(concat(col("doc_id").cast("string"), lit(":sample")))
+          .cast("long").as("sample_bucket"))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (lang, pct)) =>
+      when(col("lang_pred") === lang, lit(pct)).otherwise(acc)
+    }
+    docs.filter(col("sample_bucket") < rate).orderBy(col("doc_id"))
+  }
+
+  /** `corpus_pack_shards`: assign documents to fixed-token-budget
+    * training shards by global running token count — the distributed
+    * prefix-sum, done the way it must be at 100 TB: a GLOBAL
+    * `sum().over(orderBy(...))` window would move the whole corpus into
+    * one partition, so the running sum is two-phase instead — per-block
+    * partitioned cumsums (parallel) plus an exclusive prefix over the
+    * tiny block-totals table (the only unpartitioned window, bounded to
+    * ≤ ~10k rows by the adaptive block size), broadcast back. Shard id
+    * is the exclusive global prefix DIV budget: exact integer
+    * arithmetic, so the DuckDB oracle's single-window form matches
+    * bit-for-bit.
+    */
+  def packShards(spark: SparkSession, dir: String,
+                 budgetTokens: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.parquetRowCount(spark, dir, "documents")
+    val blockSize = math.max(1000L, n / 10000L)
+    val toks = Tables.documents(spark, dir)
+      .withColumn("ts", TextAnalysis.statsCol)
+      .select(col("doc_id"), col("ts.n_tokens").cast("long").as("n_tokens"),
+        (col("doc_id") / blockSize).cast("long").as("blk"))
+    val cumIn = sum(col("n_tokens")).over(
+      Window.partitionBy(col("blk")).orderBy(col("doc_id")))
+    val blockTotals = toks.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tot"))
+    val blkPrefix = coalesce(
+      sum(col("blk_tot")).over(
+        Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val prefixes = blockTotals.select(col("blk"), blkPrefix.as("blk_prefix"))
+    toks.withColumn("cum_in", cumIn)
+      .join(broadcast(prefixes), Seq("blk"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(blk_prefix + cum_in - n_tokens) DIV $budgetTokens").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `corpus_stats`: per-predicted-language corpus summary — document
     * and token counts, char volume, high-quality share, mean document
     * length. One scan + one tiny shuffle (≤5 language keys with

@@ -51,6 +51,52 @@ class CurationSpec extends AnyFunSuite {
     assert(frac.getOrElse("val", 0.0) < 0.10 && frac.getOrElse("test", 0.0) < 0.10)
   }
 
+  test("stratified sample is deterministic, rate-correct, and split-decorrelated") {
+    val a = Curation.sampleStratified(spark, dir).collect()
+    val b = Curation.sampleStratified(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "sample must be reproducible run-to-run")
+    val langs = TextAnalysis.langid(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val keptEn = a.count(_.getString(1) == "en")
+    val totalEn = langs.values.count(_ == "en")
+    val keptOther = a.count(_.getString(1) != "en")
+    val totalOther = langs.size - totalEn
+    assert(totalEn > 50, "corpus must have an 'en' stratum for this test to bite")
+    val enRate = keptEn.toDouble / totalEn
+    info(s"en kept $keptEn/$totalEn = $enRate; other kept $keptOther/$totalOther")
+    assert(enRate > 0.35 && enRate < 0.65, s"en keep rate $enRate far from 50%")
+    assert(keptOther == totalOther, "non-en strata must be kept whole at default rates")
+    // decorrelation from the train/val/test split: the kept 'en' docs
+    // must not be (close to) exactly the train docs
+    val train = Curation.splitAssign(spark, dir).collect()
+      .filter(_.getString(2) == "train").map(_.getLong(0)).toSet
+    val keptEnIds = a.filter(_.getString(1) == "en").map(_.getLong(0)).toSet
+    val trainOverlap = keptEnIds.count(train).toDouble / keptEnIds.size
+    info(s"kept-en ∩ train fraction = $trainOverlap (split train rate 0.9)")
+    assert(trainOverlap > 0.75 && trainOverlap < 0.99,
+      "sample correlates suspiciously with the split assignment")
+  }
+
+  test("shard packing equals sequential greedy prefix packing, budget respected") {
+    val got = Curation.packShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: walk docs in id order, exclusive running sum DIV budget
+    val byId = got.sortBy(_._1)
+    var cum = 0L
+    byId.foreach { case (id, toks, shard) =>
+      assert(shard == cum / 50000L, s"doc $id: shard $shard != ${cum / 50000L}")
+      cum += toks
+    }
+    // shard ids are dense and non-decreasing in doc order
+    val shards = byId.map(_._3)
+    assert(shards.zip(shards.tail).forall { case (x, y) => y == x || y == x + 1 || y > x })
+    // every shard's token mass stays within budget + one straddling doc
+    val maxDoc = byId.map(_._2).max
+    byId.groupBy(_._3).foreach { case (s, rs) =>
+      assert(rs.map(_._2).sum <= 50000L + maxDoc, s"shard $s overflows")
+    }
+  }
+
   test("corpus stats reconcile with the per-document operators") {
     val stats = Curation.corpusStats(spark, dir).collect()
     val docs = graft.sources.Tables.documents(spark, dir).count()
