@@ -71,6 +71,7 @@ object SparkEntry {
     "corpus_stats"     -> Curation.corpusStats _,
     "corpus_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "corpus_pack_shards"       -> ((s, d) => Curation.packShards(s, d)),
+    "corpus_contamination"     -> ((s, d) => Curation.contamination(s, d)),
 
     "mm_meta"     -> Multimodal.meta _,
     "mm_chunks"   -> ((s, d) => Multimodal.chunks(s, d)),
@@ -614,6 +615,38 @@ object SparkEntry {
         |FROM bucketed
         |WHERE sample_bucket < CASE WHEN lang_pred = 'en' THEN 50 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_contamination" -> (shingleCtes +
+      """, sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS b
+        |    FROM documents)
+        |), pairs AS (
+        |  SELECT t.doc_id AS test_id, r.doc_id AS train_id, COUNT(*) AS n_common
+        |  FROM sh t
+        |  JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'test'
+        |  JOIN sh r ON r.s = t.s
+        |  JOIN sp sr ON sr.doc_id = r.doc_id AND sr.split = 'train'
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT p.test_id, p.train_id,
+        |    CAST(p.n_common AS DOUBLE) / CAST(sz.n AS DOUBLE) AS containment
+        |  FROM pairs p JOIN sizes sz ON sz.doc_id = p.test_id
+        |)
+        |SELECT doc_id, n_contaminating, max_containment, worst_train_doc FROM (
+        |  SELECT test_id AS doc_id,
+        |    COUNT(*) OVER (PARTITION BY test_id) AS n_contaminating,
+        |    containment AS max_containment, train_id AS worst_train_doc,
+        |    ROW_NUMBER() OVER (PARTITION BY test_id
+        |                       ORDER BY containment DESC, train_id DESC) AS rn
+        |  FROM scored WHERE containment >= 0.3)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin),
 
     "corpus_pack_shards" ->
       """SELECT doc_id, n_tokens,

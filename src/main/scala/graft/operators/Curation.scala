@@ -129,6 +129,58 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** `corpus_contamination`: test-split documents whose 3-gram content
+    * is substantially contained in some train-split document — the
+    * train/test leakage check every training pipeline needs before a
+    * benchmark number can be trusted. Containment(test in train) =
+    * |sh(test) ∩ sh(train)| / |sh(test)| ≥ minContain.
+    *
+    * Scale shape: candidates come from a ONE-SIDED prefix filter — the
+    * containment bound constrains only the test side, so the test doc's
+    * first |sh| − ⌈c·|sh|⌉ + 1 sorted hashes (provably containing the
+    * smallest common hash of any qualifying pair) join against the full
+    * train postings. The test split is 5% of the corpus by
+    * construction, so the exploded prefix side stays small; exact
+    * containment is then verified per candidate with the codegen'd
+    * sorted-merge intersect. One row per contaminated test doc with its
+    * worst contaminator.
+    */
+  def contamination(spark: SparkSession, dir: String,
+                    minContain: Double = 0.3): DataFrame = {
+    val splits = splitAssign(spark, dir).select(col("doc_id"), col("split"))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.HashedShingles.hashed_shingles(col("w"), 3).as("sh"))
+      .join(splits, Seq("doc_id"))
+      .persist()
+    val test = sh.filter(col("split") === "test")
+    val train = sh.filter(col("split") === "train")
+    val prefixLen =
+      (size(col("sh")) - ceil(size(col("sh")) * minContain - lit(1e-9)) + 1).cast("int")
+    val testPre = test.select(col("doc_id").as("test_id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+    val trainPost = train.select(col("doc_id").as("train_id"), explode(col("sh")).as("s"))
+    val cand = testPre.join(trainPost, Seq("s"))
+      .select(col("test_id"), col("train_id")).distinct()
+    cand
+      .join(test.select(col("doc_id").as("test_id"), col("sh").as("tsh")), Seq("test_id"))
+      .join(train.select(col("doc_id").as("train_id"), col("sh").as("rsh")), Seq("train_id"))
+      .select(col("test_id"), col("train_id"),
+        (graft.functions.IntersectCountSorted.intersect_count_sorted(
+          col("tsh"), col("rsh")).cast("double") /
+          size(col("tsh")).cast("double")).as("containment"))
+      .filter(col("containment") >= minContain)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_contaminating"),
+        max(struct(col("containment"), col("train_id"))).as("worst"))
+      .select(col("test_id").as("doc_id"), col("n_contaminating"),
+        col("worst.containment").as("max_containment"),
+        col("worst.train_id").as("worst_train_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `corpus_stats`: per-predicted-language corpus summary — document
     * and token counts, char volume, high-quality share, mean document
     * length. One scan + one tiny shuffle (≤5 language keys with
