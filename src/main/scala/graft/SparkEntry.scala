@@ -648,10 +648,13 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin),
 
+    // DuckDB widens windowed SUM(BIGINT) to HUGEINT (→ pandas float64) while Spark's
+    // DIV emits int64 — same hazard as the q18 oracle; CAST back to BIGINT before
+    // the division so both engines compare as int64 (r4 verdict item 1).
     "corpus_pack_shards" ->
       """SELECT doc_id, n_tokens,
-        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000 AS shard_id
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 50000 AS shard_id
         |FROM (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
