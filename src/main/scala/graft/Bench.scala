@@ -32,9 +32,16 @@ object Bench {
     // charged to the first query in the map.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // Optional comma-separated subset (e.g. the sf10 dedup-family point
-    // in BASELINE.md) — unset runs the full registered map.
+    // in BASELINE.md) — unset runs the full registered map. A name that
+    // matches no registered query is a hard error: a typo would otherwise
+    // run zero queries and emit an empty result that looks like success.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = subset.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (k, _) => s(k) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

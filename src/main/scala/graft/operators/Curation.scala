@@ -146,13 +146,13 @@ object Curation {
     * worst contaminator.
     */
   def contamination(spark: SparkSession, dir: String,
-                    minContain: Double = 0.3): DataFrame = {
+                    minContain: Double = 0.3, ngram: Int = 3): DataFrame = {
     val splits = splitAssign(spark, dir).select(col("doc_id"), col("split"))
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
+      .filter(size(col("w")) >= ngram)
       .select(col("doc_id"),
-        graft.functions.HashedShingles.hashed_shingles(col("w"), 3).as("sh"))
+        graft.functions.HashedShingles.hashed_shingles(col("w"), ngram).as("sh"))
       .join(splits, Seq("doc_id"))
       .persist()
     val test = sh.filter(col("split") === "test")

@@ -100,26 +100,34 @@ class CurationSpec extends AnyFunSuite {
   test("contamination check equals brute-force test-in-train containment") {
     val split = Curation.splitAssign(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
-    val shingles = graft.sources.Tables.documents(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" "))
-      .filter(_._2.length >= 3)
-      .map { case (id, w) => id -> w.sliding(3).map(_.mkString(" ")).toSet }
-    val test = shingles.filter(d => split(d._1) == "test")
-    val train = shingles.filter(d => split(d._1) == "train")
-    val minC = 0.3
-    val brute = test.flatMap { case (tid, tsh) =>
-      val hits = train.map { case (rid, rsh) =>
-        (rid, (tsh & rsh).size.toDouble / tsh.size)
-      }.filter(_._2 >= minC)
-      if (hits.isEmpty) None
-      else Some(tid -> (hits.length.toLong, hits.map(_._2).max,
-        hits.filter(_._2 == hits.map(_._2).max).map(_._1).max))
-    }.toMap
-    val got = Curation.contamination(spark, dir, minC).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
-    assert(got == brute, s"missed=${brute.keySet -- got.keySet} extra=${got.keySet -- brute.keySet}")
-    info(s"${got.size} of ${test.length} test docs contaminated at c>=$minC")
-    assert(got.nonEmpty, "testdata should contain at least one cross-split near-dup")
+    // both the 3-gram default and the registered 2-gram/0.1 variant — the
+    // latter has enough mass to exercise multi-contaminator aggregation
+    // (n_contaminating > 1) and the max-struct tie-break through real data
+    for ((n, minC) <- Seq((3, 0.3), (2, 0.1))) {
+      val shingles = graft.sources.Tables.documents(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" "))
+        .filter(_._2.length >= n)
+        .map { case (id, w) => id -> w.sliding(n).map(_.mkString(" ")).toSet }
+      val test = shingles.filter(d => split(d._1) == "test")
+      val train = shingles.filter(d => split(d._1) == "train")
+      val brute = test.flatMap { case (tid, tsh) =>
+        val hits = train.map { case (rid, rsh) =>
+          (rid, (tsh & rsh).size.toDouble / tsh.size)
+        }.filter(_._2 >= minC)
+        if (hits.isEmpty) None
+        else Some(tid -> (hits.length.toLong, hits.map(_._2).max,
+          hits.filter(_._2 == hits.map(_._2).max).map(_._1).max))
+      }.toMap
+      val got = Curation.contamination(spark, dir, minC, n).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+      assert(got == brute,
+        s"n=$n missed=${brute.keySet -- got.keySet} extra=${got.keySet -- brute.keySet}")
+      info(s"n=$n: ${got.size} of ${test.length} test docs contaminated at c>=$minC")
+      assert(got.nonEmpty, "testdata should contain at least one cross-split near-dup")
+      if (n == 2)
+        assert(got.values.exists(_._1 > 1),
+          "2-gram variant must exercise multi-contaminator aggregation")
+    }
   }
 
   test("corpus stats reconcile with the per-document operators") {
