@@ -214,18 +214,52 @@ object Relational {
       .na.fill(0)
       .orderBy(col("day"))
 
-  /** q17_median_disc — exact discrete median per group via window rank
-    * (element at floor((n+1)/2)) — identical discrete semantics on both
-    * engines, no interpolation arithmetic to disagree about.
+  /** q17_median_disc — exact discrete median per group: the element at
+    * global rank floor((n+1)/2) under ORDER BY (value, event_id), with
+    * identical discrete semantics on both engines (no interpolation
+    * arithmetic to disagree about).
+    *
+    * Scale shape: NOT a full-table window over the ~5 event_type keys
+    * (that shuffles everything into 5 tasks that each sort a fifth of the
+    * corpus — the r4 verdict's scale-killer). Two-phase exact selection
+    * instead: (1) a B≈√n-bucket value histogram per group — an evenly
+    * distributed (group, bucket) shuffle with map-side partials — locates
+    * the bucket holding the global rank via a cumulative sum over the tiny
+    * ≤ G·B histogram; (2) only that bucket's rows (≈ n/B ≈ √n per group,
+    * since a bucket is a value range) are sorted to pick the local rank.
+    * Both residual per-group windows run over √n-bounded inputs, never the
+    * corpus. All-equal groups (vmin = vmax) short-circuit to vmin without
+    * touching phase 2.
     */
   def q17MedianDisc(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("int"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val nTotal = Tables.parquetRowCount(spark, dir, "events")
+    val buckets = math.max(32L, math.min(65536L, math.round(math.sqrt(nTotal.toDouble))))
+    val multi = stats.filter(col("vmin") < col("vmax"))
+    val bucketed = ev.join(broadcast(multi), Seq("event_type"))
+      .withColumn("bkt", least(lit(buckets - 1),
+        floor((col("value") - col("vmin")) /
+          ((col("vmax") - col("vmin")) / buckets.toDouble)).cast("long")))
+    val hist = bucketed.groupBy(col("event_type"), col("bkt")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+    val target = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("cum_prev", col("cum") - col("c"))
+      .join(broadcast(multi.select(col("event_type"),
+        ((col("n") + 1) / 2).cast("long").as("k"))), Seq("event_type"))
+      .filter(col("cum") >= col("k") && col("cum_prev") < col("k"))
+      .select(col("event_type"), col("bkt"), (col("k") - col("cum_prev")).as("local_rank"))
+    val wloc = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val fromBucket = bucketed.join(broadcast(target), Seq("event_type", "bkt"))
+      .withColumn("rn", row_number().over(wloc))
+      .filter(col("rn") === col("local_rank"))
       .select(col("event_type"), col("value").as("median_value"))
-      .orderBy(col("event_type"))
+    val allEqual = stats.filter(col("vmin") === col("vmax"))
+      .select(col("event_type"), col("vmin").as("median_value"))
+    fromBucket.union(allEqual).orderBy(col("event_type"))
   }
 
   /** q18_sessionize — gap-based sessions (30 min) via lag + running count;

@@ -181,4 +181,32 @@ class PlanSpec extends AnyFunSuite {
       assert(n == 0, s"$name has $n unpartitioned Window operator(s)")
     }
   }
+
+  test("windows keyed by low-cardinality columns never run over a raw scan") {
+    // A window PARTITION BY a handful-of-distinct-values key over the full
+    // table is an unpartitioned window in disguise: every row shuffles into
+    // ≤ ~5 tasks that each sort a fifth of the corpus (the r4 q17 scale
+    // bug). Such windows are only legitimate over already-reduced inputs —
+    // an aggregate (histogram/summary) or a selective broadcast-join
+    // restriction somewhere below them in the plan.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val lowCard = Set("event_type", "lang_pred", "split", "channel")
+    def reduced(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec => a
+      case j: BroadcastHashJoinExec => j
+    }.isDefined
+    for ((name, fn) <- SparkEntry.queries) {
+      val bad = fn(spark, dir).queryExecution.executedPlan.collect {
+        case w: WindowExec
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+              .forall(lowCard) && !reduced(w.child) => w
+      }
+      assert(bad.isEmpty,
+        s"$name runs ${bad.size} window(s) keyed only by low-cardinality " +
+          s"column(s) over an unreduced input — all data lands in a handful of tasks")
+    }
+  }
 }
