@@ -35,4 +35,61 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Bytes of parquet on disk under an sf directory — the scan volume a
+    * sweep over that directory will read. */
+  def inputBytes(sfDir: String): Long = {
+    val root = java.nio.file.Paths.get(sfDir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+        .mapToLong(java.nio.file.Files.size).sum()
+      finally s.close()
+    }
+  }
+
+  /** Session for the driver mains (Bench/Verify), with adaptive execution
+    * itself applied adaptively: AQE's runtime re-planning buys skew
+    * splitting and partition coalescing that only matter once shuffles
+    * are big enough to skew or spill, while its per-stage materialization
+    * barrier costs a fixed ~0.3-0.5 s on every multi-stage query — ~20%
+    * of a whole sf0.1 sweep, nothing at sf10 (where it saved 2x on the
+    * ngram join, r4 BASELINE). So: AQE on when the directory's scan
+    * volume crosses 1 GiB, off below, exactly the cost-based switch a
+    * production deployment makes for its interactive tier.
+    * SPARK_GRAFT_AQE=on|off overrides (auto otherwise).
+    */
+  def driver(cpus: Int, sfDir: String): SparkSession = {
+    val aqe = sys.env.get("SPARK_GRAFT_AQE") match {
+      case Some("on")  => true
+      case Some("off") => false
+      case _           => inputBytes(sfDir) >= (1L << 30)
+    }
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(cpus * 4, 32).toString)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // default 100 entries evicts under a 59-query sweep (~600 generated
+      // classes); identical stage code then recompiles instead of hitting
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+    // Knob experiments without recompiling: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }

@@ -15,8 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // One schema-inference + file-listing per (session, path) instead of one
+  // per registered query: a 59-query sweep re-resolved the same ten footers
+  // hundreds of times. A DataFrame is an immutable plan, so reuse is safe;
+  // the testdata directories never mutate within a JVM.
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    dfCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -55,7 +63,15 @@ object Tables {
     * instead, but the sizing only needs log2(n) so even a stale count
     * is fine.
     */
-  def parquetRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  def parquetRowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.computeIfAbsent(s"$sfDir/$name.parquet",
+      _ => parquetRowCountUncached(spark, sfDir, name))
+
+  private def parquetRowCountUncached(
+      spark: SparkSession, sfDir: String, name: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
     val fs = root.getFileSystem(conf)
