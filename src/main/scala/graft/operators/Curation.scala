@@ -107,13 +107,49 @@ object Curation {
     */
   def packShards(spark: SparkSession, dir: String,
                  budgetTokens: Long = 50000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = Tables.parquetRowCount(spark, dir, "documents")
     val blockSize = math.max(1000L, n / 10000L)
+    // Numeric-id fast path: blocks derive from the id itself (doc_id DIV
+    // blockSize), no extra shuffle. Requires an ordered NUMERIC doc_id
+    // (dense not needed — the block prefix fixes arbitrary block sizes);
+    // string-keyed corpora use packShardsFrom, which range-partitions any
+    // orderable key instead.
     val toks = Tables.documents(spark, dir)
       .withColumn("ts", TextAnalysis.statsCol)
       .select(col("doc_id"), col("ts.n_tokens").cast("long").as("n_tokens"),
         (col("doc_id") / blockSize).cast("long").as("blk"))
+    packCore(toks, budgetTokens)
+  }
+
+  /** Generic entry point: pack ANY (doc_id, n_tokens) frame — doc_id of
+    * any orderable type (string hashes, UUIDs, ...), unique per doc.
+    * Blocks come from `repartitionByRange` over the id: range partitions
+    * are totally ordered by construction, which is the only property the
+    * two-phase prefix needs (every row of block i precedes every row of
+    * block i+1 in id order). Result is invariant to the sampled range
+    * boundaries. One extra range shuffle vs the numeric fast path.
+    */
+  def packShardsFrom(docs: DataFrame, budgetTokens: Long = 50000L,
+                     blocks: Int = 0): DataFrame = {
+    val nBlocks =
+      if (blocks > 0) blocks
+      else math.max(32, docs.sparkSession.sparkContext.defaultParallelism * 4)
+    val toks = docs.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .repartitionByRange(nBlocks, col("doc_id"))
+      .withColumn("blk", spark_partition_id().cast("long"))
+    packCore(toks, budgetTokens)
+  }
+
+  /** Two-phase distributed prefix-sum over (doc_id, n_tokens, blk), blk
+    * order-consistent with doc_id order: per-block partitioned cumsums in
+    * parallel, an exclusive prefix over the tiny block-totals table (the
+    * only unpartitioned window, ≤ ~10k rows by construction), broadcast
+    * back. Shard id = exclusive global prefix DIV budget — exact integer
+    * arithmetic, so the DuckDB oracle's single-window form matches
+    * bit-for-bit.
+    */
+  private def packCore(toks: DataFrame, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cumIn = sum(col("n_tokens")).over(
       Window.partitionBy(col("blk")).orderBy(col("doc_id")))
     val blockTotals = toks.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tot"))

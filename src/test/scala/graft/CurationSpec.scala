@@ -97,6 +97,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("generic shard packing handles string doc ids (non-numeric, non-dense)") {
+    import spark.implicits._
+    // hash-shaped string keys in no particular insertion order
+    val rnd = new scala.util.Random(7)
+    val docs = rnd.shuffle((0 until 3000).toList)
+      .map(i => (f"doc-${i * 2654435761L % 100000}%05d-$i", 100L + i % 900))
+      .toDF("doc_id", "n_tokens")
+    val budget = 10000L
+    val got = Curation.packShardsFrom(docs, budget, blocks = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // brute force: walk docs in STRING order, exclusive running sum DIV budget
+    val byId = got.sortBy(_._1)
+    var cum = 0L
+    byId.foreach { case (id, toks, shard) =>
+      assert(shard == cum / budget, s"doc $id: shard $shard != ${cum / budget}")
+      cum += toks
+    }
+  }
+
   test("contamination check equals brute-force test-in-train containment") {
     val split = Curation.splitAssign(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
