@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * engine at the same scale" claim is measured, not extrapolated.
   * Payload columns are PERTURBED per copy — text through a per-copy
   * AFFINE substitution of a-z (c → a·c+b mod 26: 312 distinct
-  * permutations; two distinct ones agree on ≤1 letter, so no word —
-  * let alone shingle — survives between copies), embeddings by
+  * permutations; two distinct ones agree on at most 2 letters, since
+  * gcd(a₁−a₂, 26) ≤ 2 for distinct units — so no word, let alone
+  * shingle, survives between copies), embeddings by
   * rotating the vector i mod 64 positions and negating every
   * second 64-block (cosine structure within a copy is preserved;
   * cross-sign cosines flip negative) — so copies are not

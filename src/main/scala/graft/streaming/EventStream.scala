@@ -122,6 +122,17 @@ object EventStream {
     * kept-existing-keys ∪ changed-keys. The driver only ever
     * materializes the tiny changed-row/partition-key metadata — the
     * store I/O stays distributed.
+    *
+    * Durability: kept ∪ changed is STAGED to durable parquet first and
+    * the store overwritten from the staged copy — an executor loss or
+    * cache eviction mid-overwrite can therefore never recompute kept
+    * rows from store files the overwrite already deleted (a persist()
+    * barrier alone does not guarantee that), and a retried batch
+    * re-derives the same staged output from intact inputs. The
+    * remaining window — a crash BETWEEN two partition commits of the
+    * final overwrite — is inherent to non-transactional parquet
+    * stores; at production scale the store would be a transactional
+    * table format (the staged-write pattern is then its commit).
     */
   private[streaming] def mergeSignedBatch(batch: DataFrame, storeDir: String,
                                           secret: String): Unit = {
@@ -136,21 +147,21 @@ object EventStream {
           case Some(store) =>
             // partition-dir inference types `date` as DATE on read-back;
             // normalize to the feed's string form for the key join/union
-            val kept = store.withColumn("date", col("date").cast("string"))
+            Some(store.withColumn("date", col("date").cast("string"))
               .filter(col("date").isin(dates: _*))
-              .join(signed.select(keyCols.map(col): _*), keyCols, "left_anti")
-              .persist()
-            kept.count() // materialize BEFORE the overwrite deletes its source files
-            Some(kept)
+              .join(signed.select(keyCols.map(col): _*), keyCols, "left_anti"))
           case None => None
         }
         val out = existingKept.fold(signed)(k => k.unionByName(signed))
-        out.write
+        val staging = s"$storeDir.staging"
+        out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+        spark.read.parquet(staging).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("date")
           .parquet(storeDir)
-        existingKept.foreach(_.unpersist())
+        val p = new org.apache.hadoop.fs.Path(staging)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
       }
     } finally signed.unpersist()
   }
