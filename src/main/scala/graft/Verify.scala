@@ -44,5 +44,30 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Dtype-parity gate (r5 verdict item 6): the checker that kills the
+    // HUGEINT-widening bug class (3 rounds lost to it) now runs INSIDE
+    // every Verify, not just when someone remembers the README. A
+    // mismatch fails this run with an actionable column-level message —
+    // the same red the driver's value-hash compare would produce one
+    // step later. Soft-skips when the harness python env is absent;
+    // SPARK_GRAFT_SKIP_DTYPE=1 opts out explicitly.
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_DTYPE")) {
+      val script = new java.io.File("tools/dtype_check.py")
+      if (script.isFile) {
+        def run(cmd: String*): Int = scala.util.Try {
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          pb.start().waitFor()
+        }.getOrElse(-1)
+        if (run("python3", "-c", "import duckdb, pandas") == 0) {
+          val rc = run("python3", script.getPath, sfDir, outDir)
+          require(rc == 0,
+            s"dtype_check exited $rc: a Spark/DuckDB dtype mismatch above " +
+              "would fail the driver's hash gate — fix the oracle cast now")
+        } else System.err.println(
+          "[verify] dtype_check skipped: python3/duckdb not available")
+      }
+    }
   }
 }

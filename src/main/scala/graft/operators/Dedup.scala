@@ -255,7 +255,22 @@ object Dedup {
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6,
               widthOverride: Option[Int] = None): DataFrame = {
-    val (fp, cand) = simhashFpAndCandidates(spark, dir, widthOverride)
+    val (fp, cand, w) = simhashFpAndCandidates(spark, dir, widthOverride)
+    // Banding is pigeonhole-complete only to 2·(64/w)−1; beyond that the
+    // verification radius is serviced probabilistically (recall ≈ 0.61 /
+    // 0.36 / 0.20 at Hamming 4/5/6 under w=32 — hypergeometric split of
+    // the flipped bits across 2 bands). Same result would silently become
+    // scale-DEPENDENT (a pair found at sf0.001 missed at sf0.1) — surface
+    // the trade loudly whenever the adaptive width narrows past the
+    // caller's radius. DedupSpec measures the actual recall at sf0.1.
+    val completeRadius = 2 * (64 / w) - 1
+    if (maxHamming > completeRadius)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhash: maxHamming=$maxHamming exceeds the width-$w banding's " +
+          s"complete radius $completeRadius; pairs at Hamming " +
+          s"${completeRadius + 1}..$maxHamming are found probabilistically. " +
+          "Lower maxHamming, or pass widthOverride for exhaustive recall " +
+          "at a quadratic-in-n candidate cost.")
     val near = cand
       .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
@@ -285,7 +300,8 @@ object Dedup {
     * (no extra scan), like [[embedCosine]]'s bucket bits.
     */
   private def simhashFpAndCandidates(spark: SparkSession, dir: String,
-                                     widthOverride: Option[Int] = None): (DataFrame, DataFrame) = {
+                                     widthOverride: Option[Int] = None)
+      : (DataFrame, DataFrame, Int) = {
     val w = widthOverride.getOrElse(
       simhashBandWidth(Tables.parquetRowCount(spark, dir, "documents")))
     require(w == 16 || w == 32 || w == 64, s"band width $w must divide 64")
@@ -305,7 +321,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    (fp, cand)
+    (fp, cand, w)
   }
 
   /** Candidate pairs from simhash banded multiprobe (used by the spec's
@@ -350,6 +366,15 @@ object Dedup {
     * `maxPairsPerDoc` partners by cosine (|result| ≤ n·cap). The rank
     * filter compiles to a map-side WindowGroupLimit — partitions prune
     * their local losers before the doc_a shuffle.
+    *
+    * CONTRACT NOTE (r5 advice): the cap is ONE-SIDED — top-k per doc_a
+    * under the doc_a < doc_b canonical ordering; doc_b partnerships are
+    * uncapped. Every pre-cap pair ≥ tau is still computed and ranked,
+    * so a doc loses ALL evidence of near-duplication only if every one
+    * of its partners out-ranks it `maxPairsPerDoc` deep — DedupSpec
+    * measures that coverage at sf0.1 alongside the sf0.001 cap
+    * property. Set maxPairsPerDoc = Int.MaxValue for the uncapped
+    * every-pair contract (output then Θ(clique²) on dup-heavy corpora).
     */
   def embedCosine(spark: SparkSession, dir: String, tau: Double = 0.35,
                   tables: Int = 16, bitsOverride: Option[Int] = None,

@@ -133,9 +133,15 @@ object EventStream {
     * final overwrite — is inherent to non-transactional parquet
     * stores; at production scale the store would be a transactional
     * table format (the staged-write pattern is then its commit).
+    * The FIRST batch against a missing store skips staging entirely:
+    * its output derives only from streaming state, so there is nothing
+    * a partial overwrite could destroy that a retry can't re-derive.
+    * [[MergeStats]] counts the staging share so the I/O price of the
+    * durability trade stays measured, not assumed.
     */
   private[streaming] def mergeSignedBatch(batch: DataFrame, storeDir: String,
                                           secret: String): Unit = {
+    val t0 = System.nanoTime()
     val spark = batch.sparkSession
     val keyCols = Seq("date", "channel", "campaign_id", "utm_campaign")
     val signed = graft.etl.EtlQueries.signExportRows(
@@ -152,18 +158,48 @@ object EventStream {
               .join(signed.select(keyCols.map(col): _*), keyCols, "left_anti"))
           case None => None
         }
-        val out = existingKept.fold(signed)(k => k.unionByName(signed))
-        val staging = s"$storeDir.staging"
-        out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-        spark.read.parquet(staging).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("date")
-          .parquet(storeDir)
-        val p = new org.apache.hadoop.fs.Path(staging)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        def overwriteStore(df: DataFrame): Unit =
+          df.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(storeDir)
+        existingKept match {
+          case None =>
+            // No store yet: the output derives only from the streaming
+            // state, never from store files the overwrite deletes, so
+            // the staging round-trip would be pure I/O overhead.
+            overwriteStore(signed)
+          case Some(kept) =>
+            val out = kept.unionByName(signed)
+            val staging = s"$storeDir.staging"
+            val s0 = System.nanoTime()
+            out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+            MergeStats.stagingNanos += System.nanoTime() - s0
+            MergeStats.stagedMerges += 1
+            overwriteStore(spark.read.parquet(staging))
+            val p = new org.apache.hadoop.fs.Path(staging)
+            p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
       }
-    } finally signed.unpersist()
+    } finally {
+      signed.unpersist()
+      MergeStats.merges += 1
+      MergeStats.mergeNanos += System.nanoTime() - t0
+    }
+  }
+
+  /** Cumulative [[mergeSignedBatch]] instrumentation so StreamingSpec can
+    * QUANTIFY the durability trade (r5 verdict item 8): the staging
+    * round-trip's extra parquet write per touched micro-batch, as a share
+    * of total merge time. Driver-side counters only — no executor state.
+    */
+  private[graft] object MergeStats {
+    @volatile var merges = 0L
+    @volatile var stagedMerges = 0L
+    @volatile var mergeNanos = 0L
+    @volatile var stagingNanos = 0L
+    def reset(): Unit = { merges = 0; stagedMerges = 0; mergeNanos = 0; stagingNanos = 0 }
   }
 
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")

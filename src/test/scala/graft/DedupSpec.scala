@@ -190,6 +190,42 @@ class DedupSpec extends AnyFunSuite {
       s"width-32 banding missed in-radius pairs: ${within3 -- cands}")
   }
 
+  test("simhash at sf0.1 (auto width 32): complete to radius 3, measured recall beyond") {
+    // At n=5000 the adaptive width selects w=32, whose banding is
+    // pigeonhole-complete only to Hamming 3 while the default verification
+    // radius is 6 — the r5 ADVICE scale-dependence concern. Ground truth
+    // is a driver-side brute force over all C(5000,2) fingerprint pairs.
+    val big = "/root/testdata/sf0.1"
+    assert(Dedup.simhashBandWidth(
+      graft.sources.Tables.parquetRowCount(spark, big, "documents")) == 32)
+    val fp = Dedup.simhash(spark, big).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val cands = Dedup.simhashCandidates(spark, big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = fp.map(_._1); val fps = fp.map(_._2)
+    var in3 = Vector.empty[(Long, Long)]; var in46 = Vector.empty[(Long, Long)]
+    for (i <- fps.indices; j <- (i + 1) until fps.length) {
+      val h = java.lang.Long.bitCount(fps(i) ^ fps(j))
+      if (h <= 6) {
+        val p = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+        if (h <= 3) in3 :+= p else in46 :+= p
+      }
+    }
+    assert(in3.nonEmpty, "sf0.1 has no Hamming<=3 pairs — property vacuous")
+    assert((in3.toSet -- cands).isEmpty,
+      s"width-32 banding missed guaranteed-radius pairs: ${in3.toSet -- cands}")
+    val recall46 =
+      if (in46.isEmpty) 1.0
+      else in46.count(cands).toDouble / in46.size
+    info(s"sf0.1 w=32: ${in3.size} pairs at h<=3 (all found), " +
+      s"${in46.size} at h=4..6, recall beyond complete radius = $recall46")
+    // per-pair analytic floor is ~0.20 at h=6 (hypergeometric bit split
+    // across 2 bands); 0.15 catches a broken probe without flaking on
+    // the distance mix of the day's testdata
+    assert(in46.isEmpty || recall46 >= 0.15,
+      s"multiprobe recall collapsed beyond complete radius: $recall46")
+  }
+
   test("simhash candidate volume grows sub-quadratically from sf0.01 to sf0.1") {
     // 10x documents (500 -> 5000). A fixed 4x16 banding pays ~100x more
     // random collisions; the adaptive width flips to 32 bits at n=5000
@@ -215,6 +251,25 @@ class DedupSpec extends AnyFunSuite {
         .drop(kept.length).headOption.getOrElse(Double.NegativeInfinity)
       assert(keptMin >= droppedMax, s"doc $a kept a worse pair than it dropped")
     }
+  }
+
+  test("embed-cosine default cap at sf0.1: no doc loses all its near-dup evidence") {
+    // The r5-advice corner: the cap is one-sided (top-10 per doc_a), so
+    // a doc could in principle vanish from the output despite having
+    // qualifying partners — if every partner out-ranks it 10 deep.
+    // Measure the default contract against the uncapped run at sf0.1.
+    val big = "/root/testdata/sf0.1"
+    val capped = Dedup.embedCosine(spark, big).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val uncapped = Dedup.embedCosine(spark, big, maxPairsPerDoc = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val coveredU = uncapped.flatMap(p => Seq(p._1, p._2)).toSet
+    val coveredC = capped.flatMap(p => Seq(p._1, p._2)).toSet
+    val lost = coveredU -- coveredC
+    info(s"sf0.1 cap=10: ${capped.length} of ${uncapped.length} pairs kept, " +
+      s"${coveredU.size} docs with near-dups, ${lost.size} lost all evidence")
+    assert(lost.isEmpty,
+      s"docs with qualifying partners but zero emitted pairs under the default cap: $lost")
   }
 
   test("adaptive LSH bits keep expected bucket occupancy constant in n") {
