@@ -47,6 +47,26 @@ object Bench {
       val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
       (h.getCount, h.getSnapshot.getValues.sum)
     }
+    if (profile) {
+      // Decompose the warm per-query constant: (a) the floor of ONE Spark
+      // job (schedule + launch 1 task + noop-commit), (b) one AQE shuffle
+      // round (materialize a shuffle stage, re-plan, run the reduce), both
+      // on a warmed JVM over driver-local data so zero scan/compute cost.
+      import spark.implicits._
+      def floorOf(label: String)(job: () => Unit): Unit = {
+        val ts = (1 to 7).map { _ =>
+          val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(
+          f"[bench-prof] CONSTANT $label floor ${ts.min}%.3f s reps ${ts.map(t => f"$t%.3f").mkString(" ")}")
+      }
+      val one = spark.range(1).cache(); one.count()
+      floorOf("one-job-noop")(() => one.write.format("noop").mode("overwrite").save())
+      val tiny = spark.range(1000).select(($"id" % 7).as("k"), $"id".as("v"))
+      floorOf("shuffle-agg-aqe")(() =>
+        tiny.groupBy("k").sum("v").write.format("noop").mode("overwrite").save())
+      one.unpersist()
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { r =>
         val cg0 = if (profile) codegenStats() else (0L, 0L)

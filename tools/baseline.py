@@ -21,7 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def main(sf_dir: str, out_dir: str, reps: int = 3) -> int:
+    # Pin the thread count explicitly so the protocol is stated, not
+    # inherited from the machine. Default = all cores, matching the
+    # driver's 32-cpu Bench runs (symmetric protocol, pinned r7).
+    threads = int(os.environ.get("DUCKDB_THREADS", os.cpu_count()))
     con = duckdb.connect()
+    con.execute(f"SET threads={threads}")
     for t in TABLES:
         # driver testdata = single file; graft.ScaleData output = a
         # directory of part files
@@ -30,6 +35,15 @@ def main(sf_dir: str, out_dir: str, reps: int = 3) -> int:
             path += "/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Optional comma-separated subset (e.g. the sf10 heavy-query ladder,
+    # where running every oracle — ngram alone is ~470 s — is pointless).
+    subset = os.environ.get("BASELINE_QUERIES")
+    if subset:
+        want = {q.strip() for q in subset.split(",") if q.strip()}
+        unknown = want - set(oracles)
+        if unknown:
+            raise SystemExit(f"BASELINE_QUERIES not in oracle_sql.json: {sorted(unknown)}")
+        oracles = {k: v for k, v in oracles.items() if k in want}
     timings = {}
     for name in sorted(oracles):
         best = float("inf")
@@ -40,7 +54,7 @@ def main(sf_dir: str, out_dir: str, reps: int = 3) -> int:
         timings[name] = round(best, 4)
     print(json.dumps({"queries": timings,
                       "total": round(sum(timings.values()), 4),
-                      "sf": sf_dir, "reps": reps}))
+                      "sf": sf_dir, "reps": reps, "threads": threads}))
     return 0
 
 
