@@ -151,15 +151,23 @@ object Dedup {
           (lit(1) + least(col("a.n") - col("a.p") - 1,
             col("b.n") - col("b.p") - 1)) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // Verification joins the *shingle arrays* (two hash joins on doc_id)
-    // and merge-counts the sorted arrays per pair inside codegen —
+    // NO distinct on the candidate stream: the sf10 ladder measured it
+    // as a 3.7 s shuffle of 3.1M pairs that removes only ~5% duplicates
+    // (a pair appears once per shared PREFIX shingle, and the position
+    // filter already keeps most pairs to one posting). Verification is
+    // per-row idempotent, so duplicate candidates cost only their own
+    // re-verification; the output is deduplicated *after* the J ≥ tau
+    // filter, where the survivor set is ~1000× smaller.
+    // Verification joins the *shingle arrays* (two SHUFFLE-HASH joins
+    // on doc_id — the candidate stream needs no sort, and the array
+    // table builds a per-partition hash map instead of sorting ~450-byte
+    // rows) and merge-counts the sorted arrays per pair inside codegen —
     // O(|cand|·|sh|) primitive scans with no exploded-row blow-up (a
     // candidate×shingle re-join would materialize |cand|·|sh| ROWS
     // before aggregating; this plan never leaves one row per pair).
     cand
-      .join(docsSh.as("da"), col("doc_a") === col("da.doc_id"))
-      .join(docsSh.as("db"), col("doc_b") === col("db.doc_id"))
+      .join(docsSh.as("da").hint("shuffle_hash"), col("doc_a") === col("da.doc_id"))
+      .join(docsSh.as("db").hint("shuffle_hash"), col("doc_b") === col("db.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.IntersectCountSorted.intersect_count_sorted(
           col("da.sh"), col("db.sh")).as("n_common"),
@@ -168,6 +176,7 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
+      .distinct() // collapse multi-posting candidate duplicates (identical rows)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -316,7 +325,12 @@ object Dedup {
     val probeKeys = bandKeys.select(col("doc_id"), col("band"),
       explode(expr(s"transform(sequence(-1, ${w - 1}), " +
         "j -> IF(j < 0, key, key ^ shiftleft(1L, j)))")).as("key"))
-    val cand = bandKeys.as("a").join(probeKeys.as("b"),
+    // SHUFFLE_HASH, explicitly: Catalyst sizes probeKeys from fp's
+    // pre-explode stats (~16 bytes/doc), so at sf10 it auto-BROADCASTS
+    // what is really an n·bands·(w+1)-row side — a measured 3.2 GiB
+    // broadcast spilling to disk (sf10 ladder, r7: 60 s vs 17 s fixed).
+    // An equi-join of n vs 33n rows is shuffle-bound at every scale.
+    val cand = bandKeys.as("a").join(probeKeys.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
