@@ -52,7 +52,18 @@ object Verify {
     // step later. Soft-skips when the harness python env is absent;
     // SPARK_GRAFT_SKIP_DTYPE=1 opts out explicitly.
     if (!sys.env.contains("SPARK_GRAFT_SKIP_DTYPE")) {
-      val script = new java.io.File("tools/dtype_check.py")
+      // Resolve the checker against known anchors, not just the JVM cwd —
+      // launching Verify from outside the repo root must not silently
+      // disable the gate. SPARK_GRAFT_REPO_ROOT pins it explicitly.
+      val script = (sys.env.get("SPARK_GRAFT_REPO_ROOT").toSeq :+ ".")
+        .map(root => new java.io.File(root, "tools/dtype_check.py"))
+        .find(_.isFile)
+        .getOrElse {
+          System.err.println("[verify] dtype_check skipped: tools/dtype_check.py " +
+            s"not found from cwd ${new java.io.File(".").getAbsolutePath} " +
+            "(set SPARK_GRAFT_REPO_ROOT to the repo root to pin it)")
+          new java.io.File("tools/dtype_check.py")
+        }
       if (script.isFile) {
         def run(cmd: String*): Int = scala.util.Try {
           val pb = new ProcessBuilder(cmd: _*)

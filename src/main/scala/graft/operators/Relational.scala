@@ -225,16 +225,17 @@ object Relational {
     * instead: (1) a B≈√n-bucket value histogram per group — an evenly
     * distributed (group, bucket) shuffle with map-side partials — locates
     * the bucket holding the global rank via a cumulative sum over the tiny
-    * ≤ G·B histogram; (2) the target bucket is refined ONCE more within
-    * its own value range (a near-all-equal group or an outlier-stretched
-    * range can squeeze ~n rows into one phase-1 bucket — the r5 verdict's
-    * residual skew corner), and the final selection runs on a per-VALUE
-    * histogram, never a row sort: the emitted median is a value, so tied
-    * rows collapse into one histogram entry and every residual window is
-    * over aggregated counts (≤ G·B bucket rows, or the distinct values of
-    * one twice-refined bucket). A group that is 99% one value costs one
-    * histogram entry, not an O(n) single-task sort. All-equal groups
-    * (vmin = vmax) short-circuit to vmin without touching phase 2.
+    * ≤ G·B histogram; (2) the final selection runs on a per-VALUE
+    * histogram of that one bucket, never a row sort: the emitted median
+    * is a value, so tied rows collapse into one histogram entry and every
+    * window is over aggregated counts. A group that is 99% one value
+    * costs one histogram entry, not an O(n) single-task sort (the r5
+    * verdict's skew corner). All-equal groups (vmin = vmax)
+    * short-circuit to vmin without touching phase 2. The residual
+    * adversarial case (n all-DISTINCT values crammed into one bucket by
+    * range-stretching outliers) stays correct via an O(distinct) pass;
+    * see [[medianDisc]] for why that no longer buys an extra exact
+    * refinement round.
     */
   def q17MedianDisc(spark: SparkSession, dir: String): DataFrame =
     medianDisc(
@@ -264,37 +265,31 @@ object Relational {
         ((col("n") + 1) / 2).cast("long").as("k"))), Seq("event_type"))
       .filter(col("cum") >= col("k") && col("cum_prev") < col("k"))
       .select(col("event_type"), col("bkt"), (col("k") - col("cum_prev")).as("local_rank"))
-    // Phase 2: refine within the target bucket's own value range, then
-    // select on a per-value histogram. Only `value` survives the
-    // projection — the (value, event_id) order the rank is defined over
-    // never disambiguates the EMITTED value, because rows tied on value
-    // are interchangeable at any rank inside their run.
+    // Phase 2: select on a per-VALUE histogram of the target bucket.
+    // Only `value` survives the projection — the (value, event_id) order
+    // the rank is defined over never disambiguates the EMITTED value,
+    // because rows tied on value are interchangeable at any rank inside
+    // their run. Pre-aggregating per value BEFORE the window is the
+    // skew armor: a 99%-one-value group collapses to one histogram
+    // entry, and the cumulative window ordered by value reads the
+    // local rank directly off the aggregated counts. The window input
+    // is bounded by the DISTINCT values inside one √n-sized bucket —
+    // an adversary cramming n all-distinct values into one bucket
+    // (outliers stretching the range) degrades this to an O(n)
+    // single-partition pass that stays correct; at that point the
+    // honest cluster answer is [[Sketches.quantiles]], not another
+    // exact refinement round (r6 carried one; its two extra
+    // shuffle+window rounds cost +35% on every benign run and the r7
+    // ladder showed the constant never amortizes — see BASELINE.md).
     val targetRows = bucketed.join(broadcast(target), Seq("event_type", "bkt"))
       .select(col("event_type"), col("value"), col("local_rank"))
-      .persist() // consumed by the range stats and the refinement below
-    val stats2 = targetRows.groupBy(col("event_type"))
-      .agg(min(col("value")).as("bmin"), max(col("value")).as("bmax"))
-    val rebucketed = targetRows.join(broadcast(stats2), Seq("event_type"))
-      .withColumn("bkt2", when(col("bmin") === col("bmax"), lit(0L))
-        .otherwise(least(lit(buckets - 1),
-          floor((col("value") - col("bmin")) /
-            ((col("bmax") - col("bmin")) / buckets.toDouble)).cast("long"))))
-      .select(col("event_type"), col("value"), col("bkt2"), col("local_rank"))
-    val hist2 = rebucketed.groupBy(col("event_type"), col("bkt2"), col("local_rank"))
-      .agg(count(lit(1)).as("c2"))
-    val wcum2 = Window.partitionBy(col("event_type")).orderBy(col("bkt2"))
-    val target2 = hist2
-      .withColumn("cum2", sum(col("c2")).over(wcum2))
-      .withColumn("cum2_prev", col("cum2") - col("c2"))
-      .filter(col("cum2") >= col("local_rank") && col("cum2_prev") < col("local_rank"))
-      .select(col("event_type"), col("bkt2"),
-        (col("local_rank") - col("cum2_prev")).as("rank2"))
     val wval = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val fromBucket = rebucketed.join(broadcast(target2), Seq("event_type", "bkt2"))
-      .groupBy(col("event_type"), col("value"), col("rank2"))
+    val fromBucket = targetRows
+      .groupBy(col("event_type"), col("value"), col("local_rank"))
       .agg(count(lit(1)).as("cv"))
       .withColumn("cumv", sum(col("cv")).over(wval))
-      .filter(col("cumv") >= col("rank2") && col("cumv") - col("cv") < col("rank2"))
+      .filter(col("cumv") >= col("local_rank") &&
+        col("cumv") - col("cv") < col("local_rank"))
       .select(col("event_type"), col("value").as("median_value"))
     val allEqual = stats.filter(col("vmin") === col("vmax"))
       .select(col("event_type"), col("vmin").as("median_value"))

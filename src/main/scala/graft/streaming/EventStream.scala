@@ -149,15 +149,26 @@ object EventStream {
     try {
       val dates = signed.select(col("date")).distinct().collect().map(_.getString(0)).toSeq
       if (dates.nonEmpty) {
-        val existingKept = scala.util.Try(spark.read.parquet(storeDir)).toOption match {
-          case Some(store) =>
+        MergeStats.recordApplied()
+        // Existence is checked EXPLICITLY: a Try around the read would
+        // conflate "store not created yet" (expected on the first batch)
+        // with any other read failure (permissions, transient FS error),
+        // and the None branch rewrites touched partitions from the
+        // current batch alone — silently dropping kept rows. A real read
+        // failure must propagate and fail the batch instead.
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val storeExists = storePath
+          .getFileSystem(spark.sessionState.newHadoopConf()).exists(storePath)
+        val existingKept =
+          if (!storeExists) None
+          else {
             // partition-dir inference types `date` as DATE on read-back;
             // normalize to the feed's string form for the key join/union
-            Some(store.withColumn("date", col("date").cast("string"))
+            Some(spark.read.parquet(storeDir)
+              .withColumn("date", col("date").cast("string"))
               .filter(col("date").isin(dates: _*))
               .join(signed.select(keyCols.map(col): _*), keyCols, "left_anti"))
-          case None => None
-        }
+          }
         def overwriteStore(df: DataFrame): Unit =
           df.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -175,8 +186,7 @@ object EventStream {
             val staging = s"$storeDir.staging"
             val s0 = System.nanoTime()
             out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-            MergeStats.stagingNanos += System.nanoTime() - s0
-            MergeStats.stagedMerges += 1
+            MergeStats.recordStaged(System.nanoTime() - s0)
             overwriteStore(spark.read.parquet(staging))
             val p = new org.apache.hadoop.fs.Path(staging)
             p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
@@ -184,8 +194,7 @@ object EventStream {
       }
     } finally {
       signed.unpersist()
-      MergeStats.merges += 1
-      MergeStats.mergeNanos += System.nanoTime() - t0
+      MergeStats.recordMerge(System.nanoTime() - t0)
     }
   }
 
@@ -195,11 +204,28 @@ object EventStream {
     * of total merge time. Driver-side counters only — no executor state.
     */
   private[graft] object MergeStats {
-    @volatile var merges = 0L
-    @volatile var stagedMerges = 0L
-    @volatile var mergeNanos = 0L
-    @volatile var stagingNanos = 0L
-    def reset(): Unit = { merges = 0; stagedMerges = 0; mergeNanos = 0; stagingNanos = 0 }
+    import java.util.concurrent.atomic.AtomicLong
+    // AtomicLong, not @volatile var += (a lost-update race if two
+    // queries ever merge concurrently). appliedMerges counts merges
+    // whose batch actually touched dates — a zero-row micro-batch
+    // increments merges but neither applies nor stages.
+    private val _merges, _appliedMerges, _stagedMerges = new AtomicLong
+    private val _mergeNanos, _stagingNanos = new AtomicLong
+    def merges: Long = _merges.get
+    def appliedMerges: Long = _appliedMerges.get
+    def stagedMerges: Long = _stagedMerges.get
+    def mergeNanos: Long = _mergeNanos.get
+    def stagingNanos: Long = _stagingNanos.get
+    private[streaming] def recordApplied(): Unit = _appliedMerges.incrementAndGet()
+    private[streaming] def recordStaged(nanos: Long): Unit = {
+      _stagedMerges.incrementAndGet(); _stagingNanos.addAndGet(nanos)
+    }
+    private[streaming] def recordMerge(nanos: Long): Unit = {
+      _merges.incrementAndGet(); _mergeNanos.addAndGet(nanos)
+    }
+    def reset(): Unit =
+      Seq(_merges, _appliedMerges, _stagedMerges, _mergeNanos, _stagingNanos)
+        .foreach(_.set(0L))
   }
 
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")

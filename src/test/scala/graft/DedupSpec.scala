@@ -268,8 +268,14 @@ class DedupSpec extends AnyFunSuite {
     val lost = coveredU -- coveredC
     info(s"sf0.1 cap=10: ${capped.length} of ${uncapped.length} pairs kept, " +
       s"${coveredU.size} docs with near-dups, ${lost.size} lost all evidence")
-    assert(lost.isEmpty,
-      s"docs with qualifying partners but zero emitted pairs under the default cap: $lost")
+    // The contract does NOT guarantee lost.isEmpty (a doc whose every
+    // partner out-ranks it 10 deep legitimately vanishes), so pinning
+    // zero would let regenerated testdata break the suite with no code
+    // regression. Assert the measured property as a tolerance: total
+    // loss stays rare (≤1% of covered docs; 0 on current data).
+    assert(lost.size <= math.max(1, coveredU.size / 100),
+      s"cap=10 silently dropped ALL evidence for ${lost.size} of " +
+        s"${coveredU.size} covered docs (docs: ${lost.take(20)})")
   }
 
   test("adaptive LSH bits keep expected bucket occupancy constant in n") {

@@ -84,11 +84,16 @@ class StreamingSpec extends AnyFunSuite {
     // round-trip's extra parquet write is reported as a share of total
     // merge time so the I/O price stays on the record.
     val ms = EventStream.MergeStats
-    assert(ms.merges > 0)
-    assert(ms.stagedMerges == ms.merges - 1,
-      s"expected exactly the first of ${ms.merges} merges to skip staging, " +
-        s"got ${ms.stagedMerges} staged")
-    info(f"signed-export merges: ${ms.merges} total, ${ms.stagedMerges} staged; " +
+    assert(ms.appliedMerges > 0)
+    // Count against APPLIED merges (batches that touched dates): a
+    // zero-row micro-batch increments `merges` without staging and must
+    // not fail this property. Exactly the first applied merge (store
+    // not yet created) skips staging.
+    assert(ms.stagedMerges == ms.appliedMerges - 1,
+      s"expected exactly the first of ${ms.appliedMerges} applied merges to " +
+        s"skip staging, got ${ms.stagedMerges} staged (${ms.merges} total merges)")
+    info(f"signed-export merges: ${ms.merges} total, ${ms.appliedMerges} applied, " +
+      f"${ms.stagedMerges} staged; " +
       f"staging write ${ms.stagingNanos / 1e9}%.2f s of ${ms.mergeNanos / 1e9}%.2f s " +
       f"merge time (${100.0 * ms.stagingNanos / math.max(ms.mergeNanos, 1)}%.0f%%)")
     def snapshot() = spark.read.parquet(storeDir)
