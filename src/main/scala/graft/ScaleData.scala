@@ -57,6 +57,38 @@ object ScaleData {
       }
     }.reduce(_ unionByName _)
 
+  /** Scaled events table: `factor` copies with event/user ids shifted.
+    * Exposed so ScaleSpec can pin sf1-scale correctness rows without
+    * shelling out to main() (which writes every table).
+    */
+  def scaledEvents(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, srcDir)
+    replicate(ev, factor,
+      Map("event_id" -> offset(ev, "event_id"), "user_id" -> offset(ev, "user_id")))
+  }
+
+  /** Scaled embeddings table: `factor` copies, each rotated i mod 64
+    * positions (and sign-flipped past the rotation period) so copies
+    * keep within-copy cosine structure without being near-duplicates
+    * of each other. Copy 0 is the original data, so the vec_id < 8
+    * query set of the similarity operators is preserved verbatim.
+    */
+  def scaledEmbeddings(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    require(factor <= 128, s"factor $factor exceeds the perturbation period (128)")
+    val emb = graft.sources.Tables.embeddings(spark, srcDir)
+    val offV = offset(emb, "vec_id")
+    (0 until factor).map { i =>
+      val r = i % 64
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))
+      val perturbed =
+        if ((i / 64) % 2 == 1) transform(rotated, v => -v) else rotated
+      emb.select((col("vec_id") + lit(i * offV)).as("vec_id"),
+        perturbed.cast("array<float>").as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt
@@ -105,9 +137,7 @@ object ScaleData {
     // events: Tables.events already normalizes ts to a µs timestamp;
     // the scaled copy persists it as a true TIMESTAMP column (DuckDB
     // reads it directly; Tables.events passes it through unchanged).
-    val ev = Tables.events(spark, srcDir)
-    write("events", replicate(ev, factor,
-      Map("event_id" -> offset(ev, "event_id"), "user_id" -> offset(ev, "user_id"))))
+    write("events", scaledEvents(spark, srcDir, factor))
 
     val docs = Tables.documents(spark, srcDir)
     val offD = offset(docs, "doc_id")
@@ -126,20 +156,7 @@ object ScaleData {
         translate(col("text"), alpha, affine(i)).as("text"))
     }.reduce(_ unionByName _))
 
-    val emb = Tables.embeddings(spark, srcDir)
-    val offV = offset(emb, "vec_id")
-    write("embeddings", (0 until factor).map { i =>
-      val r = i % 64
-      val rotated =
-        if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))
-      // second dimension past the 64 rotations: negate the whole vector
-      // (within-copy cosines unchanged; cross-sign cosines flip negative)
-      val perturbed =
-        if ((i / 64) % 2 == 1) transform(rotated, v => -v) else rotated
-      emb.select((col("vec_id") + lit(i * offV)).as("vec_id"),
-        perturbed.cast("array<float>").as("embedding"))
-    }.reduce(_ unionByName _))
+    write("embeddings", scaledEmbeddings(spark, srcDir, factor))
 
     spark.stop()
   }

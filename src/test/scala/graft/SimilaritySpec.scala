@@ -36,11 +36,10 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(s"mean recall@10 = $mean")
-    // 16 tables x adaptive-width signatures (3 bits at n=500) measured
-    // ~0.84 on this data; 0.4 leaves margin while still catching a
-    // broken hash family (~0.02 expected under random candidate
-    // selection).
-    assert(mean >= 0.4, s"ANN recall collapsed: $mean")
+    // At n=500 the hybrid planner takes the dense-scan path (probe
+    // budget × occupancy >> corpus), so recall is exact. The bucket
+    // path's own recall is pinned separately in ScaleSpec at n=50k.
+    assert(mean >= 0.99, s"ANN recall collapsed: $mean")
   }
 
   test("fast top-(k+margin) prune contains the exact top-k (hand-off guard)") {
