@@ -205,24 +205,40 @@ object Curation {
     val dfreq = trainPost.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wByRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("test_id")).orderBy(col("df").asc_nulls_first, col("s"))
+    // SHUFFLE_HASH on every candidate-path join: the test-prefix side is
+    // the small stream at each step (test is 5% of the corpus, and the
+    // prefix keeps ~(1−c) of its postings) while dfreq/trainPost/train
+    // are n-scale and far past any broadcast threshold — sort-merge
+    // would sort the big posting streams once per join (the r7 sf10
+    // ladder measured this class of cost at 2–4 s per join on ngram).
     val testPre = test
       .select(col("doc_id").as("test_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s"))
-      .join(dfreq, Seq("s"), "left")
+      .join(dfreq.hint("shuffle_hash"), Seq("s"), "left")
       .withColumn("rn", row_number().over(wByRarity))
       .filter(col("rn") <=
         (col("sz") - ceil(col("sz") * minContain - lit(1e-9)) + 1).cast("int"))
       .select(col("test_id"), col("s"))
-    val cand = testPre.join(trainPost, Seq("s"))
-      .select(col("test_id"), col("train_id")).distinct()
+    // NO distinct on the candidate stream (ngram lesson, r7): a pair
+    // appears once per shared prefix shingle, so only truly-contaminated
+    // pairs duplicate meaningfully — and those are exactly the rare rows.
+    // Verification is per-row idempotent; duplicates are collapsed AFTER
+    // the ≥ minContain filter, where the survivor set is orders of
+    // magnitude smaller than the candidate stream.
+    val cand = testPre.hint("shuffle_hash").join(trainPost, Seq("s"))
+      .select(col("test_id"), col("train_id"))
     cand
-      .join(test.select(col("doc_id").as("test_id"), col("sh").as("tsh")), Seq("test_id"))
-      .join(train.select(col("doc_id").as("train_id"), col("sh").as("rsh")), Seq("train_id"))
+      .join(test.select(col("doc_id").as("test_id"), col("sh").as("tsh"))
+        .hint("shuffle_hash"), Seq("test_id"))
+      .join(train.select(col("doc_id").as("train_id"), col("sh").as("rsh"))
+        .hint("shuffle_hash"), Seq("train_id"))
       .select(col("test_id"), col("train_id"),
         (graft.functions.IntersectCountSorted.intersect_count_sorted(
           col("tsh"), col("rsh")).cast("double") /
           size(col("tsh")).cast("double")).as("containment"))
       .filter(col("containment") >= minContain)
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(first(col("containment")).as("containment"))
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_contaminating"),
         max(struct(col("containment"), col("train_id"))).as("worst"))

@@ -200,7 +200,12 @@ object Dedup {
     val bandKeys = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
-    val cand = bandKeys.as("a").join(bandKeys.as("b"),
+    // SHUFFLE_HASH on the self-join and both signature fetches: none of
+    // these sides broadcast (the signature table is ~n·k·8 bytes), and
+    // sort-merge would sort the 16·n band-key stream twice and the
+    // candidate stream twice more — the same class of cost the r7 sf10
+    // ladder measured on ngram/simhash verification joins.
+    val cand = bandKeys.as("a").join(bandKeys.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -212,8 +217,8 @@ object Dedup {
                  k: Int = 64, bands: Int = 16): DataFrame = {
     val (sig, cand) = minhashSigAndCandidates(spark, dir, k, bands)
     val est = cand
-      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sig.as("sa").hint("shuffle_hash"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb").hint("shuffle_hash"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (graft.functions.MatchCount.match_count(col("sa.sig"), col("sb.sig"))
           .cast("double") / k).as("est_jaccard"))
@@ -410,7 +415,10 @@ object Dedup {
           .orderBy(xxhash64(col("doc_id"), col("table_id")), col("doc_id"))) - 1)
         / blockSize))
       .persist() // both sides of the block self-join
-    blocked.as("a").join(blocked.as("b"),
+    // SHUFFLE_HASH: the blocked side is n·tables wide rows (embedding
+    // rides the join so verification is fused into it) — sort-merge
+    // would sort that stream twice; hashing one side skips both sorts.
+    blocked.as("a").join(blocked.as("b").hint("shuffle_hash"),
         col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
