@@ -155,4 +155,47 @@ class ExprSpec extends AnyFunSuite {
         .as("declarative"))
     assert(df.filter(col("fused") =!= col("declarative")).isEmpty)
   }
+
+  test("SumScaled equals the decimal sum it replaces, including edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(18, 4))).cast("double")
+    def fast(c: org.apache.spark.sql.Column) =
+      SumScaled.sum_scaled(c.cast("double"), 4)
+    // real-data sweep: every double measure in the fact tables
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val r = li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      dec(col("l_quantity")).as("d1"), fast(col("l_quantity")).as("f1"),
+      dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("d2"),
+      fast(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("f2"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getDouble(2) == row.getDouble(3), s"quantity sum diverged: $row")
+      assert(row.getDouble(4) == row.getDouble(5), s"disc price sum diverged: $row")
+    }
+    // crafted edges: negatives, nulls ignored, all-null and empty groups
+    // → NULL, and low-word wraparound (two values whose scaled sum
+    // crosses 2^63 exercise the 128-bit carry; the decimal oracle
+    // widens to decimal(28,4) and stays exact)
+    // 9e13 fits Decimal(18,4) (max 1e14); twelve of them sum to a
+    // scaled 1.08e19 > 2^63, wrapping the low word
+    val big = 9.0e13
+    val edges = (Seq[(String, java.lang.Double)](
+      ("neg", -123.4567), ("neg", 0.00005), ("neg", -0.00005),
+      ("nulls", null), ("nulls", 1.5), ("allnull", null)) ++
+      Seq.fill(12)(("carry", java.lang.Double.valueOf(big))))
+      .toDF("k", "v")
+    val e = edges.groupBy(col("k"))
+      .agg(dec(col("v")).as("d"), fast(col("v")).as("f"))
+      .collect().map(row => row.getString(0) ->
+        (Option(row.get(1)), Option(row.get(2)))).toMap
+    assert(e("allnull") == (None, None), s"all-null group must be NULL: ${e("allnull")}")
+    for (k <- Seq("neg", "nulls", "carry"))
+      assert(e(k)._1 == e(k)._2, s"group $k diverged: ${e(k)}")
+    assert(e("carry")._2.contains(1.08e15), s"carry group sum wrong: ${e("carry")}")
+    // empty relation → NULL (SQL SUM semantics)
+    val empty = Seq.empty[Double].toDF("v").agg(fast(col("v"))).head
+    assert(empty.isNullAt(0), "sum over zero rows must be NULL")
+  }
 }

@@ -182,6 +182,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination picks the count plan at low tau and the prefix plan at selective tau") {
+    // The rarity window (row_number over the df order) exists ONLY on
+    // the prefix path; the count plan must never build it — at the
+    // registered τ=0.05 a prefix covering ~95% of postings makes the
+    // whole prefix machinery overhead (BASELINE.md sf10: 18.2 → 11.9 s).
+    // Counted on the optimized LOGICAL plan: AQE hides physical window
+    // operators behind unresolved query stages before execution.
+    def windows(tau: Double): Int =
+      graft.operators.Curation.contamination(spark, dir, minContain = tau)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }.size
+    assert(windows(0.05) == 0,
+      "low-tau contamination built the rarity window: the prefix plan leaked into the count path")
+    assert(windows(0.3) >= 1,
+      "selective-tau contamination lost its rarity window: the prefix order is gone")
+  }
+
   test("windows keyed by low-cardinality columns never run over a raw scan") {
     // A window PARTITION BY a handful-of-distinct-values key over the full
     // table is an unpartitioned window in disguise: every row shuffles into
