@@ -75,5 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(e, t, b) =>
         LshBuckets(e, intArg(t, "lsh_buckets", 2), intArg(b, "lsh_buckets", 3))
     }
+    reg("sum_scaled", "sum_scaled(x, scale) - exact fixed-point SUM (128-bit accumulator), double out") {
+      case Seq(x, s) => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+        SumScaled(x, intArg(s, "sum_scaled", 2)),
+        org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false)
+    }
   }
 }

@@ -52,6 +52,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(row.getInt(2) == 4)
   }
 
+  test("sum_scaled callable from SQL and NULL on empty input") {
+    val r = spark.sql(
+      "SELECT sum_scaled(v, 4) AS s FROM VALUES (1.25), (2.5), (CAST(NULL AS DOUBLE)) AS t(v)").head
+    assert(r.getDouble(0) == 3.75)
+    val empty = spark.sql(
+      "SELECT sum_scaled(v, 4) AS s FROM VALUES (CAST(NULL AS DOUBLE)) AS t(v)").head
+    assert(empty.isNullAt(0))
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_shingled(array('a','b','c'), 3, CAST(rand()*4 AS INT))").collect()
