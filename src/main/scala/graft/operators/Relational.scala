@@ -53,13 +53,20 @@ object Relational {
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
-    // SHUFFLE_HASH on the orders side: both join inputs exceed any
-    // broadcast threshold, and the downstream aggregate keys on the
-    // join key, so the sort-merge sorts of the 60M-row lineitem stream
-    // buy nothing — the per-partition orders build is a few MB at any
-    // scale (partition count grows with the cluster). Measured at
-    // sf10: 6.2 → 4.2 s warm.
-    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+    // SHUFFLE_HASH on the orders side once it outgrows broadcast: the
+    // downstream aggregate keys on the join key, so the sort-merge
+    // sorts of the 60M-row lineitem stream buy nothing — the
+    // per-partition orders build is a few MB at any scale (partition
+    // count grows with the cluster). Size-gated because the hint
+    // outranks size-based broadcast in JoinSelection: at sf0.1 the
+    // filtered orders side broadcasts and the forced shuffle is a 23%
+    // loss (same-session A/B: 0.56 vs 0.69 s), while at sf1/sf10 the
+    // hint wins −8%/−22% (6.04 → 4.72 s at sf10). Footer row count,
+    // no extra job — same cost-based switch as contamination's.
+    val ordBig =
+      if (Tables.parquetRowCount(spark, dir, "orders") > 1000000L) ord.hint("shuffle_hash")
+      else ord
+    li.join(ordBig, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), dstr(col("o_orderdate")).as("orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
