@@ -75,6 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(e, t, b) =>
         LshBuckets(e, intArg(t, "lsh_buckets", 2), intArg(b, "lsh_buckets", 3))
     }
+    reg("first_int", "first_int(s) - first decimal digit run as INT, null if absent/overflow") {
+      case Seq(s) => FirstInt(s)
+    }
+    reg("date_str", "date_str(ts) - timestamp as 'yyyy-MM-dd' in the session zone") {
+      // session zone injected by the analyzer's ResolveTimeZone rule
+      case Seq(ts) => DateStr(ts)
+    }
     reg("sum_scaled", "sum_scaled(x, scale) - exact fixed-point SUM (128-bit accumulator), double out") {
       case Seq(x, s) => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
         SumScaled(x, intArg(s, "sum_scaled", 2)),

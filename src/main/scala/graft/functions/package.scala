@@ -34,7 +34,9 @@ package object functions {
   def dmean(c: Column): Column = divSafe(dsum(c), count(c).cast("double"))
 
   /** Timestamp → 'yyyy-MM-dd' string; dates cross the oracle boundary as
-    * strings so engine-internal date encodings never disagree.
+    * strings so engine-internal date encodings never disagree. The
+    * [[DateStr]] kernel replaces `date_format(c, "yyyy-MM-dd")`
+    * bit-identically (ExprSpec) minus its per-row formatter walk.
     */
-  def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  def dstr(c: Column): Column = DateStr.date_str(c)
 }

@@ -198,4 +198,87 @@ class ExprSpec extends AnyFunSuite {
     val empty = Seq.empty[Double].toDF("v").agg(fast(col("v"))).head
     assert(empty.isNullAt(0), "sum over zero rows must be NULL")
   }
+
+  test("FirstInt is bit-identical to regexp_extract('[0-9]+')::int incl. edges") {
+    import spark.implicits._
+    // crafted edges: empty, no digits, leading zeros, digit run at
+    // start/middle/end, multiple runs (first wins), Int.MaxValue ± 1,
+    // long-run overflow, digits after multi-byte UTF-8, null
+    val cases = Seq(
+      "", "no digits here", "007", "42", "x42", "42x", "a1b2c3",
+      "{\"k\": 76}", s"${Int.MaxValue}", "2147483648", "99999999999999999999x5",
+      "héllo 123 wörld", "∆9∆", "-15", "3.14", null)
+    val df = cases.toDF("s").select(
+      col("s"),
+      FirstInt.first_int(col("s")).as("fused"),
+      expr("try_cast(regexp_extract(s, '[0-9]+', 0) AS INT)").as("declarative"))
+    df.collect().foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"FirstInt diverged on '${r.get(0)}': fused=${r.get(1)} regex=${r.get(2)}")
+    }
+    // real-data sweep over every props payload + SQL registration
+    val ev = graft.sources.Tables.events(spark, dir)
+    assert(ev.select(FirstInt.first_int(col("props")).as("a"),
+        expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS INT)").as("b"))
+      .filter(not(col("a") <=> col("b"))).isEmpty)
+    ev.createOrReplaceTempView("ev_firstint")
+    assert(spark.sql(
+      "SELECT count(*) FROM ev_firstint WHERE NOT (first_int(props) <=> " +
+        "TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INT))").head.getLong(0) == 0L)
+  }
+
+  test("DateStr is bit-identical to date_format(ts, 'yyyy-MM-dd')") {
+    import spark.implicits._
+    // dense sweep around every epoch-day boundary of a leap/century
+    // window + uniform random micros over years [1, 9999] (civil fast
+    // path, incl. pre-1970 negatives), + null
+    val rnd = new scala.util.Random(7)
+    val loMicros = java.time.LocalDate.of(1, 1, 2)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+    val hiMicros = java.time.LocalDate.of(9999, 12, 30)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+    val crafted = Seq(
+      0L, -1L, 1L, -86400000000L, 86399999999L,                  // epoch edges
+      946684799999999L, 946684800000000L,                        // 1999→2000
+      951868799999999L, 951868800000000L,                        // 2000-02-29
+      4107542399999999L, 4107542400000000L)                      // 2100-02-28→03-01
+    val random = Seq.fill(2000)(
+      loMicros + (rnd.nextDouble() * (hiMicros - loMicros)).toLong)
+    val df = (crafted ++ random).map(java.lang.Long.valueOf)
+      .toDF("us").select(timestamp_micros(col("us")).as("ts"))
+      .union(Seq[Option[Long]](None).toDF("us")
+        .select(timestamp_micros(col("us")).as("ts")))
+    def check(d: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = d.select(col("ts"),
+          DateStr.date_str(col("ts")).as("fused"),
+          date_format(col("ts"), "yyyy-MM-dd").as("declarative"))
+        .filter(not(col("fused") <=> col("declarative"))).collect()
+      assert(bad.isEmpty, s"DateStr diverged on: ${bad.take(5).mkString("; ")}")
+    }
+    check(df)
+    // a DST zone exercises the per-row offset path (spring-forward and
+    // fall-back days included in the crafted range below)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      check(df)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // TIMESTAMP_NTZ leg: no zone conversion on either side (the scale
+    // ladder's parquet surfaces timestamps as NTZ)
+    val ntz = df.select(col("ts").cast("timestamp_ntz").as("tn"))
+    val badNtz = ntz.select(col("tn"),
+        DateStr.date_str(col("tn")).as("fused"),
+        date_format(col("tn"), "yyyy-MM-dd").as("declarative"))
+      .filter(not(col("fused") <=> col("declarative"))).collect()
+    assert(badNtz.isEmpty, s"DateStr NTZ diverged on: ${badNtz.take(5).mkString("; ")}")
+    // real-data sweep + SQL registration
+    val evd = graft.sources.Tables.events(spark, dir)
+    assert(evd.select(DateStr.date_str(col("ts")).as("a"),
+        date_format(col("ts"), "yyyy-MM-dd").as("b"))
+      .filter(not(col("a") <=> col("b"))).isEmpty)
+    evd.createOrReplaceTempView("ev_datestr")
+    assert(spark.sql(
+      "SELECT count(*) FROM ev_datestr WHERE NOT (date_str(ts) <=> " +
+        "date_format(ts, 'yyyy-MM-dd'))").head.getLong(0) == 0L)
+  }
 }
