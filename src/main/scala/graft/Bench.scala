@@ -67,13 +67,19 @@ object Bench {
         tiny.groupBy("k").sum("v").write.format("noop").mode("overwrite").save())
       one.unpersist()
     }
+    // A failed query must NEVER fold into the timing columns: its
+    // near-zero elapsed would read as a speedup, so a regression that
+    // breaks a query would "improve" the sweep. Failures are collected
+    // and emitted as a separate "failed" key instead.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { r =>
         val cg0 = if (profile) codegenStats() else (0L, 0L)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
         }
         val dt = (System.nanoTime() - t0) / 1e9
         if (profile) {
@@ -90,12 +96,17 @@ object Bench {
         System.err.println(f"[bench-reps] $name ${times.map(t => f"$t%.3f").mkString(" ")}")
       name -> (times.min, times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
+    val ok = results.filterNot { case (k, _) => failed(k) }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val coldTotal = results.map(_._2._2).sum
+    val total = ok.map(_._2._1).sum
+    val coldTotal = ok.map(_._2._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","reps":$reps,"cold_total":$coldTotal}""")
+      s""""sf":"$sfDir","reps":$reps,"cold_total":$coldTotal$failedJson}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(2)
   }
 }
