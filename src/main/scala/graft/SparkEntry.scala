@@ -65,6 +65,7 @@ object SparkEntry {
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_quality"     -> TextAnalysis.quality _,
     "text_langid"      -> TextAnalysis.langid _,
+    "text_repetition"  -> TextAnalysis.repetition _,
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_pii_scrub"   -> Curation.piiScrub _,
     "split_train_test" -> Curation.splitAssign _,
@@ -539,6 +540,20 @@ object SparkEntry {
         |      / CAST(len(text) AS DOUBLE) AS alpha_ratio
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(n) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |  CAST(max(n) AS BIGINT) AS top_word_n,
+        |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_word_frac,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS distinct_word_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """SELECT doc_id, score_en, score_es, score_de, score_fr,

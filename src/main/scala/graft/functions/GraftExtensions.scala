@@ -78,6 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("first_int", "first_int(s) - first decimal digit run as INT, null if absent/overflow") {
       case Seq(s) => FirstInt(s)
     }
+    reg("word_stats", "word_stats(text) - (n_words, n_distinct, top_n) word-frequency profile") {
+      case Seq(t) => WordStats(t)
+    }
     reg("date_str", "date_str(ts) - timestamp as 'yyyy-MM-dd' in the session zone") {
       // session zone injected by the analyzer's ResolveTimeZone rule
       case Seq(ts) => DateStr(ts)

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumn}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document word-frequency profile in ONE pass: total word count,
+  * distinct word count, and the top word's occurrence count — the
+  * Gopher/RefinedWeb-class repetition signals (`top_word_frac`,
+  * vocabulary richness) every corpus-quality filter computes before
+  * expensive pipeline stages.
+  *
+  * The declarative form — explode words, `groupBy(doc_id, word)`, then
+  * `groupBy(doc_id)` — shuffles the ENTIRE token stream twice; at
+  * 100 TB that is the single largest avoidable shuffle in a curation
+  * pass. This kernel keeps the whole profile a map-side column
+  * expression: an open-addressing hash of 64-bit word hashes scanned
+  * once per row, no shuffle at all.
+  *
+  * Word = segment of the text split on single spaces, empties kept —
+  * the `split(text, ' ')` / DuckDB `string_split` convention every
+  * other word-level operator here uses ([[TextStats]]). Words are
+  * counted by XXH64 of their bytes: two distinct words colliding
+  * within one document (p ≈ n²/2⁶⁵) would merge their counts; at any
+  * realistic per-document vocabulary this is below 1e-12 and the
+  * ExprSpec parity sweep pins exactness on real data.
+  */
+case class WordStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = WordStats.Schema
+  override def prettyName: String = "word_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    WordStats.profile(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordStats.profile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordStats {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_n", IntegerType, nullable = false)))
+
+  /** Static entry point shared by the interpreted and codegen paths.
+    * Open-addressing (linear probe) table of (word-hash → count).
+    * Distinct words ≤ word count, so sizing the table at the first
+    * power of two ≥ 2× the word count bounds load below 50% with no
+    * rehash ever — one allocation per row, O(words) total work.
+    */
+  def profile(text: UTF8String): InternalRow = {
+    val b = text.getBytes
+    val n = b.length
+    // word count first: segments on ' ' = spaces + 1 (empties kept)
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (b(i) == ' ') spaces += 1; i += 1 }
+    val nWords = spaces + 1
+
+    val cap = Integer.highestOneBit(math.max(8, nWords) - 1) * 4
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    var used = 0
+    var topN = 0
+
+    // hash of the empty word (start == end) is XXH64's seed-42 of zero
+    // bytes — a fixed value, fine: it only needs to be distinct per word
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+            i - start, 42L)
+        var p = (h.toInt ^ (h >>> 32).toInt) & mask
+        while (counts(p) != 0 && keys(p) != h) p = (p + 1) & mask
+        if (counts(p) == 0) { keys(p) = h; used += 1 }
+        counts(p) += 1
+        if (counts(p) > topN) topN = counts(p)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nWords, used, topN))
+  }
+
+  def word_stats(text: Column): Column =
+    GraftColumn.column(WordStats(GraftColumn.expression(text)))
+}

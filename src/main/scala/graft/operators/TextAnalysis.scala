@@ -105,6 +105,28 @@ object TextAnalysis {
         langPred(col("ts")).as("lang_pred"): _*)
       .orderBy(col("doc_id"))
 
+  /** `text_repetition`: Gopher/RefinedWeb-class repetition signals —
+    * top-word fraction and vocabulary richness — per document. The
+    * [[graft.functions.WordStats]] kernel computes the whole
+    * word-frequency profile in one map-side pass; the declarative form
+    * (explode → groupBy(doc, word) → groupBy(doc)) shuffles the entire
+    * token stream twice, the single largest avoidable shuffle in a
+    * 100 TB curation sweep. Ratios are single double divisions of
+    * exact integer counts (engine-deterministic, SURVEY §4).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws", graft.functions.WordStats.word_stats(col("text")))
+      .select(col("doc_id"),
+        col("ws.n_words").cast("long").as("n_words"),
+        col("ws.n_distinct").cast("long").as("n_distinct_words"),
+        col("ws.top_n").cast("long").as("top_word_n"),
+        (col("ws.top_n").cast("double") / col("ws.n_words").cast("double"))
+          .as("top_word_frac"),
+        (col("ws.n_distinct").cast("double") / col("ws.n_words").cast("double"))
+          .as("distinct_word_frac"))
+      .orderBy(col("doc_id"))
+
   /** `text_fingerprint`: winnowing rolling-hash fingerprint via the
     * [[RollingHash]] custom expression (rows-only; verified against an
     * independent reimplementation in TextSpec).

@@ -227,6 +227,36 @@ class ExprSpec extends AnyFunSuite {
         "TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INT))").head.getLong(0) == 0L)
   }
 
+  test("WordStats equals the declarative explode/groupBy word profile") {
+    import spark.implicits._
+    // crafted edges: empty text (one empty word), single word, double
+    // space (empty middle word), all-same, multi-byte words, a word
+    // equal to the empty-string hash input's neighbors
+    val crafted = Seq(
+      "", "a", "a a", "a  a", "a a a a", "the the the cat",
+      "héllo héllo wörld", "x " * 200 + "y", "∆ ∆ ∆")
+    val real = graft.sources.Tables.documents(spark, dir)
+      .select(col("text")).as[String].collect().toSeq
+    val df = (crafted ++ real).toDF("text")
+    val fused = df.select(col("text"),
+      WordStats.word_stats(col("text")).as("ws"))
+      .select(col("text"), col("ws.n_words"), col("ws.n_distinct"), col("ws.top_n"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    (crafted ++ real).foreach { t =>
+      val words = t.split(" ", -1).toSeq
+      val counts = words.groupBy(identity).view.mapValues(_.size)
+      val expect = (words.size, counts.size, counts.values.max)
+      assert(fused(t) == expect, s"WordStats diverged on '${t.take(60)}': " +
+        s"got ${fused(t)}, expect $expect")
+    }
+    // SQL registration
+    Seq("a b a").toDF("text").createOrReplaceTempView("ws_reg")
+    val row = spark.sql(
+      "SELECT word_stats(text).n_words, word_stats(text).n_distinct, " +
+        "word_stats(text).top_n FROM ws_reg").head
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((3, 2, 2)))
+  }
+
   test("DateStr is bit-identical to date_format(ts, 'yyyy-MM-dd')") {
     import spark.implicits._
     // dense sweep around every epoch-day boundary of a leap/century
