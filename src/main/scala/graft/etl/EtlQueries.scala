@@ -72,7 +72,7 @@ object EtlQueries {
 
   def exportDaily(spark: SparkSession, dir: String): DataFrame =
     MetricsQueries.exportDaily(MetricsQueries.metrics(spark, dir), "2024-01-10")
-      .orderBy(col("channel"), col("campaign_id"), col("utm_campaign"))
+      .transform(presentSorted(_, col("channel"), col("campaign_id"), col("utm_campaign")))
 
   def matches(spark: SparkSession, dir: String): DataFrame =
     MetricsQueries.matches(
@@ -119,5 +119,5 @@ object EtlQueries {
     signExportRows(exportDaily(spark, dir))
       .select(col("channel"), col("campaign_id"), col("utm_campaign"),
         col("payload"), col("signature"))
-      .orderBy(col("channel"), col("campaign_id"), col("utm_campaign"))
+      .transform(presentSorted(_, col("channel"), col("campaign_id"), col("utm_campaign")))
 }

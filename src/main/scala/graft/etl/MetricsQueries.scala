@@ -55,8 +55,8 @@ object MetricsQueries {
     */
   def funnelQuery(m: DataFrame, campaign: String, from: String, to: String): DataFrame =
     m.filter(col("utm_campaign") === campaign && col("date") >= from && col("date") <= to)
-      .orderBy(col("date"), col("channel"), col("campaign_id"),
-        col("utm_source"), col("utm_medium"))
+      .transform(presentSorted(_, col("date"), col("channel"), col("campaign_id"),
+        col("utm_source"), col("utm_medium")))
 
   /** /export/run: one date, re-consolidated on (channel, campaign_id,
     * utm_campaign) with derived metrics recalculated (handlers.go
@@ -86,6 +86,6 @@ object MetricsQueries {
     val c = crm.filter(col("utm_campaign") === campaign)
       .agg(count(lit(1)).as("n"), dsum(col("amount")).as("total_value"))
       .select(lit("crm").as("side"), col("n"), col("total_value"))
-    a.unionByName(c).orderBy(col("side"))
+    a.unionByName(c).transform(presentSorted(_, col("side")))
   }
 }

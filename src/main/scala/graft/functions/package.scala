@@ -39,4 +39,19 @@ package object functions {
     * bit-identically (ExprSpec) minus its per-row formatter walk.
     */
   def dstr(c: Column): Column = DateStr.date_str(c)
+
+  /** Presentation ordering for results whose cardinality is bounded by
+    * a key DOMAIN (status flags, channels, calendar buckets) rather
+    * than the data volume: one round-robin exchange to a single
+    * partition + an in-partition sort. Same rows and total order as
+    * `orderBy`, but skips the range-partitioner sampling pass — a
+    * whole extra job on every interactive query (measured 0.33 →
+    * 0.15 s per query at sf0.1), while the aggregation below it stays
+    * fully parallel. NOT for row-level outputs (extracts, per-doc
+    * tables): those keep `orderBy`'s parallel range sort, which is the
+    * only shape that scales with output volume.
+    */
+  def presentSorted(df: org.apache.spark.sql.DataFrame,
+                    keys: Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(1).sortWithinPartitions(keys: _*)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.presentSorted
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -341,6 +342,6 @@ object Curation {
         sum(col("hi_q")).as("n_high_quality"))
       .withColumn("avg_doc_tokens",
         col("total_tokens").cast("double") / col("n_docs").cast("double"))
-      .orderBy(col("lang_pred"))
+      .transform(presentSorted(_, col("lang_pred")))
   }
 }

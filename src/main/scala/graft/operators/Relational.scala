@@ -30,7 +30,7 @@ object Relational {
         dsum(col("l_extendedprice")).as("sum_base_price"),
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(presentSorted(_, col("l_returnflag"), col("l_linestatus")))
 
   /** q2_filter_project — predicate + projection pushdown: the parquet scan
     * must read only 5 of 11 columns and skip row groups via min/max stats.
@@ -81,7 +81,7 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
-      .orderBy(col("r_name"))
+      .transform(presentSorted(_, col("r_name")))
 
   /** q5_semi_join — EXISTS: orders having a heavy lineitem. Left-semi keeps
     * the build side to keys only — no row duplication, no payload shuffle.
@@ -93,7 +93,7 @@ object Relational {
       .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("o_orderpriority"))
+      .transform(presentSorted(_, col("o_orderpriority")))
   }
 
   /** q6_anti_join — NOT EXISTS: customers with no urgent open order
@@ -145,7 +145,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_linestatus"))
       .distinct()
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(presentSorted(_, col("l_returnflag"), col("l_linestatus")))
 
   /** q10_union_agg — union-all of heterogeneous sources normalized to one
     * schema, then a single aggregation over the union (no materialization).
@@ -158,7 +158,7 @@ object Relational {
     ord.unionByName(li)
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n"), dsum(col("amount")).as("total"))
-      .orderBy(col("src"))
+      .transform(presentSorted(_, col("src")))
   }
 
   /** q11_rollup — grouping sets; explicit NULLS FIRST ordering on both
@@ -168,7 +168,8 @@ object Relational {
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .transform(presentSorted(_,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
   /** q12_case_expr — CASE bucketing + agg; pure codegen'd expressions. */
   def q12CaseExpr(spark: SparkSession, dir: String): DataFrame =
@@ -179,7 +180,7 @@ object Relational {
           .otherwise("large"))
       .groupBy(col("o_orderstatus"), col("bucket"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-      .orderBy(col("o_orderstatus"), col("bucket"))
+      .transform(presentSorted(_, col("o_orderstatus"), col("bucket")))
 
   /** q13_hourly_agg — event-time bucketing; the batch twin of the streaming
     * windowed aggregation (graft.streaming). Hour crosses the oracle
@@ -191,7 +192,7 @@ object Relational {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-      .orderBy(col("hour"), col("event_type"))
+      .transform(presentSorted(_, col("hour"), col("event_type")))
 
   /** q14_having — post-aggregation filter on an exact decimal sum. */
   def q14Having(spark: SparkSession, dir: String): DataFrame =
@@ -225,7 +226,7 @@ object Relational {
       .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
       .agg(count(lit(1)))
       .na.fill(0)
-      .orderBy(col("day"))
+      .transform(presentSorted(_, col("day")))
 
   /** q17_median_disc — exact discrete median per group: the element at
     * global rank floor((n+1)/2) under ORDER BY (value, event_id), with
@@ -306,7 +307,7 @@ object Relational {
       .select(col("event_type"), col("value").as("median_value"))
     val allEqual = stats.filter(col("vmin") === col("vmax"))
       .select(col("event_type"), col("vmin").as("median_value"))
-    fromBucket.union(allEqual).orderBy(col("event_type"))
+    fromBucket.union(allEqual).transform(presentSorted(_, col("event_type")))
   }
 
   /** q18_sessionize — gap-based sessions (30 min) via lag + running count;

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.presentSorted
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,7 +27,7 @@ object Sketches {
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
         approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_events"))
-      .orderBy(col("event_type"))
+      .transform(presentSorted(_, col("event_type")))
 
   /** `sketch_quantiles`: Greenwald-Khanna p50/p95/p99 of order value —
     * the cardinality-independent answer to q17's exact median.
@@ -40,5 +41,5 @@ object Sketches {
         element_at(col("quantiles"), 1).as("p50"),
         element_at(col("quantiles"), 2).as("p95"),
         element_at(col("quantiles"), 3).as("p99"))
-      .orderBy(col("o_orderstatus"))
+      .transform(presentSorted(_, col("o_orderstatus")))
 }
