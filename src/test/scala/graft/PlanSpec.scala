@@ -227,4 +227,22 @@ class PlanSpec extends AnyFunSuite {
           s"column(s) over an unreduced input — all data lands in a handful of tasks")
     }
   }
+
+  test("presentSorted results carry no range-partitioning sampling exchange") {
+    // presentSorted exists to remove the range-partitioner sampling job
+    // from domain-bounded presentation sorts; a stray orderBy creeping
+    // back in would silently re-add a job per query. The aggregation
+    // below the single-partition exchange must still be a real
+    // (parallel) aggregate.
+    for (name <- Seq("q1_agg", "q9_distinct", "q13_hourly_agg",
+        "sketch_distinct", "corpus_stats")) {
+      val s = finalPlanOnly(planString(SparkEntry.queries(name)(spark, dir)))
+      assert(!s.toLowerCase.contains("rangepartitioning"),
+        s"$name sorts via RangePartitioning — presentation sort regressed to orderBy")
+      assert(s.contains("Aggregate"),
+        s"$name lost its aggregate below the presentation sort")
+      assert(s.contains("SinglePartition"),
+        s"$name lost the single-partition presentation exchange")
+    }
+  }
 }
