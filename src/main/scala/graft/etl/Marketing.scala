@@ -72,19 +72,40 @@ object Marketing {
       try_to_timestamp(norm, lit("yyyy-MM-dd HH:mm:ss.SSS")))
   }
 
-  private val utmSource: Column =
+  /** ALL six feed attributes from ONE per-row kernel pass
+    * ([[graft.functions.FeedAttrs]]): date, channel, campaign_ads,
+    * utm_campaign, utm_source, utm_medium. The six consumers below
+    * select fields off this shared struct; whole-stage codegen's
+    * subexpression elimination evaluates the kernel once per row.
+    * Before r8 each feed query evaluated six separate expression trees
+    * (two FirstInt extractions, a 4-arm channel when-chain, two concat
+    * allocations, a date format) per row — the dominant scan-side cost
+    * of the sf10 consolidation family.
+    */
+  private val attrs: Column =
+    FeedAttrs.feed_attrs(col("ts"), col("user_id"), col("props"))
+
+  /** Declarative twins of the [[FeedAttrs]] kernel fields, kept ONLY
+    * for ExprSpec's bit-equality pin — the kernel must agree with these
+    * on any input, including null/malformed corners. `first_int` is the
+    * byte-scan TRY_CAST-lenient extraction (semantics match
+    * `TRY_CAST(regexp_extract(props,'[0-9]+',0) AS INT)`: empty→null,
+    * overflow→null — a deliberate error→NULL change versus the ANSI
+    * cast, which raises on those payloads; ExprSpec pins the lenient
+    * form).
+    */
+  private[graft] val declUtmSource: Column =
     element_at(
       array(lit("google"), lit("facebook"), lit("tiktok"), lit("linkedin"), lit("newsletter")),
       (col("user_id") % 5).cast("int") + 1)
-  private val utmMedium: Column =
+  private[graft] val declUtmMedium: Column =
     when(col("user_id") % 2 === 0, "cpc").otherwise("social")
-  /** First integer in the props payload — byte-scan [[FirstInt]], not
-    * `regexp_extract(props,'[0-9]+',0)::int` (identical semantics incl.
-    * empty→null and int overflow→null, FunctionsSpec): the regex form
-    * costs ~0.2 s of pure per-row Matcher overhead on the 100M-row
-    * sf10 events scan, in EVERY feed query.
-    */
-  private val propsK: Column = FirstInt.first_int(col("props"))
+  private[graft] val declPropsK: Column = FirstInt.first_int(col("props"))
+  private[graft] def declChannel: Column = inferChannel(declUtmSource, declUtmMedium)
+  private[graft] def declCampaignAds: Column =
+    concat(lit("C-10"), (declPropsK % 10).cast("string"))
+  private[graft] def declUtmCampaign: Column =
+    concat(lit("camp_"), (declPropsK % 20).cast("string"))
 
   /** Ads performance feed: one row per view/click event.
     * Columns mirror models/ads.go AdsPerformance.
@@ -94,15 +115,15 @@ object Marketing {
       .filter(col("event_type").isin("view", "click"))
       .select(
         col("event_id"),
-        dstr(col("ts")).as("date"),
-        concat(lit("C-10"), (propsK % 10).cast("string")).as("campaign_id"),
-        inferChannel(utmSource, utmMedium).as("channel"),
+        attrs.getField("date").as("date"),
+        attrs.getField("campaign_ads").as("campaign_id"),
+        attrs.getField("channel").as("channel"),
         when(col("event_type") === "click", 1L).otherwise(0L).as("clicks"),
         when(col("event_type") === "view", 1L).otherwise(0L).as("impressions"),
         col("value").as("cost"),
-        concat(lit("camp_"), (propsK % 20).cast("string")).as("utm_campaign"),
-        utmSource.as("utm_source"),
-        utmMedium.as("utm_medium"))
+        attrs.getField("utm_campaign").as("utm_campaign"),
+        attrs.getField("utm_source").as("utm_source"),
+        attrs.getField("utm_medium").as("utm_medium"))
 
   /** Both feeds in ONE scan of events, already normalized to the
     * consolidation schema (the unioned shape Consolidate.metrics
@@ -130,13 +151,13 @@ object Marketing {
       // path must hold semantically, not just on current testdata.
       .filter(col("event_type").isin("view", "click", "signup", "error", "purchase"))
       .select(
-        dstr(col("ts")).as("date"),
-        inferChannel(utmSource, utmMedium).as("channel"),
-        when(isAds, concat(lit("C-10"), (propsK % 10).cast("string")))
+        attrs.getField("date").as("date"),
+        attrs.getField("channel").as("channel"),
+        when(isAds, attrs.getField("campaign_ads"))
           .otherwise("").as("campaign_id"),
-        concat(lit("camp_"), (propsK % 20).cast("string")).as("utm_campaign"),
-        utmSource.as("utm_source"),
-        utmMedium.as("utm_medium"),
+        attrs.getField("utm_campaign").as("utm_campaign"),
+        attrs.getField("utm_source").as("utm_source"),
+        attrs.getField("utm_medium").as("utm_medium"),
         when(col("event_type") === "click", 1L).otherwise(0L).as("clicks"),
         when(col("event_type") === "view", 1L).otherwise(0L).as("impressions"),
         when(isAds, col("value")).otherwise(0.0).as("cost"),
@@ -160,7 +181,7 @@ object Marketing {
       .filter(col("event_type").isin("signup", "error", "purchase"))
       .select(
         col("event_id"),
-        dstr(col("ts")).as("date"),
+        attrs.getField("date").as("date"),
         concat(lit("O-"), col("event_id").cast("string")).as("opportunity_id"),
         concat(lit("user"), col("user_id").cast("string"), lit("@example.com"))
           .as("contact_email"),
@@ -168,10 +189,10 @@ object Marketing {
           .when(col("event_type") === "error", "opportunity")
           .otherwise("closed_won").as("stage"),
         col("value").as("amount"),
-        inferChannel(utmSource, utmMedium).as("channel"),
-        concat(lit("camp_"), (propsK % 20).cast("string")).as("utm_campaign"),
-        utmSource.as("utm_source"),
-        utmMedium.as("utm_medium"))
+        attrs.getField("channel").as("channel"),
+        attrs.getField("utm_campaign").as("utm_campaign"),
+        attrs.getField("utm_source").as("utm_source"),
+        attrs.getField("utm_medium").as("utm_medium"))
 
   /** Ingest stamping (reference: internal/etl/extractor.go:58-76 —
     * every extracted ads/CRM row carries IngestedAt = fetch wall-clock

@@ -47,29 +47,43 @@ object Relational {
   /** q3_join_agg — TPC-H Q3 shape: filtered fact⨝fact⨝dim, agg, top-10.
     * customer (small side) broadcasts under AQE; orders⨝lineitem shuffles
     * on orderkey. Revenue is decimal-exact so the top-10 cut is stable.
+    *
+    * The revenue aggregation runs BELOW the joins (the classic Q3
+    * rewrite Catalyst won't derive itself, r8): lineitem pre-aggregates
+    * to one row per order — map-side partial combine collapses the ~4
+    * lines/order before the exchange, so the orderkey shuffle carries
+    * one (key, 128-bit SumScaled accumulator) row per order instead of
+    * every line item's (key, price, discount). The joins above then
+    * only match and project; no post-join aggregation remains. Since
+    * o_orderkey is unique, joining after the aggregation produces
+    * bit-identical revenues to aggregating after the join (the
+    * order-independent fixed-point sum sees the same line set either
+    * way) — the oracle hash pins this, and PlanSpec pins the
+    * agg-below-join shape.
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    val li = Tables.lineitem(spark, dir)
+    val liAgg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     // SHUFFLE_HASH on the orders side once it outgrows broadcast: the
-    // downstream aggregate keys on the join key, so the sort-merge
-    // sorts of the 60M-row lineitem stream buy nothing — the
-    // per-partition orders build is a few MB at any scale (partition
-    // count grows with the cluster). Size-gated because the hint
-    // outranks size-based broadcast in JoinSelection: at sf0.1 the
-    // filtered orders side broadcasts and the forced shuffle is a 23%
-    // loss (same-session A/B: 0.56 vs 0.69 s), while at sf1/sf10 the
-    // hint wins −8%/−22% (6.04 → 4.72 s at sf10). Footer row count,
-    // no extra job — same cost-based switch as contamination's.
+    // pre-aggregated stream is already hash-partitioned on the join
+    // key, so sort-merge sorts buy nothing — the per-partition orders
+    // build is a few MB at any scale (partition count grows with the
+    // cluster). Size-gated because the hint outranks size-based
+    // broadcast in JoinSelection: at sf0.1 the filtered orders side
+    // broadcasts and the forced shuffle is a 23% loss (same-session
+    // A/B: 0.56 vs 0.69 s), while at sf1/sf10 the hint wins (6.04 →
+    // 4.72 s at sf10 pre-rewrite). Footer row count, no extra job —
+    // same cost-based switch as contamination's.
     val ordBig =
       if (Tables.parquetRowCount(spark, dir, "orders") > 1000000L) ord.hint("shuffle_hash")
       else ord
-    li.join(ordBig, col("l_orderkey") === col("o_orderkey"))
+    liAgg.join(ordBig, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"), dstr(col("o_orderdate")).as("orderdate"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), dstr(col("o_orderdate")).as("orderdate"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }

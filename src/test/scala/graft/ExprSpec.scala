@@ -311,4 +311,76 @@ class ExprSpec extends AnyFunSuite {
       "SELECT count(*) FROM ev_datestr WHERE NOT (date_str(ts) <=> " +
         "date_format(ts, 'yyyy-MM-dd'))").head.getLong(0) == 0L)
   }
+
+  test("FeedAttrs is bit-identical to the six declarative feed-attribute trees") {
+    import graft.etl.Marketing
+    import spark.implicits._
+    // crafted corners: null ts / null props / digit-free props /
+    // int-overflow digit run / negative user_ids on every legal
+    // remainder class (-1 mod 5 errors in BOTH forms, so excluded
+    // here). Null user_id is asserted separately below: the
+    // declarative `element_at(array(...), null)` mis-declares
+    // nullable=false in Spark 4 ANSI mode (the ANSI nullability
+    // computation accounts for invalid-index errors but not a null
+    // index) and crashes interpreted projections, so the kernel's
+    // NullIntolerant null-source/null-channel is the sane semantics,
+    // pinned directly rather than against the broken twin.
+    val crafted = Seq[(Option[Long], Option[Long], Option[String])](
+      (None, Some(7L), Some("{\"k\": 3}")),
+      (Some(0L), Some(7L), None),
+      (Some(0L), Some(7L), Some("no digits at all")),
+      (Some(0L), Some(7L), Some("")),
+      (Some(0L), Some(7L), Some("k=99999999999999")),
+      (Some(-1L), Some(-2L), Some("{\"k\": 17}")),
+      (Some(1L), Some(-3L), Some("{\"k\": 0}")),
+      (Some(1L), Some(-4L), Some("x2147483647y")),
+      (Some(1L), Some(-5L), Some("x2147483648y")))
+      .toDF("us", "user_id", "props")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"), col("props"))
+    val real = graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("user_id"), col("props"))
+    for (df <- Seq(crafted, real, real.select(
+        col("ts").cast("timestamp_ntz").as("ts"), col("user_id"), col("props")))) {
+      val fa = FeedAttrs.feed_attrs(col("ts"), col("user_id"), col("props"))
+      val bad = df.select(
+          col("ts"), col("user_id"), col("props"),
+          fa.getField("date").as("f_date"),
+          fa.getField("channel").as("f_channel"),
+          fa.getField("campaign_ads").as("f_campaign"),
+          fa.getField("utm_campaign").as("f_utm_campaign"),
+          fa.getField("utm_source").as("f_utm_source"),
+          fa.getField("utm_medium").as("f_utm_medium"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d_date"),
+          Marketing.declChannel.as("d_channel"),
+          Marketing.declCampaignAds.as("d_campaign"),
+          Marketing.declUtmCampaign.as("d_utm_campaign"),
+          Marketing.declUtmSource.as("d_utm_source"),
+          Marketing.declUtmMedium.as("d_utm_medium"))
+        .filter(
+          not(col("f_date") <=> col("d_date")) ||
+          not(col("f_channel") <=> col("d_channel")) ||
+          not(col("f_campaign") <=> col("d_campaign")) ||
+          not(col("f_utm_campaign") <=> col("d_utm_campaign")) ||
+          not(col("f_utm_source") <=> col("d_utm_source")) ||
+          not(col("f_utm_medium") <=> col("d_utm_medium")))
+        .collect()
+      assert(bad.isEmpty, s"FeedAttrs diverged on: ${bad.take(5).mkString("; ")}")
+    }
+    // null user_id: source/channel null (NullIntolerant), medium falls
+    // through to 'social' exactly like when().otherwise('social') on a
+    // null predicate; date/campaign fields unaffected
+    val fa = FeedAttrs.feed_attrs(col("ts"), col("user_id"), col("props"))
+    val nullUid = Seq[(Option[Long], Option[Long], Option[String])](
+      (Some(0L), None, Some("{\"k\": 3}")), (None, None, None))
+      .toDF("us", "user_id", "props")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"), col("props"))
+      .select(fa.as("f")).collect()
+    nullUid.foreach { r =>
+      val s = r.getStruct(0)
+      assert(s.isNullAt(1) && s.isNullAt(4) && s.getString(5) == "social",
+        s"null-user_id corner wrong: $s")
+    }
+    assert(nullUid(0).getStruct(0).getString(0) == "1970-01-01" &&
+      nullUid(0).getStruct(0).getString(2) == "C-103")
+  }
 }
