@@ -59,6 +59,36 @@ object Consolidate {
         sum(col("closed_won")).as("closed_won"),
         dsum(col("revenue")).as("revenue"))
 
+  /** Packed fast path for the batch consolidation: group on
+    * [[graft.functions.FeedKey]]'s 35-bit integer MetricKey and expand
+    * the six key strings once per GROUP after the aggregate
+    * ([[graft.functions.FeedKeyExpand]]). Same groups, same sums, same
+    * output schema as [[consolidateNormalized]] over the unioned feed —
+    * the packing is injective w.r.t. the string 6-tuple and EtlSpec
+    * pins row-set equality — but the 100M-row-scale hash aggregation
+    * probes on one long instead of building and hashing a 6-string
+    * UnsafeRow per row. The string-key path remains the general API
+    * (streaming twin, arbitrary normalized feeds, out-of-civil-range
+    * timestamps).
+    */
+  def metricsPacked(events: DataFrame): DataFrame = {
+    val agg = Marketing.packedFeed(events)
+      .groupBy(col("mkey"))
+      .agg(
+        sum(col("clicks")).as("clicks"),
+        sum(col("impressions")).as("impressions"),
+        dsum(col("cost")).as("cost"),
+        sum(col("leads")).as("leads"),
+        sum(col("opportunities")).as("opportunities"),
+        sum(col("closed_won")).as("closed_won"),
+        dsum(col("revenue")).as("revenue"))
+    val ex = FeedKeyExpand.feed_key_expand(col("mkey"))
+    agg.select(
+      keyCols.map(f => ex.getField(f).as(f)) ++
+        Seq("clicks", "impressions", "cost", "leads",
+          "opportunities", "closed_won", "revenue").map(col): _*)
+  }
+
   /** Derived metrics with the reference's divide-by-zero→0 guards.
     * Pure post-aggregation column expressions — no extra shuffle.
     */

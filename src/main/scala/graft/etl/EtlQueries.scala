@@ -52,7 +52,7 @@ object EtlQueries {
       .orderBy(col("event_id"))
 
   def consolidate(spark: SparkSession, dir: String): DataFrame =
-    Consolidate.consolidateNormalized(Marketing.unionedFeed(spark, dir))
+    Consolidate.metricsPacked(Tables.events(spark, dir))
       .orderBy(orderedKeys.map(col): _*)
 
   def metricsAll(spark: SparkSession, dir: String): DataFrame =

@@ -17,7 +17,7 @@ object MetricsQueries {
 
   def metrics(spark: SparkSession, dir: String): DataFrame =
     Consolidate.withDerived(
-      Consolidate.consolidateNormalized(Marketing.unionedFeed(spark, dir)))
+      Consolidate.metricsPacked(graft.sources.Tables.events(spark, dir)))
 
   /** FilterByDate(since): keep date >= since (transformer.go). */
   def filterSince(m: DataFrame, since: String): DataFrame =

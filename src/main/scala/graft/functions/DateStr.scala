@@ -71,20 +71,35 @@ object DateStr {
     * `zid`. Fixed-offset zones (UTC, the graft session default) skip
     * the per-row rules lookup entirely.
     */
-  def format(micros: Long, zid: ZoneId): UTF8String = {
-    val rules = zid.getRules
-    val offsetSec =
-      if (rules.isFixedOffset) rules.getOffset(Instant.EPOCH).getTotalSeconds
-      else rules.getOffset(Instant.ofEpochSecond(
-        Math.floorDiv(micros, MicrosPerSecond),
-        (Math.floorMod(micros, MicrosPerSecond) * 1000L).toInt)).getTotalSeconds
-    val localMicros = micros + offsetSec * MicrosPerSecond
-    formatCivil(Math.floorDiv(localMicros, MicrosPerDay))
-  }
+  def format(micros: Long, zid: ZoneId): UTF8String =
+    formatCivil(epochDayOf(micros, zid))
 
   /** TIMESTAMP_NTZ kernel: micros are wall-clock local, no zone math. */
   def formatNtz(micros: Long): UTF8String =
     formatCivil(Math.floorDiv(micros, MicrosPerDay))
+
+  /** Local epoch day of a timestamp — the integer the civil date string
+    * is derived from. `zid == null` means TIMESTAMP_NTZ (no zone math).
+    * Shared with [[FeedKey]], whose packed group key carries this value
+    * instead of the formatted string.
+    */
+  private[functions] def epochDayOf(micros: Long, zid: ZoneId): Long =
+    if (zid == null) Math.floorDiv(micros, MicrosPerDay)
+    else {
+      val rules = zid.getRules
+      val offsetSec =
+        if (rules.isFixedOffset) rules.getOffset(Instant.EPOCH).getTotalSeconds
+        else rules.getOffset(Instant.ofEpochSecond(
+          Math.floorDiv(micros, MicrosPerSecond),
+          (Math.floorMod(micros, MicrosPerSecond) * 1000L).toInt)).getTotalSeconds
+      Math.floorDiv(micros + offsetSec * MicrosPerSecond, MicrosPerDay)
+    }
+
+  /** 'yyyy-MM-dd' of an epoch day ([[FeedKeyExpand]]'s post-aggregation
+    * date reconstruction — runs once per GROUP, not per row).
+    */
+  private[functions] def civilString(epochDay: Long): UTF8String =
+    formatCivil(epochDay)
 
   /** epochDay → 'yyyy-MM-dd' UTF8String. Civil-from-days is Howard
     * Hinnant's proleptic-Gregorian algorithm (the LocalDate.ofEpochDay

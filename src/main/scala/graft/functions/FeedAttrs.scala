@@ -113,23 +113,23 @@ object FeedAttrs {
     StructField("utm_source", StringType),
     StructField("utm_medium", StringType)))
 
-  private val Sources: Array[UTF8String] =
+  private[functions] val Sources: Array[UTF8String] =
     Array("google", "facebook", "tiktok", "linkedin", "newsletter")
       .map(UTF8String.fromString)
-  private val Mediums: Array[UTF8String] =
+  private[functions] val Mediums: Array[UTF8String] =
     Array("cpc", "social").map(UTF8String.fromString)
   /** channel[sourceIdx][mediumIdx] — inferChannelFromUTM precomputed
     * over its whole 5×2 input domain (transformer.go: the four known
     * sources map to fixed *_ads channels; anything else concatenates
-    * source_medium).
+    * source_medium). Shared with [[FeedKeyExpand]].
     */
-  private val Channels: Array[Array[UTF8String]] =
+  private[functions] val Channels: Array[Array[UTF8String]] =
     Array("google_ads", "facebook_ads", "tiktok_ads", "linkedin_ads").map { ch =>
       Array.fill(2)(UTF8String.fromString(ch))
     } :+ Mediums.map(m => UTF8String.fromString("newsletter_" + m.toString))
-  private val CampaignAds: Array[UTF8String] =
+  private[functions] val CampaignAds: Array[UTF8String] =
     Array.tabulate(10)(i => UTF8String.fromString("C-10" + i))
-  private val UtmCampaigns: Array[UTF8String] =
+  private[functions] val UtmCampaigns: Array[UTF8String] =
     Array.tabulate(20)(i => UTF8String.fromString("camp_" + i))
 
   /** Static kernel shared by the interpreted and codegen paths.

@@ -48,40 +48,70 @@ object Relational {
     * customer (small side) broadcasts under AQE; orders⨝lineitem shuffles
     * on orderkey. Revenue is decimal-exact so the top-10 cut is stable.
     *
-    * The revenue aggregation runs BELOW the joins (the classic Q3
-    * rewrite Catalyst won't derive itself, r8): lineitem pre-aggregates
-    * to one row per order — map-side partial combine collapses the ~4
-    * lines/order before the exchange, so the orderkey shuffle carries
-    * one (key, 128-bit SumScaled accumulator) row per order instead of
-    * every line item's (key, price, discount). The joins above then
-    * only match and project; no post-join aggregation remains. Since
-    * o_orderkey is unique, joining after the aggregation produces
-    * bit-identical revenues to aggregating after the join (the
-    * order-independent fixed-point sum sees the same line set either
-    * way) — the oracle hash pins this, and PlanSpec pins the
-    * agg-below-join shape.
+    * Two cost-gated shapes (r8, same results bit-for-bit — the
+    * order-independent fixed-point sum sees the same line set per order
+    * in every shape; the oracle hash pins it):
+    *  - orders ≤ 30M rows: broadcast the BUILDING⨝date-reduced
+    *    (o_orderkey, o_orderdate) pairs so lineitem is never exchanged;
+    *    aggregate the ~20% surviving rows on a long key.
+    *  - above: pre-aggregate lineitem per order below a shuffle-hash
+    *    join (the classic Q3 rewrite Catalyst won't derive) — at that
+    *    tier the reduced orders no longer broadcast, and the orderkey
+    *    exchange must carry one row per ORDER, not per line item.
+    * PlanSpec pins both shapes (no lineitem exchange below the gate;
+    * partial-agg-below-join above it).
     */
-  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
-    val ord = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.parquetRowCount(spark, dir, "orders") <= 30000000L)
+      q3BroadcastReduced(spark, dir)
+    else q3AggBelowJoin(spark, dir)
+
+  private def q3Filtered(spark: SparkSession, dir: String): (DataFrame, DataFrame) = (
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING"),
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+
+  /** Broadcast-reduced plan (single-node / moderate cluster): the
+    * BUILDING⨝date reduction shrinks orders ~5× BEFORE anything touches
+    * lineitem, and the reduced (o_orderkey, o_orderdate) pairs
+    * broadcast — so the 60M-row lineitem stream is never exchanged at
+    * all: scan → broadcast-probe (drops 80% of rows) → aggregate ~3M
+    * surviving keys on a LONG group key, with the date string formatted
+    * only for the final 10 rows. Same-session sf10 A/B: 2.37 s vs
+    * 3.68 s for the shuffle plan and 4.33 s for r7's post-join
+    * aggregation (DuckDB 1.20 s).
+    */
+  private[graft] def q3BroadcastReduced(spark: SparkSession, dir: String): DataFrame = {
+    val (cust, ord) = q3Filtered(spark, dir)
+    val ordCust = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(ordCust), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        min(col("o_orderdate")).as("od")) // o_orderkey unique → min = the date
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+      .select(col("l_orderkey"), dstr(col("od")).as("orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+  }
+
+  /** Cluster-scale plan: pre-aggregate lineitem to one row per order
+    * BELOW the join (the classic Q3 rewrite Catalyst won't derive) —
+    * the orderkey exchange carries one (key, 128-bit accumulator) row
+    * per order instead of every line item — then SHUFFLE_HASH against
+    * filtered orders (the pre-aggregated stream is already
+    * hash-partitioned on the join key; sort-merge sorts buy nothing)
+    * and broadcast customer. The reduced build side cannot broadcast at
+    * this tier by definition of the gate, so every exchanged byte is
+    * load-bearing.
+    */
+  private[graft] def q3AggBelowJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (cust, ord) = q3Filtered(spark, dir)
     val liAgg = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-    // SHUFFLE_HASH on the orders side once it outgrows broadcast: the
-    // pre-aggregated stream is already hash-partitioned on the join
-    // key, so sort-merge sorts buy nothing — the per-partition orders
-    // build is a few MB at any scale (partition count grows with the
-    // cluster). Size-gated because the hint outranks size-based
-    // broadcast in JoinSelection: at sf0.1 the filtered orders side
-    // broadcasts and the forced shuffle is a 23% loss (same-session
-    // A/B: 0.56 vs 0.69 s), while at sf1/sf10 the hint wins (6.04 →
-    // 4.72 s at sf10 pre-rewrite). Footer row count, no extra job —
-    // same cost-based switch as contamination's.
-    val ordBig =
-      if (Tables.parquetRowCount(spark, dir, "orders") > 1000000L) ord.hint("shuffle_hash")
-      else ord
-    liAgg.join(ordBig, col("l_orderkey") === col("o_orderkey"))
+    liAgg.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("l_orderkey"), dstr(col("o_orderdate")).as("orderdate"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))

@@ -117,6 +117,15 @@ class EtlSpec extends AnyFunSuite {
     assert(oneScan.exceptAll(twoScan).isEmpty && twoScan.exceptAll(oneScan).isEmpty)
   }
 
+  test("packed-key consolidation equals the string-key path exactly") {
+    val strings = Consolidate.consolidateNormalized(Marketing.unionedFeed(spark, dir))
+    val packed = Consolidate.metricsPacked(graft.sources.Tables.events(spark, dir))
+    assert(packed.schema.fieldNames.sameElements(strings.schema.fieldNames))
+    assert(packed.exceptAll(strings).isEmpty && strings.exceptAll(packed).isEmpty)
+    // group-count sanity: the packing must not merge or split any group
+    assert(packed.count() == strings.count())
+  }
+
   test("derived metrics guard non-positive denominators to zero") {
     import spark.implicits._
     val consolidated = Seq(

@@ -26,6 +26,20 @@ class PlanSpec extends AnyFunSuite {
   private def finalPlanOnly(s: String): String =
     s.split(java.util.regex.Pattern.quote("== Initial Plan ==")).head
 
+  /** Full traversal including through AQE stage boundaries —
+    * QueryStageExec leaves hide the materialized subtrees a naive
+    * collect() never sees.
+    */
+  private def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => deepNodes(a.executedPlan)
+      case q: QueryStageExec => deepNodes(q.plan)
+      case _ => Seq.empty
+    }
+    p +: (through ++ p.children.flatMap(deepNodes))
+  }
+
   test("q2 pushes filters and projection into the parquet scan") {
     val s = planString(Relational.q2FilterProject(spark, dir))
     assert(s.contains("PushedFilters: ["), "no pushed filters in scan")
@@ -40,6 +54,40 @@ class PlanSpec extends AnyFunSuite {
     val s = planString(Relational.q4BroadcastJoin(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
       "dims not broadcast — a shuffle join on region/nation is a scale bug")
+  }
+
+  test("q3 broadcast tier never exchanges the lineitem stream") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = Relational.q3BroadcastReduced(spark, dir)
+    df.collect()
+    val all = deepNodes(df.queryExecution.executedPlan)
+    assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "customer and the reduced orders must both reach their joins by broadcast")
+    // the only shuffle allowed is the post-join aggregation's exchange of
+    // partial rows — the full lineitem stream itself must never cross an
+    // exchange in this tier
+    val shuffles = all.collect { case s: ShuffleExchangeExec => s }.distinct
+    assert(shuffles.size <= 1,
+      s"${shuffles.size} shuffles in the broadcast tier — lineitem is being exchanged")
+  }
+
+  test("q3 cluster tier pre-aggregates lineitem below the shuffle-hash join") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val df = Relational.q3AggBelowJoin(spark, dir)
+    df.collect()
+    val all = deepNodes(df.queryExecution.executedPlan)
+    val shj = all.collectFirst { case j: ShuffledHashJoinExec => j }
+    assert(shj.isDefined, "orders join lost its shuffle-hash shape")
+    val aggBelow = deepNodes(shj.get.left).exists {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.flatMap(_.references.toSeq.map(_.name)) == Seq("l_orderkey")
+      case _ => false
+    }
+    assert(aggBelow,
+      "lineitem's per-order pre-aggregation is not below the join — " +
+        "the exchange is carrying every line item again")
   }
 
   test("q15 scalar subquery stays a broadcast, not a cartesian shuffle") {
@@ -90,6 +138,24 @@ class PlanSpec extends AnyFunSuite {
     // viable at 100 TB.
     assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
       "rank filter not pushed into a partial per-partition group limit")
+  }
+
+  test("feed kernels are evaluated once per row (CSE across the struct getFields)") {
+    // FeedAttrs/FeedKey emit one struct consumed by many getFields; if
+    // whole-stage codegen's subexpression elimination ever stopped
+    // collapsing them, every feed query would silently re-run the kernel
+    // 6-8x per row. Count the static kernel entry points in the
+    // generated code.
+    import org.apache.spark.sql.execution.debug.codegenString
+    for ((label, kernel, df) <- Seq(
+      ("unionedFeed", "graft.functions.FeedAttrs.attrs(",
+        graft.etl.Marketing.unionedFeed(spark, dir)),
+      ("packedFeed", "graft.functions.FeedKey.row(",
+        graft.etl.Marketing.packedFeed(graft.sources.Tables.events(spark, dir))))) {
+      val code = codegenString(df.queryExecution.executedPlan)
+      val n = code.sliding(kernel.length).count(_ == kernel)
+      assert(n == 1, s"$label: kernel evaluated $n times per row in codegen")
+    }
   }
 
   test("custom expressions stay inside whole-stage codegen") {

@@ -22,6 +22,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(pairs.contains(("A", "F")) && pairs.contains(("N", "O")))
   }
 
+  test("q3's two cost-gated plans produce identical rows") {
+    val bcast = Relational.q3BroadcastReduced(spark, dir).collect()
+    val shuffle = Relational.q3AggBelowJoin(spark, dir).collect()
+    assert(bcast.nonEmpty)
+    assert(bcast.map(_.toString).toSeq == shuffle.map(_.toString).toSeq,
+      "the broadcast-reduced and agg-below-join tiers diverged")
+  }
+
   test("q7 emits at most 3 rows per customer, rank-ordered by price") {
     val rows = Relational.q7WindowTopk(spark, dir).collect()
     val byCust = rows.groupBy(_.getLong(0))
