@@ -87,25 +87,50 @@ object Bench {
           System.err.println(f"[bench-prof] $name rep$r ${dt}%.3f s, " +
             f"codegen ${cg1._1 - cg0._1} compiles ~${cg1._2 - cg0._2} ms")
         }
-        // operators persist() shared intermediates; release them so one
-        // query's cache can't skew the next timing or accumulate all sweep
-        spark.catalog.clearCache()
+        // operators route shared-intermediate persists through
+        // Caches.scoped; release them so one query's cache can't skew
+        // the next timing or accumulate across the sweep — and ENFORCE
+        // the contract: an unregistered persist would leak for the
+        // session's lifetime in production.
+        Caches.release()
+        val pinned = spark.sparkContext.getPersistentRDDs
+        require(pinned.isEmpty,
+          s"$name left ${pinned.size} cache entr(ies) pinned after release — " +
+            "an operator persisted outside Caches.scoped")
         dt
       }
       if (reps > 1)
         System.err.println(f"[bench-reps] $name ${times.map(t => f"$t%.3f").mkString(" ")}")
-      name -> (times.min, times.head)
+      name -> times
     }
     val ok = results.filterNot { case (k, _) => failed(k) }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v._1 }
+    val qs = ok.map { case (k, ts) => "\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2._1).sum
-    val coldTotal = ok.map(_._2._2).sum
+    // Per-rep times in-band (BENCH_r07 lesson: the artifact published a
+    // 61 s best for a 1.8 s query and nothing inside it could tell —
+    // uniformly slow reps now read directly as an environment outlier,
+    // where a slow FIRST rep alone is the normal codegen/IO cold
+    // constant). spread_flagged lists queries whose WARM reps (2..n)
+    // still vary >3x — the in-band instability warning.
+    val repJson = ok.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val unstable = ok.collect {
+      case (k, ts) if ts.size > 2 && {
+        val warm = ts.drop(1); warm.max / warm.min.max(1e-9) > 3.0
+      } => k
+    }
+    unstable.foreach(k => System.err.println(
+      s"[bench] WARNING: $k warm reps spread >3x — environment unstable, timings suspect"))
+    val spreadJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2.min).sum
+    val coldTotal = ok.map(_._2.head).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","reps":$reps,"cold_total":$coldTotal$failedJson}""")
+      s""""sf":"$sfDir","reps":$reps,"cold_total":$coldTotal,""" +
+      s""""rep_times":$repJson,"spread_flagged":$spreadJson$failedJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

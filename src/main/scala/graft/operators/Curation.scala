@@ -206,7 +206,7 @@ object Curation {
       .select(col("doc_id"),
         graft.functions.HashedShingles.hashed_shingles(col("w"), ngram).as("sh"))
       .join(splits, Seq("doc_id"))
-      .persist()
+      .transform(graft.Caches.scoped(_))
     val test = sh.filter(col("split") === "test")
     val train = sh.filter(col("split") === "train")
     val trainPost0 = train.select(col("doc_id").as("train_id"), explode(col("sh")).as("s"))

@@ -123,7 +123,7 @@ object Dedup {
     // This DAG reuses the shingle tables four times — persist so they
     // materialize once. Same at cluster scale: the shingle table is the
     // natural intermediate to cache/checkpoint.
-    val docsSh = shingled.persist()
+    val docsSh = graft.Caches.scoped(shingled)
     // ε guards FP in ⌈τ·n⌉: 50·0.8 evaluates to 40.000000000000006 and
     // would ceil to 41, shortening the prefix below what the
     // completeness theorem requires (a longer prefix is always safe)
@@ -132,7 +132,7 @@ object Dedup {
     val pre = docsSh
       .select(col("doc_id"), size(col("sh")).as("n"),
         posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("p", "s")))
-      .persist()
+      .transform(graft.Caches.scoped(_))
     // PPJoin pruning inside the posting join — both filters only drop
     // pairs that PROVABLY cannot reach J ≥ tau, so the verified output
     // is untouched (and the oracle needs no mirror):
@@ -196,7 +196,7 @@ object Dedup {
     val r = k / bands
     val sig = tokenized(spark, dir)
       .select(col("doc_id"), MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
-      .persist() // reused by banding (x2), estimation (x2), and the final left join
+      .transform(graft.Caches.scoped(_)) // reused by banding (x2), estimation (x2), and the final left join
     val bandKeys = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
@@ -225,7 +225,7 @@ object Dedup {
       // consumed twice by the per-doc union below: without this the
       // whole banding join re-executes per branch (sf10: 2×11 s for a
       // 37k-row result)
-      .persist()
+      .transform(graft.Caches.scoped(_))
     val perDoc = est.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("est_jaccard"))
       .unionByName(est.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("est_jaccard")))
       .groupBy("doc_id")
@@ -291,7 +291,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fa.fp").bitwiseXOR(col("fb.fp"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .persist() // consumed twice by the per-doc union below
+      .transform(graft.Caches.scoped(_)) // consumed twice by the per-doc union below
     val perDoc = near.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("hamming"))
       .unionByName(near.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("hamming")))
       .groupBy("doc_id")
@@ -323,7 +323,7 @@ object Dedup {
     val mask = if (w == 64) -1L else (1L << w) - 1
     val fp = tokenized(spark, dir)
       .select(col("doc_id"), SimHashShingled.simhash_shingled(col("w"), 3).as("fp"))
-      .persist() // reused by banding (x2), Hamming check (x2), final join
+      .transform(graft.Caches.scoped(_)) // reused by banding (x2), Hamming check (x2), final join
     val bandKeys = fp.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> shiftrightunsigned(fp, b*$w) & ${mask}L)")).as(Seq("band", "key")))
@@ -414,7 +414,7 @@ object Dedup {
         Window.partitionBy(col("table_id"), col("bucket"))
           .orderBy(xxhash64(col("doc_id"), col("table_id")), col("doc_id"))) - 1)
         / blockSize))
-      .persist() // both sides of the block self-join
+      .transform(graft.Caches.scoped(_)) // both sides of the block self-join
     // SHUFFLE_HASH: the blocked side is n·tables wide rows (embedding
     // rides the join so verification is fused into it) — sort-merge
     // would sort that stream twice; hashing one side skips both sorts.

@@ -37,7 +37,7 @@ object Pipeline {
         // (Dedup.tokenized's filter, as a null here)
         when(size(col("w")) >= 3,
           HashedShingles.hashed_shingles(col("w"), 3)).as("sh"))
-      .persist()
+      .transform(graft.Caches.scoped(_))
     // exact dedup: survivors are each hash group's min-id keeper
     val keepers = base.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))

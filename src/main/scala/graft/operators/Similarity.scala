@@ -84,7 +84,7 @@ object Similarity {
                  margin: Int = 16): DataFrame = {
     val base = withFastNorm(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
-      .persist() // reused: fast scan side + exact re-rank fetch
+      .transform(graft.Caches.scoped(_)) // reused: fast scan side + exact re-rank fetch
     exactTopK(base, cosineTopkCandidates(base, k, margin), k)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -178,7 +178,7 @@ object Similarity {
     val estCandidates = tables.toLong * effProbes * math.max(n >> bits, 1L)
     val base = withFastNorm(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
-      .persist()
+      .transform(graft.Caches.scoped(_))
     val winners =
       if (denseFallback && estCandidates * 2L >= n) {
         cosineTopkCandidates(base, k, margin)
