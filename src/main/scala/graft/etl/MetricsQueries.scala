@@ -52,6 +52,12 @@ object MetricsQueries {
 
   /** /metrics/funnel: utm_campaign + date range (memory.go
     * GetMetricsByCampaign).
+    *
+    * presentSorted contract: the result is bounded by days-in-range ×
+    * the UTM attribute domain (channel × campaign_id × source ×
+    * medium) — request-bounded, not data-bounded — so the
+    * single-partition presentation sort is safe for any fixed request.
+    * PlanSpec's audit pins a ceiling for the registered 21-day call.
     */
   def funnelQuery(m: DataFrame, campaign: String, from: String, to: String): DataFrame =
     m.filter(col("utm_campaign") === campaign && col("date") >= from && col("date") <= to)

@@ -25,12 +25,16 @@ import org.apache.spark.sql.types._
   * overflow-safe to ±2^127 scaled units, far past any 100 TB sum.
   *
   * Semantics match `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)` on
-  * any input whose scaled value fits a long (|x| < 9.2·10^14 at
-  * scale 4; the money/metric measures this library sums are ≤ 10^6):
-  * the scaled input is round-half-away-from-zero of x·10^s exactly as
-  * the decimal cast rounds, the accumulation is exact integer math,
-  * and the final 128-bit value converts through one BigDecimal per
-  * GROUP (not per row) — hash-verified against the DuckDB oracle at
+  * any input with at most `scale` decimal digits whose scaled value
+  * fits a long (|x| < 9.2·10^14 at scale 4; the money/metric measures
+  * this library sums are ≤ 10^6 with ≤ 4 decimals): there the
+  * round-half-away-from-zero of x·10^s is exactly the decimal cast's
+  * rounding, the accumulation is exact integer math, and the final
+  * 128-bit value converts through one BigDecimal per GROUP (not per
+  * row). Inputs with MORE decimal digits can differ from the decimal
+  * cast by one 10^-scale unit on halfway cases — see [[toScaled]]'s
+  * note before registering sum_scaled over such data. Repo usage is
+  * hash-verified against the DuckDB oracle at
   * sf0.01 and A/B-verified equal to the decimal path on the sf0.1 and
   * sf10 bench tables for every registered dsum query.
   *
@@ -83,8 +87,16 @@ case class SumScaled(child: Expression, scale: Int)
 }
 
 object SumScaled {
-  /** round-half-away-from-zero of v·10^scale — the rounding
-    * `cast(double as decimal(p,s))` applies, as one primitive op.
+  /** round-half-away-from-zero of v·10^scale as one primitive op.
+    * NOTE a subtle divergence from `cast(double as decimal(p,s))`: the
+    * cast rounds the double's SHORTEST DECIMAL representation
+    * (BigDecimal.valueOf + HALF_UP), while this rounds the BINARY
+    * product v·10^s — on inputs with more than `scale` decimal digits
+    * whose (scale+1)-th digit makes a halfway case (e.g. 90992.50475
+    * at scale 4: binary product 909925047.4999999 → …047, decimal path
+    * → …048) the two can differ by one ulp of the scaled unit. All
+    * repo measures carry ≤ `scale` decimal digits, where the paths are
+    * bit-identical (ExprSpec).
     */
   def toScaled(v: Double, scale: Int): Long = {
     val scaled = v * POW10(scale)

@@ -72,6 +72,11 @@ object WordStats {
     while (i < n) { if (b(i) == ' ') spaces += 1; i += 1 }
     val nWords = spaces + 1
 
+    // 2^28 words (~a 0.5 GB single document of one-letter words) keeps
+    // cap <= 2^30: beyond that highestOneBit(...)*4 would overflow Int
+    // to a zero-length table and crash obscurely — fail fast instead.
+    if (nWords > (1 << 28)) throw new IllegalArgumentException(
+      s"word_stats: document has $nWords space-separated words; max supported is 2^28")
     val cap = Integer.highestOneBit(math.max(8, nWords) - 1) * 4
     val mask = cap - 1
     val keys = new Array[Long](cap)

@@ -229,6 +229,11 @@ object Relational {
   /** q13_hourly_agg — event-time bucketing; the batch twin of the streaming
     * windowed aggregation (graft.streaming). Hour crosses the oracle
     * boundary as a string.
+    *
+    * orderBy, NOT presentSorted: hour-bucket cardinality grows with the
+    * corpus's TIME SPAN, not a fixed key domain — a multi-year 100 TB
+    * feed has tens of thousands of (hour, type) groups and climbing, so
+    * the output keeps the parallel range sort (r8, ADVICE).
     */
   def q13HourlyAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -236,7 +241,7 @@ object Relational {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-      .transform(presentSorted(_, col("hour"), col("event_type")))
+      .orderBy(col("hour"), col("event_type"))
 
   /** q14_having — post-aggregation filter on an exact decimal sum. */
   def q14Having(spark: SparkSession, dir: String): DataFrame =
@@ -262,7 +267,9 @@ object Relational {
 
   /** q16_pivot — event_type pivoted to columns with an explicit value list
     * (no extra distinct-values job); missing cells filled 0 to match the
-    * oracle's FILTER-based conditional aggregation.
+    * oracle's FILTER-based conditional aggregation. orderBy, not
+    * presentSorted: one row per DAY scales with the corpus's time span,
+    * not a fixed domain (r8, ADVICE — same reasoning as q13).
     */
   def q16Pivot(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -270,7 +277,7 @@ object Relational {
       .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
       .agg(count(lit(1)))
       .na.fill(0)
-      .transform(presentSorted(_, col("day")))
+      .orderBy(col("day"))
 
   /** q17_median_disc — exact discrete median per group: the element at
     * global rank floor((n+1)/2) under ORDER BY (value, event_id), with

@@ -294,13 +294,65 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("every presentSorted call site is audited and domain-bounded") {
+    // presentSorted funnels the RESULT through one partition; that is
+    // only safe when the result's cardinality is bounded by a fixed key
+    // DOMAIN (or, for the parameterized etl queries, by the request's
+    // date range x the UTM domain) — never by data volume. Two guards:
+    // (1) the set of call sites in the main sources must match this
+    // audited list, so a new site cannot appear without a bound being
+    // recorded here; (2) each registered query that presentSorts must
+    // return at most its domain ceiling. Time-bucketed outputs (q13
+    // hours, q16 days) grow with the corpus's time span and use orderBy
+    // instead (r8, ADVICE).
+    val auditedSites = Map(
+      "operators/Relational.scala" -> 8, // q1, q4, q5, q10, q11, q12, q17(x2 incl. helper), (bucketed union)
+      "operators/Sketches.scala" -> 2,   // sketch_distinct, sketch_quantiles
+      "operators/Curation.scala" -> 1,   // corpus_stats (<=5 languages)
+      "etl/EtlQueries.scala" -> 2,       // exportDaily, hmacExport (one date x campaign domain)
+      "etl/MetricsQueries.scala" -> 2)   // funnelQuery (date range x UTM domain), matches (2 sides)
+    val base = java.nio.file.Paths.get("src/main/scala/graft")
+    val actual = auditedSites.keys.map { rel =>
+      val src = new String(java.nio.file.Files.readAllBytes(base.resolve(rel)))
+      rel -> "presentSorted\\(".r.findAllIn(src).size
+    }.toMap
+    assert(actual == auditedSites,
+      s"presentSorted call sites changed ($actual vs audited $auditedSites) — " +
+        "record the new site's cardinality bound in this test or use orderBy")
+    val others = new java.io.File("src/main/scala/graft")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
+    val unaudited = walk(others).filter { f =>
+      val rel = f.getPath.stripPrefix("src/main/scala/graft/")
+      !auditedSites.contains(rel) && rel != "functions/package.scala" &&
+        new String(java.nio.file.Files.readAllBytes(f.toPath)).contains("presentSorted(")
+    }
+    assert(unaudited.isEmpty,
+      s"presentSorted used in unaudited file(s): ${unaudited.map(_.getPath)}")
+    // Domain ceilings (computed from the key domains in SURVEY §3 /
+    // TPC-H value sets, not observed counts):
+    val ceilings = Map(
+      "q1_agg" -> 6L, "q4_broadcast_join" -> 5L, "q5_semi_join" -> 5L,
+      "q10_union_agg" -> 2L, "q11_rollup" -> 10L, "q12_case_expr" -> 9L,
+      "q17_median_disc" -> 5L, "sketch_distinct" -> 5L, "sketch_quantiles" -> 3L,
+      "corpus_stats" -> 5L, "etl_matches" -> 2L,
+      "etl_export_daily" -> 2200L, "etl_hmac_export" -> 2200L,
+      "etl_funnel_query" -> 2500L)
+    for ((name, cap) <- ceilings) {
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      assert(n <= cap, s"$name returned $n rows, above its domain ceiling $cap — " +
+        "presentSorted would funnel an unbounded result through one task")
+    }
+  }
+
   test("presentSorted results carry no range-partitioning sampling exchange") {
     // presentSorted exists to remove the range-partitioner sampling job
     // from domain-bounded presentation sorts; a stray orderBy creeping
     // back in would silently re-add a job per query. The aggregation
     // below the single-partition exchange must still be a real
     // (parallel) aggregate.
-    for (name <- Seq("q1_agg", "q9_distinct", "q13_hourly_agg",
+    for (name <- Seq("q1_agg", "q9_distinct", "q12_case_expr",
         "sketch_distinct", "corpus_stats")) {
       val s = finalPlanOnly(planString(SparkEntry.queries(name)(spark, dir)))
       assert(!s.toLowerCase.contains("rangepartitioning"),
