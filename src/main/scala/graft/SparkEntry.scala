@@ -44,6 +44,7 @@ object SparkEntry {
     "etl_metrics"       -> EtlQueries.metricsAll _,
     "etl_filter_since"  -> EtlQueries.filterSince _,
     "etl_channel_query" -> EtlQueries.channelQuery _,
+    "etl_channel_query_store" -> EtlQueries.channelQueryStore _,
     "etl_funnel_query"  -> EtlQueries.funnelQuery _,
     "etl_export_daily"  -> EtlQueries.exportDaily _,
     "etl_matches"       -> EtlQueries.matches _,
@@ -401,6 +402,14 @@ object SparkEntry {
         |ORDER BY date, channel, campaign_id, utm_campaign, utm_source, utm_medium""".stripMargin),
 
     "etl_channel_query" -> (feedCtes +
+      """SELECT * FROM metrics
+        |WHERE channel = 'google_ads' AND date >= '2024-01-05' AND date <= '2024-01-25'
+        |ORDER BY date, campaign_id, utm_campaign, utm_source, utm_medium
+        |LIMIT 30 OFFSET 10""".stripMargin),
+
+    // store-backed twin: identical result contract, served from the
+    // date-partitioned MetricsStore instead of the feed scan
+    "etl_channel_query_store" -> (feedCtes +
       """SELECT * FROM metrics
         |WHERE channel = 'google_ads' AND date >= '2024-01-05' AND date <= '2024-01-25'
         |ORDER BY date, campaign_id, utm_campaign, utm_source, utm_medium

@@ -66,6 +66,35 @@ object EtlQueries {
     MetricsQueries.channelQuery(MetricsQueries.metrics(spark, dir),
       "google_ads", "2024-01-05", "2024-01-25", limit = 30, offset = 10)
 
+  /** Store-backed channel query (SURVEY §5's pruning story as a
+    * registered query): consolidation is written to the
+    * date-partitioned MetricsStore, then the channel query is served
+    * FROM the store — the date range lands in the scan's
+    * PartitionFilters (PlanSpec asserts it), so the serve path lists
+    * only matching date directories instead of rescanning the feed.
+    * Same parameters and oracle as etl_channel_query; the timing
+    * includes the store write (an honest ingest-then-serve round
+    * trip). The pruning filter runs in DATE space BEFORE the
+    * string cast — a filter above the cast would not prune.
+    */
+  def channelQueryStore(spark: SparkSession, dir: String): DataFrame = {
+    val store = System.getProperty("java.io.tmpdir") + "/graft_metrics_store_" +
+      Integer.toHexString(dir.hashCode)
+    graft.sources.MetricsStore.write(MetricsQueries.metrics(spark, dir), store)
+    // partitionBy moves `date` to the end on read-back; restore the
+    // canonical metrics column order for the contract
+    val metricCols = Consolidate.keyCols ++ Seq(
+      "clicks", "impressions", "cost", "leads", "opportunities", "closed_won",
+      "revenue", "cpc", "cpa", "cvr_lead_to_opp", "cvr_opp_to_won", "roas")
+    val pruned = graft.sources.MetricsStore.read(spark, store)
+      .filter(col("date").between(
+        lit("2024-01-05").cast("date"), lit("2024-01-25").cast("date")))
+      .withColumn("date", col("date").cast("string"))
+      .select(metricCols.map(col): _*)
+    MetricsQueries.channelQuery(pruned, "google_ads", "2024-01-05", "2024-01-25",
+      limit = 30, offset = 10)
+  }
+
   def funnelQuery(spark: SparkSession, dir: String): DataFrame =
     MetricsQueries.funnelQuery(MetricsQueries.metrics(spark, dir),
       "camp_7", "2024-01-05", "2024-01-25")
