@@ -72,7 +72,14 @@ object Bench {
     // breaks a query would "improve" the sweep. Failures are collected
     // and emitted as a separate "failed" key instead.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val aqeDefault = spark.conf.get("spark.sql.adaptive.enabled")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Domain-bounded aggregations gain nothing from AQE's re-plan
+      // barriers at any scale (SparkEntry.boundedShuffleQueries) —
+      // execute those with adaptive off, everything else at the
+      // session's volume-gated default.
+      spark.conf.set("spark.sql.adaptive.enabled",
+        if (SparkEntry.boundedShuffleQueries(name)) "false" else aqeDefault)
       val times = (1 to reps).map { r =>
         val cg0 = if (profile) codegenStats() else (0L, 0L)
         val t0 = System.nanoTime()

@@ -94,6 +94,29 @@ object SparkEntry {
     "pipeline_corpus_clean" -> ((s, d) => Pipeline.corpusClean(s, d))
   )
 
+  /** Queries whose every shuffle is key-domain-bounded and lands AFTER
+    * a map-side partial aggregate: the shuffle volume is O(mapTasks ×
+    * |key domain|) fixed-width rows regardless of input size, evenly
+    * hash-spread by construction, with no joins to re-strategize — so
+    * AQE's per-stage materialization barriers (~0.15 s/round, measured
+    * in BASELINE.md's constant decomposition) buy nothing at ANY scale
+    * and Bench/Verify execute these with adaptive execution off. This
+    * extends Sessions.driver's volume-based AQE auto-gate from
+    * directory granularity to the query class where the re-plan has
+    * provably nothing to adapt: partition sizing is predictable
+    * (post-partial-agg reduce volume ≈ |domain| rows), skew impossible
+    * (every shuffle row a distinct bounded key). One-JVM A/B at sf10
+    * (4 reps × 2 rounds each way): etl_consolidate 1.69→1.11 s,
+    * etl_metrics 1.42→1.02 s, etl_export_daily 1.74→1.33 s; q1_agg and
+    * corpus_stats within noise but the same class, included for
+    * consistency. Row-level or join-bearing queries stay out — AQE's
+    * skew-join splitting and coalescing are load-bearing there (the
+    * sf10 ngram join measured 2× faster WITH AQE, r4).
+    */
+  val boundedShuffleQueries: Set[String] = Set(
+    "etl_consolidate", "etl_metrics", "etl_export_daily",
+    "q1_agg", "corpus_stats")
+
   /** Shared shingle/size CTEs for the dedup oracles — the SQL mirror of
     * Dedup.shingled (3-gram word shingles, distinct per doc, docs with
     * <3 words excluded).

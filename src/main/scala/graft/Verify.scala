@@ -20,7 +20,11 @@ object Verify {
     }
     val selected = subset.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (k, _) => s(k) })
+    val aqeDefault = spark.conf.get("spark.sql.adaptive.enabled")
     selected.foreach { case (name, fn) =>
+      // same per-query AQE gate as Bench (SparkEntry.boundedShuffleQueries)
+      spark.conf.set("spark.sql.adaptive.enabled",
+        if (SparkEntry.boundedShuffleQueries(name)) "false" else aqeDefault)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

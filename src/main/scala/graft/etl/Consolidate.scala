@@ -72,16 +72,36 @@ object Consolidate {
     * timestamps).
     */
   def metricsPacked(events: DataFrame): DataFrame = {
-    val agg = Marketing.packedFeed(events)
+    // Phase 1: group on the primitive packed long (mkey·8 + cls) with
+    // the two cheapest possible per-row updates — a row count and one
+    // exact fixed-point value sum. All measure branching moves to
+    // phase 2, which runs once per (mkey, cls) GROUP (≤ 5 rows per
+    // final key) instead of once per input row.
+    val p1 = Marketing.packedRows(events)
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("vsum"))
+    val cls = col("pk").bitwiseAND(7L).cast("int")
+    // Phase 2: split (cnt, vsum) into the seven measures by class and
+    // re-aggregate on the bare mkey. `.otherwise(0.0)` on cost/revenue
+    // mirrors the string path's per-row projection: a key with only
+    // CRM rows has cost 0.0 (not NULL), and vice versa for revenue;
+    // an all-NULL-value class keeps vsum NULL, which dsum skips —
+    // identical NULL algebra to summing the per-row columns.
+    // Phase-1 sums are exact multiples of 10^-4 below 2^53, so the
+    // phase-2 dsum re-scales them losslessly: the composed sum is
+    // bit-identical to the single-phase one.
+    val agg = p1
+      .select(shiftright(col("pk"), 3).as("mkey"), cls.as("cls"),
+        col("cnt"), col("vsum"))
       .groupBy(col("mkey"))
       .agg(
-        sum(col("clicks")).as("clicks"),
-        sum(col("impressions")).as("impressions"),
-        dsum(col("cost")).as("cost"),
-        sum(col("leads")).as("leads"),
-        sum(col("opportunities")).as("opportunities"),
-        sum(col("closed_won")).as("closed_won"),
-        dsum(col("revenue")).as("revenue"))
+        sum(when(col("cls") === 1, col("cnt")).otherwise(0L)).as("clicks"),
+        sum(when(col("cls") === 0, col("cnt")).otherwise(0L)).as("impressions"),
+        dsum(when(col("cls") <= 1, col("vsum")).otherwise(0.0)).as("cost"),
+        sum(when(col("cls") === 2, col("cnt")).otherwise(0L)).as("leads"),
+        sum(when(col("cls") === 3, col("cnt")).otherwise(0L)).as("opportunities"),
+        sum(when(col("cls") === 4, col("cnt")).otherwise(0L)).as("closed_won"),
+        dsum(when(col("cls") === 4, col("vsum")).otherwise(0.0)).as("revenue"))
     val ex = FeedKeyExpand.feed_key_expand(col("mkey"))
     agg.select(
       keyCols.map(f => ex.getField(f).as(f)) ++

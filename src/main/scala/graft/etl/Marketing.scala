@@ -167,29 +167,20 @@ object Marketing {
         when(col("event_type") === "purchase", col("value")).otherwise(0.0).as("revenue"))
   }
 
-  /** Packed-key fused feed: one [[graft.functions.FeedKey]] kernel call
-    * per row emits the 35-bit packed MetricKey plus the event class;
-    * the measure columns branch on the class INT instead of
-    * re-comparing event_type strings six times. Batch consolidation
-    * groups on `mkey` and reconstructs the six key strings after the
-    * aggregate ([[Consolidate.metricsPacked]]) — once per group, not
-    * once per row.
+  /** Minimal phase-1 projection for the two-phase packed consolidation:
+    * one primitive-long kernel call per row ([[graft.functions.FeedKeyLong]],
+    * key = mkey·8+cls) plus the raw measure value — no struct, no
+    * boxing, no per-row branching at all. The per-class measure split
+    * happens AFTER the first aggregate, once per (mkey, cls) group
+    * ([[Consolidate.metricsPacked]]).
     */
-  def packedFeed(events: DataFrame): DataFrame = {
-    val fr = FeedKey.feed_key(col("ts"), col("user_id"), col("props"), col("event_type"))
-    val cls = fr.getField("cls")
+  def packedRows(events: DataFrame): DataFrame =
     events
       .filter(col("event_type").isin("view", "click", "signup", "error", "purchase"))
       .select(
-        fr.getField("mkey").as("mkey"),
-        when(cls === 1, 1L).otherwise(0L).as("clicks"),
-        when(cls === 0, 1L).otherwise(0L).as("impressions"),
-        when(cls <= 1, col("value")).otherwise(0.0).as("cost"),
-        when(cls === 2, 1L).otherwise(0L).as("leads"),
-        when(cls === 3, 1L).otherwise(0L).as("opportunities"),
-        when(cls === 4, 1L).otherwise(0L).as("closed_won"),
-        when(cls === 4, col("value")).otherwise(0.0).as("revenue"))
-  }
+        FeedKey.feed_key_long(col("ts"), col("user_id"), col("props"),
+          col("event_type")).as("pk"),
+        col("value"))
 
   /** CRM opportunities feed: one row per signup/error/purchase event,
     * stage-mapped (signup→lead, error→opportunity, purchase→closed_won).

@@ -12,10 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
 import java.time.ZoneId
 
 /** Packed numeric consolidation key: (ts, user_id, props, event_type) →
-  * struct(mkey: bigint, cls: int) — the whole 6-string MetricKey
-  * (reference: transformer.go's date/channel/campaign/utm composite)
-  * folded into ONE 35-bit integer, plus the event classification the
-  * measure columns branch on.
+  * one primitive BIGINT `mkey << 3 | cls` — the whole 6-string
+  * MetricKey (reference: transformer.go's date/channel/campaign/utm
+  * composite) folded into a 35-bit integer `mkey`, plus the 3-bit
+  * event classification `cls` the measure derivation branches on.
   *
   * Purpose: the consolidation aggregation's per-row cost is dominated
   * by building and hashing a 6-string UnsafeRow group key. Every one
@@ -35,8 +35,8 @@ import java.time.ZoneId
   * ads k mod 10, ads null-k → 14, crm → 15).
   *
   * cls: view=0 click=1 signup=2 error=3 purchase=4, anything else
-  * (incl. null) −1 — callers filter to the five feed types, exactly
-  * like the string-path projection.
+  * (incl. null) → sentinel 7 — callers filter to the five feed types,
+  * exactly like the string-path projection.
   *
   * Contract: timestamps must land in civil years [1, 9999] (22-bit
   * day budget). Outside that range the kernel throws a clear error
@@ -45,72 +45,7 @@ import java.time.ZoneId
   * string-key path ([[graft.etl.Consolidate.consolidateNormalized]])
   * remains available for such data.
   */
-case class FeedKey(first: Expression, second: Expression, third: Expression,
-                   fourth: Expression, timeZoneId: Option[String] = None)
-    extends QuaternaryExpression with TimeZoneAwareExpression {
-
-  override def dataType: DataType = FeedKey.Schema
-  override def nullable: Boolean = false
-  override def prettyName: String = "feed_key"
-
-  override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
-    copy(timeZoneId = Some(timeZoneId))
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
-      case (TimestampType | TimestampNTZType, LongType, StringType, StringType) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (t, u, p, e) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (timestamp, bigint, string, string), got " +
-          s"(${t.simpleString}, ${u.simpleString}, ${p.simpleString}, ${e.simpleString})")
-    }
-
-  private def isNtz: Boolean = first.dataType == TimestampNTZType
-
-  override def eval(input: InternalRow): Any = {
-    val t = first.eval(input)
-    val u = second.eval(input)
-    val p = third.eval(input)
-    val e = fourth.eval(input)
-    FeedKey.row(
-      t == null, if (t == null) 0L else t.asInstanceOf[Long],
-      if (isNtz) null else zoneId,
-      u == null, if (u == null) 0L else u.asInstanceOf[Long],
-      p.asInstanceOf[UTF8String], e.asInstanceOf[UTF8String])
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val t = first.genCode(ctx)
-    val u = second.genCode(ctx)
-    val p = third.genCode(ctx)
-    val e = fourth.genCode(ctx)
-    val zone =
-      if (isNtz) "((java.time.ZoneId) null)"
-      else ctx.addReferenceObj("zoneId", zoneId, "java.time.ZoneId")
-    ev.copy(
-      code = code"""
-        ${t.code}
-        ${u.code}
-        ${p.code}
-        ${e.code}
-        InternalRow ${ev.value} = graft.functions.FeedKey.row(
-          ${t.isNull}, ${t.value}, $zone, ${u.isNull}, ${u.value},
-          ${p.isNull} ? null : ${p.value}, ${e.isNull} ? null : ${e.value});
-      """,
-      isNull = FalseLiteral)
-  }
-
-  override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression,
-      newThird: Expression, newFourth: Expression): Expression =
-    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
-}
-
 object FeedKey {
-
-  val Schema: StructType = StructType(Seq(
-    StructField("mkey", LongType, nullable = false),
-    StructField("cls", IntegerType, nullable = false)))
 
   private[functions] val DayNull = 0x3FFFFFL          // 22-bit sentinel
   private[functions] val DayOffset = 719162L          // epochDay of year 1
@@ -119,9 +54,14 @@ object FeedKey {
   private val EventTypes: Array[UTF8String] =
     Array("view", "click", "signup", "error", "purchase").map(UTF8String.fromString)
 
-  def row(tsNull: Boolean, tsMicros: Long, zid: ZoneId,
-          uidNull: Boolean, uid: Long, props: UTF8String,
-          eventType: UTF8String): InternalRow = {
+  /** The 35-bit MetricKey and the 3-bit event class in ONE primitive
+    * long: `mkey << 3 | (cls & 7)` (cls −1 → sentinel 7). Allocation-
+    * free static core of [[FeedKeyLong]]: the consolidation's phase-1
+    * aggregation groups on this long with zero per-row object churn.
+    */
+  def pack(tsNull: Boolean, tsMicros: Long, zid: ZoneId,
+           uidNull: Boolean, uid: Long, props: UTF8String,
+           eventType: UTF8String): Long = {
     var cls = -1
     if (eventType != null) {
       var i = 0
@@ -153,16 +93,80 @@ object FeedKey {
       else if (k == null) 14L                // ads with null k: campaign_id null
       else (k.intValue % 10).toLong
     val key = dOff << 13 | si << 10 | mi << 9 | k20 << 4 | camp
-    val out = new Array[Any](2)
-    out(0) = key
-    out(1) = cls
-    new GenericInternalRow(out)
+    key << 3 | (cls & 7).toLong
   }
 
-  def feed_key(ts: Column, userId: Column, props: Column, eventType: Column): Column =
-    GraftColumn.column(FeedKey(
+  def feed_key_long(ts: Column, userId: Column, props: Column, eventType: Column): Column =
+    GraftColumn.column(FeedKeyLong(
       GraftColumn.expression(ts), GraftColumn.expression(userId),
       GraftColumn.expression(props), GraftColumn.expression(eventType)))
+}
+
+/** [[FeedKey]]'s packing as a primitive BIGINT (`mkey << 3 | cls`, cls
+  * −1 → 7): the consolidation hot path groups directly on this long —
+  * no per-row struct allocation, no boxing, and the downstream measure
+  * derivation branches on `pk & 7` once per (mkey, cls) GROUP instead
+  * of once per row ([[graft.etl.Consolidate.metricsPacked]]).
+  */
+case class FeedKeyLong(first: Expression, second: Expression, third: Expression,
+                       fourth: Expression, timeZoneId: Option[String] = None)
+    extends QuaternaryExpression with TimeZoneAwareExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "feed_key_long"
+
+  override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
+    copy(timeZoneId = Some(timeZoneId))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (TimestampType | TimestampNTZType, LongType, StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, u, p, e) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (timestamp, bigint, string, string), got " +
+          s"(${t.simpleString}, ${u.simpleString}, ${p.simpleString}, ${e.simpleString})")
+    }
+
+  private def isNtz: Boolean = first.dataType == TimestampNTZType
+
+  override def eval(input: InternalRow): Any = {
+    val t = first.eval(input)
+    val u = second.eval(input)
+    val p = third.eval(input)
+    val e = fourth.eval(input)
+    FeedKey.pack(
+      t == null, if (t == null) 0L else t.asInstanceOf[Long],
+      if (isNtz) null else zoneId,
+      u == null, if (u == null) 0L else u.asInstanceOf[Long],
+      p.asInstanceOf[UTF8String], e.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = first.genCode(ctx)
+    val u = second.genCode(ctx)
+    val p = third.genCode(ctx)
+    val e = fourth.genCode(ctx)
+    val zone =
+      if (isNtz) "((java.time.ZoneId) null)"
+      else ctx.addReferenceObj("zoneId", zoneId, "java.time.ZoneId")
+    ev.copy(
+      code = code"""
+        ${t.code}
+        ${u.code}
+        ${p.code}
+        ${e.code}
+        long ${ev.value} = graft.functions.FeedKey.pack(
+          ${t.isNull}, ${t.value}, $zone, ${u.isNull}, ${u.value},
+          ${p.isNull} ? null : ${p.value}, ${e.isNull} ? null : ${e.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 /** Inverse of [[FeedKey]]'s packing: packed bigint → the six MetricKey

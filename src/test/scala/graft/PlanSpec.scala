@@ -163,8 +163,8 @@ class PlanSpec extends AnyFunSuite {
     for ((label, kernel, df) <- Seq(
       ("unionedFeed", "graft.functions.FeedAttrs.attrs(",
         graft.etl.Marketing.unionedFeed(spark, dir)),
-      ("packedFeed", "graft.functions.FeedKey.row(",
-        graft.etl.Marketing.packedFeed(graft.sources.Tables.events(spark, dir))))) {
+      ("packedRows", "graft.functions.FeedKey.pack(",
+        graft.etl.Marketing.packedRows(graft.sources.Tables.events(spark, dir))))) {
       val code = codegenString(df.queryExecution.executedPlan)
       val n = code.sliding(kernel.length).count(_ == kernel)
       assert(n == 1, s"$label: kernel evaluated $n times per row in codegen")
