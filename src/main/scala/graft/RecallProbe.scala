@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Offline ANN recall measurement at arbitrary scale (not part of the
+  * driver contract): recall@k of `sim_ann_lsh` against the exact
+  * brute-force `sim_cosine_topk` on SPARK_GRAFT_SF_DIR. The 500-row and
+  * 50k-row points live in SimilaritySpec/ScaleSpec; this main exists
+  * for the sf10 (500k-vector) point recorded in BASELINE.md, where the
+  * adaptive bucket width is widest and the hybrid planner genuinely
+  * takes the bucket-join path rather than the dense fallback.
+  *
+  * Prints per-query overlap and the mean recall for the default knobs
+  * and, with SPARK_GRAFT_RECALL_SWEEP=1, a small probes/tables sweep.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = Sessions.driver(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, dir)
+
+    // cosineTopk/annLsh both end (query_id, rank, vec_id, cosine):
+    // the neighbor id is column 2 on BOTH sides.
+    val exact = operators.Similarity.cosineTopk(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    require(exact.nonEmpty, "cosineTopk returned nothing")
+
+    def recallOf(tables: Int, probes: Int, dense: Boolean): Double = {
+      val ann = operators.Similarity
+        .annLsh(spark, dir, tables = tables, probes = probes, denseFallback = dense)
+        .collect().filter(!_.isNullAt(2))
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+      val recalls = exact.toSeq.sortBy(_._1).map { case (q, bs) =>
+        val r = ann.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+        println(f"[recall] q=$q tables=$tables probes=$probes recall@10 $r%.2f")
+        r
+      }
+      recalls.sum / recalls.size
+    }
+
+    val mean = recallOf(tables = 16, probes = 192, dense = true)
+    println(f"[recall] MEAN default knobs: $mean%.3f over n=${
+      sources.Tables.embeddings(spark, dir).count()} vectors")
+    // Forced-bucket sweep: denseFallback off so the LSH machinery
+    // itself is measured even where the hybrid would (correctly) take
+    // the dense path at this n — the bucket path is what survives to
+    // 10M+ vectors, where candidates ≈ tables·probes·64 ≪ n.
+    if (sys.env.get("SPARK_GRAFT_RECALL_SWEEP").contains("1"))
+      for (t <- Seq(16, 24); p <- Seq(96, 192, 288))
+        println(f"[recall] MEAN bucket-path tables=$t probes=$p: ${
+          recallOf(t, p, dense = false)}%.3f")
+    spark.stop()
+  }
+}

@@ -157,20 +157,27 @@ object Similarity {
     *
     * Recall@10 vs brute force is asserted in SimilaritySpec and, at
     * n=50k, in ScaleSpec — for BOTH paths: the default hybrid (dense
-    * at that n, exact) and the forced bucket path (0.875 measured at
-    * the 10-bit width, deterministic hash family). Honesty note: the
-    * spec corpus has no planted near-dups for the query set, so true
-    * top-10 cosines sit ~3.5σ into the random-pair tail — the
-    * gapless regime where a typical true neighbor flips MORE hash
-    * bits than any bounded probe family covers, and every LSH
-    * degrades toward a scan; that measured ceiling is exactly why
-    * the dense fallback exists. On corpora where neighbors are
-    * actual near-dups (cosine ≥ 0.7) the exact buckets alone
-    * already collide with high probability.
+    * at that n, exact) and the forced bucket path (measured at the
+    * 10-bit width, deterministic hash family). The sf10 (n=200k,
+    * 12-bit) point is measured offline by [[graft.RecallProbe]] and
+    * recorded in BASELINE.md: hybrid 1.000 (dense at this n), forced
+    * bucket 0.663 at probes=96 plateauing at 0.787/0.812
+    * (16/24 tables) with the ≤3-flip family nearly exhausted — which
+    * set the default probe budget to 192 (r8): the hybrid now stays
+    * dense through n≈400k instead of handing 200k-row corpora to the
+    * bucket path below its recall bar. Honesty note: the spec corpus
+    * has no planted near-dups for the query set, so true top-10
+    * cosines sit ~3.5σ into the random-pair tail — the gapless
+    * regime where a typical true neighbor flips MORE hash bits than
+    * any bounded probe family covers, and every LSH degrades toward
+    * a scan; that measured ceiling is exactly why the dense fallback
+    * exists. On corpora where neighbors are actual near-dups
+    * (cosine ≥ 0.7) the exact buckets alone already collide with
+    * high probability.
     */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10,
              tables: Int = 16, bitsOverride: Option[Int] = None,
-             margin: Int = 16, probes: Int = 96,
+             margin: Int = 16, probes: Int = 192,
              denseFallback: Boolean = true): DataFrame = {
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
     val bits = bitsOverride.getOrElse(Dedup.adaptiveLshBits(n))

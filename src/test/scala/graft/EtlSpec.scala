@@ -54,6 +54,73 @@ class EtlSpec extends AnyFunSuite {
     assert(doubled.count() == once.count())
   }
 
+  test("lenient parsing is per-row: random format interleavings match a java.time oracle") {
+    // The reference parses each CRM row independently (crm.go
+    // parseDateTime tries all formats per call). A column-batch
+    // implementation could accidentally latch the first format that
+    // succeeds in a batch, so this property fuzzes batches in which
+    // ALL eight format arms (plus slash separators and padding) are
+    // randomly interleaved, and checks every row against an instant
+    // computed on the driver with java.time — independent of both the
+    // expression and the SQL cascade.
+    import java.time.{LocalDateTime, ZoneOffset}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    def f2(n: Int) = f"$n%02d"
+    val genCase: Gen[(String, java.time.Instant)] = for {
+      y <- Gen.choose(1990, 2035); mo <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+      h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); se <- Gen.choose(0, 59)
+      ms <- Gen.choose(0, 999)
+      offMin <- Gen.oneOf(Gen.choose(1, 14 * 60), Gen.choose(-14 * 60, -1))
+      arm <- Gen.choose(0, 7)
+      slashes <- Gen.prob(0.3)
+      pad <- Gen.prob(0.3)
+    } yield {
+      val ldt = LocalDateTime.of(y, mo, d, h, mi, se)
+      val off = ZoneOffset.ofTotalSeconds(offMin * 60)
+      val ds0 = f"$y%04d-${f2(mo)}-${f2(d)}"
+      val ds = if (slashes) ds0.replace('-', '/') else ds0
+      val t = s"${f2(h)}:${f2(mi)}:${f2(se)}"
+      val sign = if (offMin < 0) "-" else "+"
+      val oh = f2(math.abs(offMin) / 60); val om = f2(math.abs(offMin) % 60)
+      val (raw, inst) = arm match {
+        case 0 => (s"${ds}T${t}Z", ldt.toInstant(ZoneOffset.UTC))
+        case 1 => (s"$ds $t", ldt.toInstant(ZoneOffset.UTC))
+        case 2 => (ds, ldt.toLocalDate.atStartOfDay.toInstant(ZoneOffset.UTC))
+        case 3 => (s"${ds}T$t$sign$oh:$om", ldt.toInstant(off))
+        case 4 => (s"${ds}T$t.${f"$ms%03d"}$sign$oh:$om",
+          ldt.plusNanos(ms * 1000000L).toInstant(off))
+        case 5 => (s"$ds $t $sign$oh$om", ldt.toInstant(off))
+        case 6 => (s"$ds $t UTC", ldt.toInstant(ZoneOffset.UTC))
+        case 7 => (s"$ds $t.${f"$ms%03d"}",
+          ldt.plusNanos(ms * 1000000L).toInstant(ZoneOffset.UTC))
+      }
+      (if (pad) s"  $raw " else raw, inst)
+    }
+    // Several independently seeded batches, each one mixed-format by
+    // construction; deterministic seeds keep the suite reproducible.
+    for (seed <- 1L to 4L) {
+      val cases = Gen.listOfN(300, genCase)
+        .apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(fail("generator exhausted"))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cases.zipWithIndex.map { case ((raw, _), i) => org.apache.spark.sql.Row(i, raw) }, 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("raw", org.apache.spark.sql.types.StringType))))
+      val parsed = df.select(col("idx"), col("raw"),
+          Marketing.parseDateTimeLenient(col("raw")).as("ts"))
+        .collect().sortBy(_.getInt(0))
+      parsed.zip(cases).foreach { case (r, (raw, expected)) =>
+        assert(!r.isNullAt(2), s"seed $seed: failed to parse '$raw'")
+        assert(r.getTimestamp(2).toInstant == expected,
+          s"seed $seed: '$raw' -> ${r.getTimestamp(2).toInstant}, expected $expected")
+      }
+    }
+  }
+
   test("LenientTimestamp accepts a superset of the try_to_timestamp cascade") {
     import spark.implicits._
     // every generated format arm at sf0.001 + handwritten edge cases

@@ -96,13 +96,15 @@ class ScaleSpec extends AnyFunSuite {
     info(s"hybrid (dense path at this n) recall@10 = $hybrid")
     assert(hybrid >= 0.9, s"ANN recall at 50k below bar: $hybrid")
     // Forced bucket path: pins the LSH machinery itself at the 10-bit
-    // adaptive width. 0.875 measured (deterministic hash family +
-    // deterministic cache → exactly reproducible); the corpus is
-    // GAPLESS for the query set — true top-10 cosines ~0.42–0.55, a
-    // typical true neighbor flips >3 of 10 hash bits, so bounded
-    // probing plateaus here — which is the measured case FOR the
-    // dense fallback, not a regression. 0.85 floor leaves one
-    // neighbor of slack.
+    // adaptive width (0.875 measured at the pre-r8 default probe
+    // budget of 96; the r8 default of 192 caps at this width's
+    // 176-member ≤3-flip family, so it can only raise this).
+    // Deterministic hash family + deterministic cache → exactly
+    // reproducible. The corpus is GAPLESS for the query set — true
+    // top-10 cosines ~0.42–0.55, a typical true neighbor flips >3 of
+    // 10 hash bits, so bounded probing plateaus here — which is the
+    // measured case FOR the dense fallback, not a regression. 0.85
+    // floor leaves one neighbor of slack.
     val bucket = recallOf(denseFallback = false)
     info(s"forced bucket path recall@10 = $bucket")
     assert(bucket >= 0.85, s"bucket-path LSH recall at 50k collapsed: $bucket")
