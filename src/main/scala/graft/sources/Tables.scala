@@ -24,7 +24,24 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     dfCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      key => key._1.read.parquet(key._2))
+      key => normalizeNtz(key._1.read.parquet(key._2)))
+
+  /** The driver's generator writes plain `timestamp[us]` parquet columns
+    * (isAdjustedToUTC=false), which Spark 4's reader surfaces as
+    * TIMESTAMP_NTZ. Sessions pin `spark.sql.session.timeZone=UTC`, so
+    * casting to the session-zoned TIMESTAMP preserves every wall-clock
+    * field and epoch micro exactly while restoring the type the whole
+    * operator surface (unix_micros frames, window ranges, DuckDB-hash
+    * parity) is written against. Cast-at-scan is free: it fuses into the
+    * scan's projection and does not block pushdown on other columns.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntzCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntzCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -33,12 +50,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and the ns long is
-    * floor-divided (integral DIV — a double round-trip would lose
-    * precision at 1e18) to µs here. DuckDB's epoch_us truncates the same
-    * way, so event timestamps agree across the oracle boundary.
+  /** The driver's generator has shipped `ts` in two physical forms:
+    * TIMESTAMP(NANOS) (rejected by Spark's vectorized reader — sessions
+    * set `spark.sql.legacy.parquet.nanosAsLong=true` and the ns long is
+    * floor-divided to µs here, matching DuckDB's truncating epoch_us)
+    * and, since round 8, plain `timestamp[us]` (surfaced as
+    * TIMESTAMP_NTZ and normalized to session-zoned TIMESTAMP by
+    * [[load]]). Both paths end at the same µs wall-clock TIMESTAMP
+    * column, so event timestamps agree across the oracle boundary.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
