@@ -169,8 +169,11 @@ object EventStream {
               .filter(col("date").isin(dates: _*))
               .join(signed.select(keyCols.map(col): _*), keyCols, "left_anti"))
           }
+        // Cluster on the partition column so each touched date writes
+        // from one task (one file per date), not from every task of the
+        // upstream plan — same small-files rationale as MetricsStore.write.
         def overwriteStore(df: DataFrame): Unit =
-          df.write
+          df.repartition(col("date")).write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("date")
