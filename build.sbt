@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs all N executor threads inside this one JVM: at 32
+  // threads an 8g heap is 250MB/task and the sf10 sweep accumulates GC
+  // pressure query-over-query (dedup_exact read 4-7s mid-sweep vs 1.2s
+  // isolated). 32g restores headroom on the 128GiB bench host; override
+  // down via SPARK_DRIVER_MEM on smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
