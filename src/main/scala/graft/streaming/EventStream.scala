@@ -147,6 +147,9 @@ object EventStream {
     val signed = graft.etl.EtlQueries.signExportRows(
       graft.etl.Consolidate.withDerived(batch), secret).persist()
     try {
+      // Driver-side collect is bounded by DISTINCT DATES IN THIS
+      // MICRO-BATCH (a handful under any watermark), never by row
+      // volume — the standard shape for a dynamic-partition upsert.
       val dates = signed.select(col("date")).distinct().collect().map(_.getString(0)).toSeq
       if (dates.nonEmpty) {
         MergeStats.recordApplied()

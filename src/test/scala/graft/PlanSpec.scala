@@ -126,6 +126,18 @@ class PlanSpec extends AnyFunSuite {
     val direct = MetricsQueries.metrics(spark, dir)
       .filter(org.apache.spark.sql.functions.col("date") === "2024-01-10")
     assert(back.count() == direct.count() && back.count() > 0)
+    // the write clusters on the partition column: each date directory
+    // holds exactly ONE data file, not one per upstream task (w×d
+    // near-empty files made file-listing dominate the serve path, r8)
+    val root = new java.io.File(tmp)
+    val dateDirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("date="))
+    assert(dateDirs.nonEmpty)
+    for (d <- dateDirs) {
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName} has ${parts.length} files — store write not clustered")
+    }
   }
 
   test("etl_channel_query_store serves from a partition-pruned store scan") {
