@@ -108,6 +108,13 @@ object Bench {
       }
       if (reps > 1)
         System.err.println(f"[bench-reps] $name ${times.map(t => f"$t%.3f").mkString(" ")}")
+      // Nudge a full collection between queries: all 32 executor
+      // threads share this JVM, so one heavy query's old-gen residue
+      // otherwise taxes its neighbors (dedup_exact measured 4-7 s
+      // mid-sweep vs 1.2 s isolated at sf10 — the contamination class
+      // behind BENCH_r07's 61 s outlier). Once per query, between
+      // timings: measurement hygiene, never on a timed path.
+      System.gc()
       name -> times
     }
     val ok = results.filterNot { case (k, _) => failed(k) }
