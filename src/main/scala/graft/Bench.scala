@@ -108,13 +108,18 @@ object Bench {
       }
       if (reps > 1)
         System.err.println(f"[bench-reps] $name ${times.map(t => f"$t%.3f").mkString(" ")}")
-      // Nudge a full collection between queries: all 32 executor
-      // threads share this JVM, so one heavy query's old-gen residue
-      // otherwise taxes its neighbors (dedup_exact measured 4-7 s
+      // Collect between queries ONLY under real heap pressure: all 32
+      // executor threads share this JVM, and one heavy query's old-gen
+      // residue taxes its neighbors (dedup_exact measured 4-7 s
       // mid-sweep vs 1.2 s isolated at sf10 — the contamination class
-      // behind BENCH_r07's 61 s outlier). Once per query, between
-      // timings: measurement hygiene, never on a timed path.
-      System.gc()
+      // behind BENCH_r07's 61 s outlier). But an UNCONDITIONAL
+      // System.gc() is a net loss: the full collection unloads
+      // generated classes and deoptimizes warm code, and an A/B showed
+      // every light sf0.1 query ~40% slower re-JITting (sweep +6 s).
+      // Gate on half the heap being occupied: light sweeps never
+      // trigger it, heavy-residue sweeps get the reset.
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
       name -> times
     }
     val ok = results.filterNot { case (k, _) => failed(k) }
