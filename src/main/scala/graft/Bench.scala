@@ -17,15 +17,32 @@ import org.apache.spark.sql.SparkSession
   * it includes (~17 s across a 59-query sweep, measured r5) is real but
   * amortizes to noise on any cluster-scale query, and DuckDB's number
   * never included its analogue in the first place.
+  *
+  * == Sharded sweeps (the official mode) ==
+  *
+  * All 32 executor threads share one JVM in local mode, so a full sweep
+  * accumulates cross-query residue — old-gen garbage, JIT deopt, code
+  * cache churn — that a per-query heuristic cannot reliably detect:
+  * BENCH_r08 published 4-10x uniformly-inflated rows for five queries
+  * and the warm-rep spread flag (>3x) caught exactly one, because
+  * uniform inflation has no spread. The sf10 ladder's fix — a fresh JVM
+  * per measurement — is structural, not heuristic, so the full sweep now
+  * adopts it: the registered map is split into SPARK_GRAFT_SHARDS
+  * alphabetical chunks (default: ceil(n/8), ~8 queries/shard), each
+  * chunk runs in a freshly forked JVM with the same classpath and JVM
+  * args as this one, and the parent merges the child JSON files into the
+  * one output line. Children run SEQUENTIALLY — all 32 cores belong to
+  * one shard at a time, so per-query numbers stay comparable to the
+  * single-JVM protocol. SPARK_GRAFT_SHARDS=1 forces the legacy one-JVM
+  * sweep (used by the in-shard child itself, and for A/B).
+  *
+  * Per-query used-heap after release ("heap_mb") is emitted alongside
+  * rep_times so any residue that does survive is attributable in-band.
   */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.driver(cpus.toInt, sfDir)
-    // One tiny warmup materialization so JVM/codegen startup cost isn't
-    // charged to the first query in the map.
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // Optional comma-separated subset (e.g. the sf10 dedup-family point
     // in BASELINE.md) — unset runs the full registered map. A name that
     // matches no registered query is a hard error: a typo would otherwise
@@ -37,8 +54,106 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_QUERIES names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val selected = subset.fold(SparkEntry.queries)(s =>
-      SparkEntry.queries.filter { case (k, _) => s(k) })
+    val names = subset.fold(SparkEntry.queries.keySet)(identity).toSeq.sorted
+    val isChild = sys.env.contains("SPARK_GRAFT_SHARD_OUT")
+    val shards = sys.env.get("SPARK_GRAFT_SHARDS").map(_.toInt)
+      .getOrElse(math.max(1, math.ceil(names.size / 8.0).toInt))
+    if (!isChild && shards > 1 && names.size > 1)
+      runSharded(names, math.min(shards, names.size), sfDir)
+    else runSweep(names, sfDir)
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  /** Fork one fresh JVM per alphabetical chunk, collect each child's JSON
+    * from a temp file (child stdout is discarded — the merged line below
+    * is the only thing this process prints), merge, emit one line.
+    */
+  private def runSharded(names: Seq[String], k: Int, sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    // Same JVM as this one: sbt's forked run passes the full classpath
+    // via -cp and build.sbt's javaOptions (add-opens, -Xmx, -D) arrive
+    // as input arguments — both are reproducible from inside.
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    // Contiguous alphabetical chunks, sizes differing by at most one.
+    val base = names.size / k
+    val rem = names.size % k
+    val chunks = (0 until k).map { i =>
+      val start = i * base + math.min(i, rem)
+      names.slice(start, start + base + (if (i < rem) 1 else 0))
+    }.filter(_.nonEmpty)
+    val childResults = chunks.zipWithIndex.map { case (chunk, i) =>
+      val out = Files.createTempFile(s"graft-bench-shard$i-", ".json")
+      val log = Files.createTempFile(s"graft-bench-shard$i-", ".out")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_QUERIES", chunk.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SHARD_OUT", out.toString)
+      // Any stray stdout from the child (Spark banners, etc.) must not
+      // interleave with the parent's single JSON line.
+      pb.redirectOutput(ProcessBuilder.Redirect.to(log.toFile))
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(
+        s"[bench-shard] ${i + 1}/${chunks.size}: ${chunk.head}..${chunk.last} (${chunk.size} queries)")
+      val rc = pb.start().waitFor()
+      val json = new String(Files.readAllBytes(out), java.nio.charset.StandardCharsets.UTF_8)
+      require(json.trim.nonEmpty,
+        s"shard ${i + 1} (rc=$rc) produced no JSON — see ${log.toString}")
+      Files.deleteIfExists(out); Files.deleteIfExists(log)
+      org.json4s.jackson.JsonMethods.parse(json)
+    }
+    import org.json4s._
+    def mergeObj(key: String): Seq[(String, JValue)] =
+      childResults.flatMap(j => (j \ key) match {
+        case JObject(fields) => fields
+        case _ => Nil
+      }).sortBy(_._1)
+    def mergeArr(key: String): Seq[String] =
+      childResults.flatMap(j => (j \ key) match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Nil
+      }).sorted
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble; case JDecimal(d) => d.toDouble; case _ => 0.0
+    }
+    val queries = mergeObj("queries")
+    val qs = queries.map { case (n, v) => "\"" + n + "\":" + num(v) }.mkString("{", ",", "}")
+    val repJson = mergeObj("rep_times").map { case (n, v) =>
+      "\"" + n + "\":" + org.json4s.jackson.JsonMethods.compact(v)
+    }.mkString("{", ",", "}")
+    val heapJson = mergeObj("heap_mb").map { case (n, v) =>
+      "\"" + n + "\":" + num(v).toLong
+    }.mkString("{", ",", "}")
+    val spreadJson = mergeArr("spread_flagged").map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = mergeArr("failed")
+    val failedJson =
+      if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val total = queries.map { case (_, v) => num(v) }.sum
+    val coldTotal = childResults.map(j => num(j \ "cold_total")).sum
+    val reps = childResults.headOption.map(j => num(j \ "reps").toInt).getOrElse(3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","reps":$reps,"cold_total":$coldTotal,"shards":${chunks.size},""" +
+      s""""rep_times":$repJson,"heap_mb":$heapJson,"spread_flagged":$spreadJson$failedJson}""")
+    if (failed.nonEmpty) sys.exit(2)
+  }
+
+  // ---------------------------------------------------------------- sweep
+
+  /** One-JVM sweep over `names`. Prints the JSON line to stdout, or — in
+    * shard-child mode — writes it to SPARK_GRAFT_SHARD_OUT instead.
+    */
+  private def runSweep(names: Seq[String], sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.driver(cpus.toInt, sfDir)
+    // One tiny warmup materialization so JVM/codegen startup cost isn't
+    // charged to the first query in the map.
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    val selected = names.map(n => n -> SparkEntry.queries(n))
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     // SPARK_GRAFT_PROFILE=1 prints per-rep Janino codegen compile counts/time
     // (driver-side JVM metrics) so first-run constants can be attributed.
@@ -73,7 +188,8 @@ object Bench {
     // and emitted as a separate "failed" key instead.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val aqeDefault = spark.conf.get("spark.sql.adaptive.enabled")
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val rt = Runtime.getRuntime
+    val results = selected.map { case (name, fn) =>
       // Domain-bounded aggregations gain nothing from AQE's re-plan
       // barriers at any scale (SparkEntry.boundedShuffleQueries) —
       // execute those with adaptive off, everything else at the
@@ -108,6 +224,10 @@ object Bench {
       }
       if (reps > 1)
         System.err.println(f"[bench-reps] $name ${times.map(t => f"$t%.3f").mkString(" ")}")
+      // Used heap after release, BEFORE the GC gate below: this is the
+      // residue the next query would inherit, recorded in-band so an
+      // inflated row in the artifact can be attributed without re-runs.
+      val heapMb = (rt.totalMemory - rt.freeMemory) >> 20
       // Collect between queries ONLY under real heap pressure: all 32
       // executor threads share this JVM, and one heavy query's old-gen
       // residue taxes its neighbors (dedup_exact measured 4-7 s
@@ -118,12 +238,11 @@ object Bench {
       // every light sf0.1 query ~40% slower re-JITting (sweep +6 s).
       // Gate on half the heap being occupied: light sweeps never
       // trigger it, heavy-residue sweeps get the reset.
-      val rt = Runtime.getRuntime
       if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
-      name -> times
+      (name, times, heapMb)
     }
-    val ok = results.filterNot { case (k, _) => failed(k) }
-    val qs = ok.map { case (k, ts) => "\"" + k + "\":" + ts.min }
+    val ok = results.filterNot { case (k, _, _) => failed(k) }
+    val qs = ok.map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
     // Per-rep times in-band (BENCH_r07 lesson: the artifact published a
     // 61 s best for a 1.8 s query and nothing inside it could tell —
@@ -131,11 +250,13 @@ object Bench {
     // where a slow FIRST rep alone is the normal codegen/IO cold
     // constant). spread_flagged lists queries whose WARM reps (2..n)
     // still vary >3x — the in-band instability warning.
-    val repJson = ok.map { case (k, ts) =>
+    val repJson = ok.map { case (k, ts, _) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val heapJson = ok.map { case (k, _, h) => "\"" + k + "\":" + h }
+      .mkString("{", ",", "}")
     val unstable = ok.collect {
-      case (k, ts) if ts.size > 2 && {
+      case (k, ts, _) if ts.size > 2 && {
         val warm = ts.drop(1); warm.max / warm.min.max(1e-9) > 3.0
       } => k
     }
@@ -147,9 +268,15 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","reps":$reps,"cold_total":$coldTotal,""" +
-      s""""rep_times":$repJson,"spread_flagged":$spreadJson$failedJson}""")
+      s""""rep_times":$repJson,"heap_mb":$heapJson,"spread_flagged":$spreadJson$failedJson}"""
+    sys.env.get("SPARK_GRAFT_SHARD_OUT") match {
+      case Some(path) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case None => println(line)
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }
