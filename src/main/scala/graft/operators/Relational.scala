@@ -285,80 +285,41 @@ object Relational {
     * arithmetic to disagree about).
     *
     * Scale shape: NOT a full-table window over the ~5 event_type keys
-    * (that shuffles everything into 5 tasks that each sort a fifth of the
-    * corpus — the r4 verdict's scale-killer). Two-phase exact selection
-    * instead: (1) a B≈√n-bucket value histogram per group — an evenly
-    * distributed (group, bucket) shuffle with map-side partials — locates
-    * the bucket holding the global rank via a cumulative sum over the tiny
-    * ≤ G·B histogram; (2) the final selection runs on a per-VALUE
-    * histogram of that one bucket, never a row sort: the emitted median
-    * is a value, so tied rows collapse into one histogram entry and every
-    * window is over aggregated counts. A group that is 99% one value
-    * costs one histogram entry, not an O(n) single-task sort (the r5
-    * verdict's skew corner). All-equal groups (vmin = vmax)
-    * short-circuit to vmin without touching phase 2. The residual
-    * adversarial case (n all-DISTINCT values crammed into one bucket by
-    * range-stretching outliers) stays correct via an O(distinct) pass;
-    * see [[medianDisc]] for why that no longer buys an extra exact
-    * refinement round.
+    * (that shuffles every ROW into 5 tasks that each sort a fifth of the
+    * corpus — the r4 verdict's scale-killer). Direct selection over the
+    * per-VALUE histogram instead: one aggregation to (group, value)
+    * counts — a map-side-partial shuffle that carries O(distinct pairs),
+    * not O(rows) — then the median read off a cumulative window over the
+    * aggregated counts. The (value, event_id) order the rank is defined
+    * over never disambiguates the EMITTED value: rows tied on value are
+    * interchangeable at any rank inside their run, so only `value` is
+    * projected and a 99%-one-value group collapses to one histogram
+    * entry (the r5 skew corner). The window input is the group's
+    * DISTINCT value set; an all-distinct adversary degrades this to an
+    * O(n) single-partition cumulative pass that stays correct — at that
+    * cardinality the honest cluster answer is [[Sketches.quantiles]],
+    * not more exact machinery. (r9 A/B retired the earlier √n-bucket
+    * two-phase histogram: its extra scan + broadcast rounds cost 2.2×
+    * at every scale — 3.61 vs 1.89 s at sf10 — while sharing this same
+    * worst case, since a range-stretching outlier crammed all rows into
+    * one phase-1 bucket anyway; see BASELINE.md.)
     */
   def q17MedianDisc(spark: SparkSession, dir: String): DataFrame =
-    medianDisc(
-      Tables.events(spark, dir).select(col("event_type"), col("value"), col("event_id")),
-      Tables.parquetRowCount(spark, dir, "events"))
+    medianDisc(Tables.events(spark, dir).select(col("event_type"), col("value")))
 
-  /** [[q17MedianDisc]] over any (event_type, value, event_id) frame —
-    * split out so SkewSpec can drive it with crafted pathological value
-    * distributions. `nTotal` sizes the bucket count (√n); the caller
-    * supplies it from parquet footer metadata to avoid an extra scan.
+  /** [[q17MedianDisc]] over any frame with (event_type, value) — split
+    * out so SkewSpec can drive it with crafted pathological value
+    * distributions.
     */
-  private[graft] def medianDisc(ev: DataFrame, nTotal: Long): DataFrame = {
-    val stats = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
-    val buckets = math.max(32L, math.min(65536L, math.round(math.sqrt(nTotal.toDouble))))
-    val multi = stats.filter(col("vmin") < col("vmax"))
-    val bucketed = ev.join(broadcast(multi), Seq("event_type"))
-      .withColumn("bkt", least(lit(buckets - 1),
-        floor((col("value") - col("vmin")) /
-          ((col("vmax") - col("vmin")) / buckets.toDouble)).cast("long")))
-    val hist = bucketed.groupBy(col("event_type"), col("bkt")).agg(count(lit(1)).as("c"))
-    val wcum = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
-    val target = hist
-      .withColumn("cum", sum(col("c")).over(wcum))
-      .withColumn("cum_prev", col("cum") - col("c"))
-      .join(broadcast(multi.select(col("event_type"),
-        ((col("n") + 1) / 2).cast("long").as("k"))), Seq("event_type"))
-      .filter(col("cum") >= col("k") && col("cum_prev") < col("k"))
-      .select(col("event_type"), col("bkt"), (col("k") - col("cum_prev")).as("local_rank"))
-    // Phase 2: select on a per-VALUE histogram of the target bucket.
-    // Only `value` survives the projection — the (value, event_id) order
-    // the rank is defined over never disambiguates the EMITTED value,
-    // because rows tied on value are interchangeable at any rank inside
-    // their run. Pre-aggregating per value BEFORE the window is the
-    // skew armor: a 99%-one-value group collapses to one histogram
-    // entry, and the cumulative window ordered by value reads the
-    // local rank directly off the aggregated counts. The window input
-    // is bounded by the DISTINCT values inside one √n-sized bucket —
-    // an adversary cramming n all-distinct values into one bucket
-    // (outliers stretching the range) degrades this to an O(n)
-    // single-partition pass that stays correct; at that point the
-    // honest cluster answer is [[Sketches.quantiles]], not another
-    // exact refinement round (r6 carried one; its two extra
-    // shuffle+window rounds cost +35% on every benign run and the r7
-    // ladder showed the constant never amortizes — see BASELINE.md).
-    val targetRows = bucketed.join(broadcast(target), Seq("event_type", "bkt"))
-      .select(col("event_type"), col("value"), col("local_rank"))
+  private[graft] def medianDisc(ev: DataFrame): DataFrame = {
     val wval = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val fromBucket = targetRows
-      .groupBy(col("event_type"), col("value"), col("local_rank"))
-      .agg(count(lit(1)).as("cv"))
+    val wall = Window.partitionBy(col("event_type"))
+    ev.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cv"))
       .withColumn("cumv", sum(col("cv")).over(wval))
-      .filter(col("cumv") >= col("local_rank") &&
-        col("cumv") - col("cv") < col("local_rank"))
+      .withColumn("k", ((sum(col("cv")).over(wall) + 1) / 2).cast("long"))
+      .filter(col("cumv") >= col("k") && col("cumv") - col("cv") < col("k"))
       .select(col("event_type"), col("value").as("median_value"))
-    val allEqual = stats.filter(col("vmin") === col("vmax"))
-      .select(col("event_type"), col("vmin").as("median_value"))
-    fromBucket.union(allEqual).transform(presentSorted(_, col("event_type")))
+      .transform(presentSorted(_, col("event_type")))
   }
 
   /** q18_sessionize — gap-based sessions (30 min) via lag + running count;

@@ -331,7 +331,7 @@ class PlanSpec extends AnyFunSuite {
     // hours, q16 days) grow with the corpus's time span and use orderBy
     // instead (r8, ADVICE).
     val auditedSites = Map(
-      "operators/Relational.scala" -> 8, // q1, q4, q5, q10, q11, q12, q17(x2 incl. helper), (bucketed union)
+      "operators/Relational.scala" -> 8, // q1, q4, q5, q10, q11, q12, q17 (direct selection, r9), (bucketed union)
       "operators/Sketches.scala" -> 2,   // sketch_distinct, sketch_quantiles
       "operators/Curation.scala" -> 1,   // corpus_stats (<=5 languages)
       "etl/EtlQueries.scala" -> 2,       // exportDaily, hmacExport (one date x campaign domain)

@@ -45,17 +45,18 @@ class SkewSpec extends AnyFunSuite {
     import spark.implicits._
     // Two distributions the r5 verdict flagged as the residual corner:
     //  - "massone": 99% of the group at a single value (constant-price
-    //    SKUs / zero-valued events) — the phase-1 target bucket holds ~n
-    //    rows, all tied.
-    //  - "squeeze": one huge outlier stretches [vmin, vmax] so every
-    //    other row lands in phase-1 bucket 0 — ~n rows, all distinct.
+    //    SKUs / zero-valued events) — ~n rows collapsing to one
+    //    histogram entry.
+    //  - "squeeze": one huge outlier plus ~n all-distinct values — the
+    //    documented worst case, an O(distinct) cumulative pass that must
+    //    still be exact.
     val rows: Seq[(String, Double, Long)] =
       (1 to 99000).map(i => ("massone", 5.0, i.toLong)) ++
       (1 to 1000).map(i => ("massone", 5.0 + i, 99000L + i)) ++
       (1 to 9999).map(i => ("squeeze", i / 1e7, 200000L + i)) ++
       Seq(("squeeze", 1e12, 210000L))
     val ev = rows.toDF("event_type", "value", "event_id")
-    val out = Relational.medianDisc(ev, rows.size.toLong)
+    val out = Relational.medianDisc(ev)
     // exactness vs the definition: value at rank (n+1)/2 under sorted order
     def expected(g: String): Double = {
       val vs = rows.collect { case (`g`, v, _) => v }.sorted
@@ -66,13 +67,13 @@ class SkewSpec extends AnyFunSuite {
     assert(got("squeeze") == expected("squeeze"))
     // plan shape: every window runs over aggregated counts — no window
     // (and in particular no row_number) ever sees raw rows, so a skewed
-    // group can never collapse phase 2 into one O(n) sorting task
+    // group can never collapse the selection into one O(n) sorting task
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
     def aggBelow(p: SparkPlan): Boolean =
       p.collectFirst { case a: BaseAggregateExec => a }.isDefined
-    val raw = Relational.medianDisc(ev, rows.size.toLong)
+    val raw = Relational.medianDisc(ev)
       .queryExecution.executedPlan.collect {
         case w: WindowExec if !aggBelow(w.child) => w
       }
