@@ -13,6 +13,45 @@ object Profile {
       .split(",").map(_.trim).filter(_.nonEmpty)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(4)
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_DECOMP=consolidate: stage-by-stage cost decomposition
+    // of etl_consolidate (verdict r8 item 1) — cumulative plans from the
+    // bare scan to the full query, each materialized through noop, so
+    // each stage's delta isolates one component's cost.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("consolidate")) {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val ev = graft.sources.Tables.events(spark, dir)
+      val typed = ev.filter(
+        col("event_type").isin("view", "click", "signup", "error", "purchase"))
+      val stages: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        // first = the Bench-protocol absolute (fresh JVM, entry-warmup
+        // only); repeated last so (first - last) isolates the per-JVM
+        // warm-state constant the intermediate stages then share.
+        "full_registered_first" -> (() => SparkEntry.queries("etl_consolidate")(spark, dir)),
+        "scan5cols" -> (() =>
+          ev.select(col("ts"), col("user_id"), col("props"), col("event_type"), col("value"))),
+        "scan+filter" -> (() =>
+          typed.select(col("ts"), col("user_id"), col("props"), col("event_type"), col("value"))),
+        "scan+pack" -> (() => graft.etl.Marketing.packedRows(ev)),
+        "pack+phase1agg" -> (() => graft.etl.Marketing.packedRows(ev)
+          .groupBy(col("pk")).agg(count(lit(1)).as("cnt"),
+            graft.functions.dsum(col("value")).as("vsum"))),
+        "full_metricsPacked" -> (() =>
+          graft.etl.Consolidate.metricsPacked(ev)),
+        "full_registered" -> (() => SparkEntry.queries("etl_consolidate")(spark, dir)))
+      for ((label, mk) <- stages) {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      spark.stop()
+      return
+    }
     for (name <- names; aqe <- Seq("true", "false", "true", "false")) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       val ts = (1 to reps).map { _ =>
