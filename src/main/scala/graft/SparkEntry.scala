@@ -45,6 +45,7 @@ object SparkEntry {
     "etl_filter_since"  -> EtlQueries.filterSince _,
     "etl_channel_query" -> EtlQueries.channelQuery _,
     "etl_channel_query_store" -> EtlQueries.channelQueryStore _,
+    "etl_channel_query_store_serve" -> EtlQueries.channelQueryStoreServe _,
     "etl_funnel_query"  -> EtlQueries.funnelQuery _,
     "etl_export_daily"  -> EtlQueries.exportDaily _,
     "etl_matches"       -> EtlQueries.matches _,
@@ -433,6 +434,14 @@ object SparkEntry {
     // store-backed twin: identical result contract, served from the
     // date-partitioned MetricsStore instead of the feed scan
     "etl_channel_query_store" -> (feedCtes +
+      """SELECT * FROM metrics
+        |WHERE channel = 'google_ads' AND date >= '2024-01-05' AND date <= '2024-01-25'
+        |ORDER BY date, campaign_id, utm_campaign, utm_source, utm_medium
+        |LIMIT 30 OFFSET 10""".stripMargin),
+
+    // serve-only store twin: same contract again; the Spark side reuses
+    // an existing store so warm timings measure the pruned serve alone
+    "etl_channel_query_store_serve" -> (feedCtes +
       """SELECT * FROM metrics
         |WHERE channel = 'google_ads' AND date >= '2024-01-05' AND date <= '2024-01-25'
         |ORDER BY date, campaign_id, utm_campaign, utm_source, utm_medium

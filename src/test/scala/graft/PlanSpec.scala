@@ -141,16 +141,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("etl_channel_query_store serves from a partition-pruned store scan") {
-    val df = graft.etl.EtlQueries.channelQueryStore(spark, dir)
-    val s = planString(df)
-    assert(s.contains("PartitionFilters: [") &&
-      (s.contains("2024-01-05") || s.contains("19727")), // literal or epoch-day form
-      "the store-backed channel query's date range did not become a partition prune")
-    // same result contract as the feed-scan path
     val feed = graft.etl.EtlQueries.channelQuery(spark, dir)
       .collect().map(_.toString).toSeq
-    assert(df.collect().map(_.toString).toSeq == feed,
-      "store-backed and feed-scan channel queries diverged")
+    for (df <- Seq(graft.etl.EtlQueries.channelQueryStore(spark, dir),
+                   graft.etl.EtlQueries.channelQueryStoreServe(spark, dir))) {
+      val s = planString(df)
+      assert(s.contains("PartitionFilters: [") &&
+        (s.contains("2024-01-05") || s.contains("19727")), // literal or epoch-day form
+        "the store-backed channel query's date range did not become a partition prune")
+      // same result contract as the feed-scan path
+      assert(df.collect().map(_.toString).toSeq == feed,
+        "store-backed and feed-scan channel queries diverged")
+    }
   }
 
   test("q7 top-k prunes map-side before the shuffle (WindowGroupLimit Partial)") {
@@ -266,7 +268,8 @@ class PlanSpec extends AnyFunSuite {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
       }.size
-    val bounded = Set("etl_channel_query", "etl_channel_query_store", "corpus_pack_shards")
+    val bounded = Set("etl_channel_query", "etl_channel_query_store",
+      "etl_channel_query_store_serve", "corpus_pack_shards")
     for ((name, fn) <- SparkEntry.queries if !bounded(name)) {
       val n = unpartitionedWindows(fn(spark, dir).queryExecution.executedPlan)
       assert(n == 0, s"$name has $n unpartitioned Window operator(s)")
