@@ -113,10 +113,23 @@ object SparkEntry {
     * consistency. Row-level or join-bearing queries stay out — AQE's
     * skew-join splitting and coalescing are load-bearing there (the
     * sf10 ngram join measured 2× faster WITH AQE, r4).
+    *
+    * r9 extends the set with a second AQE-gains-nothing shape —
+    * join-free plans whose every shuffle key is UNIFORM by
+    * construction, even when the key domain grows with data: skew is
+    * impossible (dedup_exact groups on md5 — a uniform 128-bit hash;
+    * corpus_pack_shards windows on equal-width doc_id blocks and its
+    * only unpartitioned window reads ≤ ~10k block totals), the
+    * explicit broadcast in pack_shards leaves nothing to
+    * re-strategize, and the remaining exchange is a global output
+    * sort AQE never improves. One-JVM A/B at sf10 (4 reps × 2 rounds
+    * each way): dedup_exact 1.30→0.59 s, corpus_pack_shards
+    * 1.03→0.76 s — the AQE barriers were half of dedup_exact's cost.
     */
   val boundedShuffleQueries: Set[String] = Set(
     "etl_consolidate", "etl_metrics", "etl_export_daily",
-    "q1_agg", "corpus_stats")
+    "q1_agg", "corpus_stats",
+    "dedup_exact", "corpus_pack_shards")
 
   /** Shared shingle/size CTEs for the dedup oracles — the SQL mirror of
     * Dedup.shingled (3-gram word shingles, distinct per doc, docs with
