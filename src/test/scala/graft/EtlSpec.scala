@@ -193,6 +193,61 @@ class EtlSpec extends AnyFunSuite {
     assert(packed.count() == strings.count())
   }
 
+  test("FeedKey packs injectively at the civil-range boundary and throws exactly outside") {
+    // FeedKey's contract (FeedKey.scala): timestamps whose civil day
+    // falls in years [1, 9999] pack; anything outside throws and the
+    // caller must use the string-key path. This property pins the
+    // boundary itself: the four extreme civil days (0001-01-01,
+    // 0001-01-02, 9999-12-30, 9999-12-31) pack at any intra-day
+    // instant, expand back to exactly their civil date string
+    // (computed independently via java.time), stay injective across
+    // distinct days, and the first day on either side throws.
+    import java.time.{LocalDate, ZoneOffset}
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.{FeedKey, FeedKeyExpand}
+    val zid = ZoneOffset.UTC
+    val DayUs = 86400L * 1000000L
+    val minDay = LocalDate.of(1, 1, 1).toEpochDay        // -719162
+    val maxDay = LocalDate.of(9999, 12, 31).toEpochDay   //  2932896
+    val boundaryDays = Seq(minDay, minDay + 1, maxDay - 1, maxDay)
+    val genCase: Gen[(Long, Long, String, String)] = for {
+      off <- Gen.choose(0L, DayUs - 1)                   // intra-day instant
+      uid <- Gen.choose(0L, 1000L)
+      k <- Gen.choose(0, 99)
+      et <- Gen.oneOf("view", "click", "signup", "error", "purchase")
+    } yield (off, uid, s"""{"k": $k}""", et)
+    val cases = Gen.listOfN(200, genCase)
+      .apply(Gen.Parameters.default, Seed(7L)).getOrElse(fail("gen exhausted"))
+    def packAt(day: Long, off: Long, uid: Long, props: String, et: String): Long =
+      FeedKey.pack(tsNull = false, day * DayUs + off, zid,
+        uidNull = false, uid, UTF8String.fromString(props), UTF8String.fromString(et))
+    for ((off, uid, props, et) <- cases) {
+      val keysByDay = boundaryDays.map { day =>
+        val pk = packAt(day, off, uid, props, et)
+        // expand(mkey) must reconstruct the exact civil date string —
+        // independently computed, zero-padded (year 1 => "0001-01-01")
+        val date = FeedKeyExpand.expand(pk >>> 3).getUTF8String(0).toString
+        val expect = LocalDate.ofEpochDay(day).toString // zero-padded for years < 1000
+        assert(date == expect, s"day $day expanded to $date, expected $expect")
+        pk
+      }
+      // injective across distinct days (same uid/props/type): the day
+      // field occupies its own bits, so all four keys must differ
+      assert(keysByDay.distinct.size == boundaryDays.size)
+      // one day outside either end throws, at any intra-day instant
+      for (day <- Seq(minDay - 1, maxDay + 1)) {
+        val e = intercept[IllegalArgumentException](packAt(day, off, uid, props, et))
+        assert(e.getMessage.contains("outside civil years"))
+      }
+    }
+    // all-intra-day instants of one day pack to the SAME mkey date field
+    val pks = Seq(0L, DayUs / 2, DayUs - 1)
+      .map(off => packAt(minDay, off, 7L, """{"k": 3}""", "view") >>> 16)
+    assert(pks.distinct.size == 1, "intra-day instants split the packed day field")
+  }
+
   test("derived metrics guard non-positive denominators to zero") {
     import spark.implicits._
     val consolidated = Seq(
