@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.dsum
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.time.format.DateTimeFormatter
@@ -123,26 +123,35 @@ object EventStream {
     * materializes the tiny changed-row/partition-key metadata — the
     * store I/O stays distributed.
     *
-    * Durability: kept ∪ changed is STAGED to durable parquet first and
-    * the store overwritten from the staged copy — an executor loss or
-    * cache eviction mid-overwrite can therefore never recompute kept
-    * rows from store files the overwrite already deleted (a persist()
-    * barrier alone does not guarantee that), and a retried batch
-    * re-derives the same staged output from intact inputs. The
-    * remaining window — a crash BETWEEN two partition commits of the
-    * final overwrite — is inherent to non-transactional parquet
-    * stores; at production scale the store would be a transactional
-    * table format (the staged-write pattern is then its commit).
-    * The FIRST batch against a missing store skips staging entirely:
-    * its output derives only from streaming state, so there is nothing
-    * a partial overwrite could destroy that a retry can't re-derive.
-    * [[MergeStats]] counts the staging share so the I/O price of the
-    * durability trade stays measured, not assumed.
+    * Durability: kept ∪ changed is STAGED to durable parquet first —
+    * an executor loss or cache eviction mid-commit can therefore never
+    * recompute kept rows from store files a commit already deleted (a
+    * persist() barrier alone does not guarantee that), and a retried
+    * batch re-derives the same staged output from intact inputs. The
+    * commit itself (r9, closing the window r8 documented) is a
+    * PER-PARTITION ATOMIC RENAME SWAP: the staged write is partitioned
+    * by date, and each staged `date=` directory is renamed into place
+    * after its target is deleted. A crash between a delete and its
+    * rename leaves the staged copy intact on disk, and
+    * [[recoverStagedSwap]] — run at the head of every merge, before
+    * kept rows are read — renames any staged partition whose target is
+    * missing back into the store, so the replayed batch reads a
+    * complete store. The staging root is deleted only after every
+    * partition has committed; a staging tree without `_SUCCESS` is an
+    * interrupted WRITE (store untouched — no swap ever started) and is
+    * discarded. At production scale the store would be a transactional
+    * table format; this swap is exactly the commit such formats
+    * implement. The FIRST batch against a missing store skips staging
+    * entirely: its output derives only from streaming state, so there
+    * is nothing a partial overwrite could destroy that a retry can't
+    * re-derive. [[MergeStats]] counts the staging share so the I/O
+    * price of the durability trade stays measured, not assumed.
     */
   private[streaming] def mergeSignedBatch(batch: DataFrame, storeDir: String,
                                           secret: String): Unit = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
+    recoverStagedSwap(spark, storeDir)
     val keyCols = Seq("date", "channel", "campaign_id", "utm_campaign")
     val signed = graft.etl.EtlQueries.signExportRows(
       graft.etl.Consolidate.withDerived(batch), secret).persist()
@@ -188,19 +197,80 @@ object EventStream {
             // the staging round-trip would be pure I/O overhead.
             overwriteStore(signed)
           case Some(kept) =>
+            // Stage partitioned by date — the staged `date=` dirs ARE
+            // the final files; the commit renames them into place, so
+            // the merge pays ONE distributed write (r8 paid two: an
+            // unpartitioned staging write plus a re-read-and-overwrite).
             val out = kept.unionByName(signed)
-            val staging = s"$storeDir.staging"
+            val staging = new org.apache.hadoop.fs.Path(s"$storeDir.staging")
             val s0 = System.nanoTime()
-            out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+            out.repartition(col("date")).write
+              .mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .partitionBy("date")
+              .parquet(staging.toString)
             MergeStats.recordStaged(System.nanoTime() - s0)
-            overwriteStore(spark.read.parquet(staging))
-            val p = new org.apache.hadoop.fs.Path(staging)
-            p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+            // Per-partition atomic swap: delete target, rename staged
+            // dir in. A crash inside this loop leaves every touched
+            // partition either old, new, or (staged, target-missing) —
+            // the last is rolled forward by recoverStagedSwap on replay.
+            val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+            for (st <- fs.listStatus(staging)
+                 if st.getPath.getName.startsWith("date=")) {
+              val target = new org.apache.hadoop.fs.Path(storeDir, st.getPath.getName)
+              fs.delete(target, true)
+              crashAfterDeleteOf.foreach { d =>
+                if (st.getPath.getName == s"date=$d") throw new IllegalStateException(
+                  s"injected crash: $target deleted, staged copy not yet renamed")
+              }
+              if (!fs.rename(st.getPath, target))
+                throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
+            }
+            fs.delete(staging, true)
         }
       }
     } finally {
       signed.unpersist()
       MergeStats.recordMerge(System.nanoTime() - t0)
+    }
+  }
+
+  /** Test hook for the crash-injection spec: when set to a date value,
+    * the swap loop throws after deleting that date's target partition
+    * and before renaming its staged copy — the exact window the staged
+    * commit exists to close.
+    */
+  @volatile private[graft] var crashAfterDeleteOf: Option[String] = None
+
+  /** Roll an interrupted staged swap forward. Runs at the head of every
+    * merge, BEFORE kept rows are read from the store.
+    *
+    * Invariants that make this safe: the staging root carries
+    * `_SUCCESS` only once its write fully committed, and it is deleted
+    * only after every partition rename completed — so a committed
+    * staging tree on disk means the swap loop was interrupted, every
+    * target partition holds either old data (swap not reached) or new
+    * data (rename done), and any MISSING target's content sits intact
+    * in its staged directory: rename it in. Partitions still holding
+    * old data are left alone — the replayed batch recomputes the same
+    * staged output from the (now complete) store and swaps them then.
+    * A staging tree without `_SUCCESS` is an interrupted staging WRITE:
+    * the store was never touched, the partial files are garbage either
+    * way. Idempotent — a crash inside recovery re-runs it.
+    */
+  private[streaming] def recoverStagedSwap(spark: SparkSession, storeDir: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(s"$storeDir.staging")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(staging)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+        for (st <- fs.listStatus(staging)
+             if st.getPath.getName.startsWith("date=")) {
+          val target = new org.apache.hadoop.fs.Path(storeDir, st.getPath.getName)
+          if (!fs.exists(target) && !fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"recovery rename ${st.getPath} -> $target failed")
+        }
+      }
+      fs.delete(staging, true)
     }
   }
 

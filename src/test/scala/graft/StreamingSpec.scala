@@ -142,6 +142,66 @@ class StreamingSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("staged-commit swap survives a crash between delete and rename (injected)") {
+    // r8 documented the delete-to-rewrite window honestly; r9 closes it
+    // at the file-layout level. This spec KILLS the merge in that exact
+    // window — the injected crash fires after a date partition's target
+    // is deleted and before its staged copy is renamed in — then
+    // restarts the query from the same checkpoint and asserts the
+    // replayed batch restores the store to the uninterrupted reference.
+    val ev = Tables.events(spark, dir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_crash_src").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_crash_store").toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crash_ckpt").toString
+    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    def start() = EventStream.signedExport(
+      spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      storeDir, ckpt)
+    // a date every batch touches — the second applied merge (first with
+    // an existing store, so first to run the swap) will hit it
+    val victim = graft.etl.MetricsQueries.metrics(spark, dir)
+      .agg(min(col("date"))).head.getString(0)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def targetDir = new org.apache.hadoop.fs.Path(storeDir, s"date=$victim")
+    def stagingDir = new org.apache.hadoop.fs.Path(s"$storeDir.staging")
+    EventStream.crashAfterDeleteOf = Some(victim)
+    try {
+      val q1 = start()
+      val thrown = intercept[Throwable] { try q1.processAllAvailable() finally q1.stop() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(thrown).exists(_.getMessage != null) &&
+        causes(thrown).exists(c => Option(c.getMessage).exists(_.contains("injected crash"))),
+        s"query failed for another reason: $thrown")
+      // the window is OPEN on disk: the victim partition is gone from
+      // the store, its only copy sits in the committed staging tree
+      assert(!fs.exists(targetDir), "victim partition survived the injected delete")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(stagingDir, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(stagingDir, s"date=$victim")),
+        "staged copy missing — the crash window would lose data")
+    } finally {
+      EventStream.crashAfterDeleteOf = None
+    }
+    // heal: restart from the SAME checkpoint; recovery rolls the staged
+    // partition forward before the replayed batch reads kept rows
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(fs.exists(targetDir) && !fs.exists(stagingDir))
+    // reference: the same feed streamed without interruption
+    val refStore = java.nio.file.Files.createTempDirectory("graft_crash_ref").toString + "/store"
+    val refCkpt = java.nio.file.Files.createTempDirectory("graft_crash_refckpt").toString
+    val qr = EventStream.signedExport(
+      spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      refStore, refCkpt)
+    try qr.processAllAvailable() finally qr.stop()
+    def rows(p: String) = spark.read.parquet(p)
+      .withColumn("date", col("date").cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(storeDir) == rows(refStore),
+      "crashed-and-replayed store diverges from the uninterrupted run")
+  }
+
   test("sessionizer state survives a checkpointed restart (exactly-once)") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
