@@ -52,6 +52,30 @@ object Profile {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DECOMP=embed: dedup_embed_cosine tau sweep — separates
+    // the fixed candidate-verify cost from the tau-dependent volume that
+    // flows into the dedup/cap stages.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("embed")) {
+      val nEmb = graft.sources.Tables.parquetRowCount(spark, dir, "embeddings")
+      val base = graft.operators.Dedup.adaptiveLshBits(nEmb)
+      for (tau <- Seq(0.95, 0.35); extraBits <- Seq(0, 1, 2)) {
+        val bits = Some(base + extraBits)
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.Dedup.embedCosine(spark, dir, tau = tau, bitsOverride = bits)
+            .write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val n = graft.operators.Dedup
+          .embedCosine(spark, dir, tau = tau, bitsOverride = bits).count()
+        Caches.release()
+        println(f"[decomp] embed tau=$tau bits=${base + extraBits} best ${ts.min}%.3f " +
+          f"rows=$n  " + ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      spark.stop()
+      return
+    }
     for (name <- names; aqe <- Seq("true", "false", "true", "false")) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       val ts = (1 to reps).map { _ =>

@@ -20,9 +20,11 @@ object RecallProbe {
 
     // cosineTopk/annLsh both end (query_id, rank, vec_id, cosine):
     // the neighbor id is column 2 on BOTH sides.
-    val exact = operators.Similarity.cosineTopk(spark, dir).collect()
+    val exactRows = operators.Similarity.cosineTopk(spark, dir).collect()
+    val exact = exactRows
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val exactCos = exactRows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     require(exact.nonEmpty, "cosineTopk returned nothing")
 
     def recallOf(tables: Int, probes: Int, dense: Boolean): Double = {
@@ -32,14 +34,18 @@ object RecallProbe {
         .groupBy(_.getLong(0))
         .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
       val recalls = exact.toSeq.sortBy(_._1).map { case (q, bs) =>
-        val r = ann.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
-        println(f"[recall] q=$q tables=$tables probes=$probes recall@10 $r%.2f")
+        val got = ann.getOrElse(q, Set.empty[Long])
+        val missed = (bs -- got).toSeq.sorted
+          .map(id => f"$id@${exactCos((q, id))}%.3f").mkString(" ")
+        val r = got.intersect(bs).size.toDouble / bs.size
+        println(f"[recall] q=$q tables=$tables probes=$probes recall@10 $r%.2f" +
+          (if (missed.nonEmpty) s" missed: $missed" else ""))
         r
       }
       recalls.sum / recalls.size
     }
 
-    val mean = recallOf(tables = 16, probes = 192, dense = true)
+    val mean = recallOf(tables = 16, probes = 96, dense = true)
     println(f"[recall] MEAN default knobs: $mean%.3f over n=${
       sources.Tables.embeddings(spark, dir).count()} vectors")
     // Forced-bucket sweep: denseFallback off so the LSH machinery

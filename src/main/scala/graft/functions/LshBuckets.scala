@@ -41,12 +41,29 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int)
 }
 
 object LshBuckets {
-  /** ±1 plane component for (table, plane, dim) — the same integer-hash
-    * parity formula the declarative path used.
+  /** ±1 plane component for (table, plane, dim) — integer-hash parity,
+    * no RNG, stable across runs and engines.
+    *
+    * r9: the original single-multiply hash (`(t·P1+j·P2+i·P3)·M`, bit
+    * 16) was quasi-PERIODIC in the dimension index: per i-increment the
+    * product advances by a constant whose bit-16 rotation number is
+    * ≈0.299, so every (t, j) plane was a phase shift of one period-7
+    * ±1 pattern — measured mean pairwise |dot| 32/64 across a 16×14
+    * family (random planes: ~6.4), with some pairs IDENTICAL. The
+    * "independent tables" of every LSH operator were one direction in
+    * disguise, which capped ANN bucket-path recall at ~0.66–0.89
+    * regardless of probes/tables (a 0.90-cosine planted neighbor
+    * measured 4–10 flips per table against an expected 2). splitmix64's
+    * full avalanche de-correlates the family: same key, mean |dot|
+    * ~6.5, recall restored (BASELINE.md r9 ANN section).
     */
   def planeComponent(t: Int, j: Int, i: Int): Double = {
-    val v = ((t * 73856093L + j * 19349663L + i * 83492791L) * 2654435761L) & 0xffffffffL
-    if (((v >> 16) & 1L) == 1L) 1.0 else -1.0
+    var h = t.toLong * 0x9E3779B97F4A7C15L +
+      j.toLong * 0xC2B2AE3D27D4EB4FL + i.toLong * 0x165667B19E3779F9L
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^= h >>> 31
+    if ((h & 1L) == 1L) 1.0 else -1.0
   }
 
   private val planeCache =

@@ -131,16 +131,21 @@ object Similarity {
     *    side only: the data side explodes `tables` ways regardless of
     *    probe depth, and the probe fan-out (tables·probes rows per
     *    query) broadcasts.
-    * 2. **Dense scan** — when the estimated candidate volume
-    *    tables·probes·occupancy reaches half the corpus, bucket
-    *    probing would score most of the table anyway but pay an
-    *    explode and a shuffle to do it; the broadcast brute scan
-    *    (same shape as [[cosineTopk]]) is then BOTH cheaper and
-    *    exact, so the planner here picks it. With the default probe
-    *    budget the crossover sits at n ≈ 200k; above it candidate
-    *    volume ~tables·probes·64 is a vanishing fraction of n (the
-    *    100 TB path), below it the scan is a broadcast nested loop
-    *    with no shuffle at all.
+    * 2. **Dense scan** — chosen on COST (r9): both plans are linear
+    *    in n for an index-free pass, but with different constants —
+    *    dense streams the base once computing |Q| dots per row (a
+    *    broadcast nested loop, no shuffle); the bucket join explodes
+    *    the base `tables` ways and shuffles that into a join before a
+    *    single dot is computed. So dense wins whenever |Q| ≤ tables
+    *    (the registered 8-query set against 16 tables: at EVERY n),
+    *    and also whenever estimated candidate volume
+    *    tables·probes·occupancy reaches half the corpus (probing
+    *    would score most of the table anyway). The bucket path is the
+    *    plan for the regimes the gate leaves it: many-query batch kNN
+    *    (|Q| > tables amortizes the explode) and serving from a
+    *    PRE-BUILT bucket index where the explode is amortized into
+    *    the store — its recall there is measured at 1.000
+    *    (BASELINE.md r9 ANN section, n=800k planted near-dups).
     *
     * Fast cosine prunes candidates to k+margin and the exact kernel
     * re-ranks those. Emits one row per (query, rank) plus a
@@ -157,37 +162,41 @@ object Similarity {
     *
     * Recall@10 vs brute force is asserted in SimilaritySpec and, at
     * n=50k, in ScaleSpec — for BOTH paths: the default hybrid (dense
-    * at that n, exact) and the forced bucket path (measured at the
-    * 10-bit width, deterministic hash family). The sf10 (n=200k,
-    * 12-bit) point is measured offline by [[graft.RecallProbe]] and
-    * recorded in BASELINE.md: hybrid 1.000 (dense at this n), forced
-    * bucket 0.663 at probes=96 plateauing at 0.787/0.812
-    * (16/24 tables) with the ≤3-flip family nearly exhausted — which
-    * set the default probe budget to 192 (r8): the hybrid now stays
-    * dense through n≈400k instead of handing 200k-row corpora to the
-    * bucket path below its recall bar. Honesty note: the spec corpus
-    * has no planted near-dups for the query set, so true top-10
-    * cosines sit ~3.5σ into the random-pair tail — the gapless
-    * regime where a typical true neighbor flips MORE hash bits than
-    * any bounded probe family covers, and every LSH degrades toward
-    * a scan; that measured ceiling is exactly why the dense fallback
-    * exists. On corpora where neighbors are actual near-dups
-    * (cosine ≥ 0.7) the exact buckets alone already collide with
-    * high probability.
+    * at that n, exact) and the forced bucket path. The regime where
+    * the planner actually takes the bucket path is measured offline by
+    * [[graft.RecallProbe]] on [[graft.RecallCorpus]]'s n=800k corpus
+    * with planted realistic near-dups (cosine 0.72–0.94 — the class
+    * the bucket path serves) and recorded in BASELINE.md: **recall@10
+    * = 1.000 on the planner-selected bucket path**, and 1.000 on the
+    * gapless sf10 spec corpus too, at every swept knob setting down to
+    * probes=96.
+    *
+    * History (r9): the r8 probes the bucket path measured 0.663–0.812
+    * on — the numbers that pushed the default probe budget to 192 and
+    * the dense crossover out to n≈400k — were NOT the gapless-regime
+    * physics they were attributed to, but a broken hash family:
+    * [[graft.functions.LshBuckets.planeComponent]]'s original
+    * single-multiply hash made every plane a phase shift of one
+    * period-7 ±1 pattern (see its scaladoc), so the "16 independent
+    * tables" were one direction in disguise and no probe budget could
+    * recover the lost dimensions. With the splitmix64 family the
+    * default budget returns to 96 — half the candidate volume, and
+    * the scalable bucket path engages from n≈200k instead of 400k.
     */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10,
              tables: Int = 16, bitsOverride: Option[Int] = None,
-             margin: Int = 16, probes: Int = 192,
+             margin: Int = 16, probes: Int = 96,
              denseFallback: Boolean = true): DataFrame = {
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
     val bits = bitsOverride.getOrElse(Dedup.adaptiveLshBits(n))
     val effProbes = math.min(probes, graft.functions.LshProbes.probeFamilySize(bits))
     val estCandidates = tables.toLong * effProbes * math.max(n >> bits, 1L)
+    val nQueries = 8L // the registered vec_id < 8 query set
     val base = withFastNorm(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
       .transform(graft.Caches.scoped(_))
     val winners =
-      if (denseFallback && estCandidates * 2L >= n) {
+      if (denseFallback && (nQueries <= tables || estCandidates * 2L >= n)) {
         cosineTopkCandidates(base, k, margin)
       } else {
         val bucketed = base.select(col("vec_id"), col("embedding"), col("nf"),
