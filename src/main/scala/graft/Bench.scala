@@ -154,6 +154,23 @@ object Bench {
     // charged to the first query in the map.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val selected = names.map(n => n -> SparkEntry.queries(n))
+    // JIT/codegen warm-up for fresh-JVM (sharded) sweeps: a deep 60-query
+    // single-JVM sweep amortized engine JIT across the whole map, and its
+    // late queries ran ~2x faster than a fresh JVM's best-of-3 can reach
+    // (etl_date_parse best 1.10 s in a fresh 8-query shard, rep times
+    // still declining, vs 0.49 s deep-warm). Running the shard's own
+    // queries once against the tiny warm dir compiles the same generated
+    // classes and exercises the same operator paths at negligible data
+    // cost, so the timed reps start from the state the single-JVM
+    // protocol measured — isolation without the cold floor. A warmup
+    // failure is ignored here: the timed run will report it.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      for ((_, fn) <- selected) {
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        Caches.release()
+      }
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     // SPARK_GRAFT_PROFILE=1 prints per-rep Janino codegen compile counts/time
     // (driver-side JVM metrics) so first-run constants can be attributed.
