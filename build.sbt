@@ -29,7 +29,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[N] runs all N executor threads inside this one JVM: at 32
   // threads an 8g heap is 250MB/task and the sf10 sweep accumulates GC
   // pressure query-over-query (dedup_exact read 4-7s mid-sweep vs 1.2s
-  // isolated). 32g restores headroom on the 128GiB bench host; override
-  // down via SPARK_DRIVER_MEM on smaller machines.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // isolated). Default to a quarter of physical RAM capped at 32g (the
+  // bench host's setting) so a laptop's JVM is never sized past what
+  // the OS can back (r9, ADVICE: a fixed 32g on a <32GiB host gets
+  // OOM-killed mid-run instead of failing with a heap error); override
+  // either way via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physGb = try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    (os.getTotalMemorySize / (1L << 30)).toInt
+    } catch { case _: Throwable => 8 }
+    s"${math.max(2, math.min(32, physGb / 4))}g"
+  })}",
 )

@@ -34,6 +34,16 @@ object Tables {
     * operator surface (unix_micros frames, window ranges, DuckDB-hash
     * parity) is written against. Cast-at-scan is free: it fuses into the
     * scan's projection and does not block pushdown on other columns.
+    *
+    * Known trade (r9, ADVICE): predicates on the NORMALIZED column sit
+    * on Cast(attr) and do not reach parquet row-group stats — fine for
+    * the single-file testdata, where row-group pruning on ts never
+    * fires anyway. At scale, event-time range scans should filter the
+    * date-partitioned store (MetricsStore — directory-level pruning,
+    * PlanSpec-asserted) rather than lean on row-group stats of a raw
+    * NTZ feed; if a raw-feed ts-range scan ever matters, rewrite the
+    * literal into NTZ space below the cast instead of casting the
+    * column.
     */
   private def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
