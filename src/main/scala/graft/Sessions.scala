@@ -30,6 +30,15 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Surface the driver's plain timestamp[us] (isAdjustedToUTC=false)
+      // parquet columns as session-zoned TIMESTAMP at the scan itself
+      // instead of TIMESTAMP_NTZ + cast-after-scan: with the session zone
+      // pinned to UTC the values are bit-identical (raw micros = epoch
+      // micros), and ts-range predicates now sit on a bare attribute, so
+      // they reach parquet row-group stats (PlanSpec pins this). The
+      // Tables.normalizeNtz cast remains as a fallback for sessions built
+      // without this conf.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -73,6 +82,9 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // See local(): read NTZ-physical timestamps as session-zoned at the
+      // scan so ts predicates keep row-group pushdown.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",

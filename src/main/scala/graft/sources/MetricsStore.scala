@@ -24,19 +24,31 @@ object MetricsStore {
     * without it every upstream task holds rows for every date, so a
     * w-task write into d dates sprays w×d near-empty files (5k+ at
     * sf0.1 — the file-listing cost then dominates the serve path's
-    * prune). Clustered, each date lands wholly in one task → d files
-    * total. A date whose volume exceeds one task's comfort (possible at
-    * 100 TB: consolidated rows per date are bounded by the key-domain
-    * cross product, so only pathological domains get there) would use an
-    * AQE REBALANCE hint instead, which splits oversized partitions while
-    * keeping small dates coalesced.
+    * prune). The clustering shuffle is a REBALANCE-by-date rather than a
+    * plain `repartition(date)`: under AQE, oversized date partitions are
+    * split at the advisory size (a hot date no longer serializes its
+    * whole write through one task — the r9 ADVICE bottleneck) while
+    * small dates still land wholly in one task, so the layout stays a
+    * bounded handful of files per date instead of w×d spray. Spark only
+    * RESOLVES the rebalance hint when AQE is enabled — under an AQE-off
+    * session it is silently dropped, which un-clusters the write and
+    * re-creates the w×d spray (measured: the sf0.1 round-trip query went
+    * 1.9 → 3.7 s) — so AQE-off sessions take the plain hash-clustered
+    * `repartition(date)` explicitly and keep the one-file-per-date
+    * layout, accepting the hot-date single-task ceiling there.
     */
-  def write(metrics: DataFrame, path: String): Unit =
-    metrics.repartition(org.apache.spark.sql.functions.col("date"))
-      .write
+  def write(metrics: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val aqeOn = metrics.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "false").toBoolean
+    val clustered =
+      if (aqeOn) metrics.hint("rebalance", col("date"))
+      else metrics.repartition(col("date"))
+    clustered.write
       .mode(SaveMode.Overwrite)
       .partitionBy("date")
       .parquet(path)
+  }
 
   /** Read back; date filters become partition pruning (verified by
     * PlanSpec — the scan's `PartitionFilters` must carry them).

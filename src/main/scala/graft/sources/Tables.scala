@@ -28,22 +28,18 @@ object Tables {
 
   /** The driver's generator writes plain `timestamp[us]` parquet columns
     * (isAdjustedToUTC=false), which Spark 4's reader surfaces as
-    * TIMESTAMP_NTZ. Sessions pin `spark.sql.session.timeZone=UTC`, so
-    * casting to the session-zoned TIMESTAMP preserves every wall-clock
-    * field and epoch micro exactly while restoring the type the whole
+    * TIMESTAMP_NTZ by default. graft Sessions disable
+    * `spark.sql.parquet.inferTimestampNTZ.enabled`, so the scan itself
+    * surfaces those columns as the session-zoned TIMESTAMP the whole
     * operator surface (unix_micros frames, window ranges, DuckDB-hash
-    * parity) is written against. Cast-at-scan is free: it fuses into the
-    * scan's projection and does not block pushdown on other columns.
-    *
-    * Known trade (r9, ADVICE): predicates on the NORMALIZED column sit
-    * on Cast(attr) and do not reach parquet row-group stats — fine for
-    * the single-file testdata, where row-group pruning on ts never
-    * fires anyway. At scale, event-time range scans should filter the
-    * date-partitioned store (MetricsStore — directory-level pruning,
-    * PlanSpec-asserted) rather than lean on row-group stats of a raw
-    * NTZ feed; if a raw-feed ts-range scan ever matters, rewrite the
-    * literal into NTZ space below the cast instead of casting the
-    * column.
+    * parity) is written against — with `session.timeZone=UTC` the values
+    * are bit-identical (raw micros = epoch micros), and, unlike the
+    * previous cast-after-scan, ts-range predicates sit on a bare
+    * attribute and reach parquet row-group stats (PlanSpec pins the
+    * pushdown). This method remains as a FALLBACK for externally built
+    * sessions without that conf: the cast preserves the same values but
+    * blocks row-group pruning on the cast column (the r9 ADVICE trade);
+    * under graft Sessions it finds no NTZ fields and is a no-op.
     */
   private def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
