@@ -48,6 +48,29 @@ object RecallProbe {
     val mean = recallOf(tables = 16, probes = 96, dense = true)
     println(f"[recall] MEAN default knobs: $mean%.3f over n=${
       sources.Tables.embeddings(spark, dir).count()} vectors")
+
+    // IVF at its default knobs (nlist = √n, nprobe = nlist/16): the
+    // per-query prints reuse the same exact sets, labeled tables=-1.
+    def ivfRecall(nprobeOverride: Option[Int]): Double = {
+      val ann = operators.Ivf.annIvf(spark, dir, nprobeOverride = nprobeOverride)
+        .collect().filter(!_.isNullAt(2))
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+      val recalls = exact.toSeq.sortBy(_._1).map { case (q, bs) =>
+        val got = ann.getOrElse(q, Set.empty[Long])
+        val missed = (bs -- got).toSeq.sorted
+          .map(id => f"$id@${exactCos((q, id))}%.3f").mkString(" ")
+        val r = got.intersect(bs).size.toDouble / bs.size
+        println(f"[recall] q=$q ivf nprobe=${nprobeOverride.getOrElse(0)} recall@10 $r%.2f" +
+          (if (missed.nonEmpty) s" missed: $missed" else ""))
+        r
+      }
+      recalls.sum / recalls.size
+    }
+    println(f"[recall] MEAN ivf default knobs: ${ivfRecall(None)}%.3f")
+    if (sys.env.get("SPARK_GRAFT_RECALL_SWEEP").contains("1"))
+      for (np <- Seq(16, 32, 64))
+        println(f"[recall] MEAN ivf nprobe=$np: ${ivfRecall(Some(np))}%.3f")
     // Forced-bucket sweep: denseFallback off so the LSH machinery
     // itself is measured even where the hybrid would (correctly) take
     // the dense path at this n — the bucket path is what survives to

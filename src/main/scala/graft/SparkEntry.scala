@@ -63,6 +63,7 @@ object SparkEntry {
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
+    "sim_ann_ivf"     -> ((s, d) => Ivf.annIvf(s, d)),
 
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -570,6 +571,9 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // sim_ann_lsh: hyperplane family is engine-side → rows-only +
     // SimilaritySpec recall vs the brute-force oracle.
+    // sim_ann_ivf: k-means quantizer is engine-side → rows-only +
+    // SimilaritySpec recall AND the nprobe=nlist exact-degeneration
+    // identity vs the brute-force oracle.
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -32,11 +32,11 @@ object Similarity {
   private def dotDec(a: Column, b: Column): Column =
     graft.functions.DotDecimal.dot_decimal(a, b)
 
-  private def fastCosine(qe: Column, qn: Column, e: Column, n: Column): Column =
+  private[operators] def fastCosine(qe: Column, qn: Column, e: Column, n: Column): Column =
     (DotF32.dot_f32(qe, e) / (qn * n)).as("cosine_fast")
 
   /** Big side with the cheap double norm for candidate scoring. */
-  private def withFastNorm(emb: DataFrame): DataFrame =
+  private[operators] def withFastNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nf", sqrt(DotF32.dot_f32(col("embedding"), col("embedding"))))
 
   /** Exact decimal re-rank of a small (query_id, vec_id) candidate set:
@@ -45,7 +45,7 @@ object Similarity {
     * shuffles), recomputes norms and cosines decimal-exactly, and keeps
     * the top k per query by (cosine desc, vec_id).
     */
-  private def exactTopK(base: DataFrame, winners: DataFrame, k: Int): DataFrame = {
+  private[operators] def exactTopK(base: DataFrame, winners: DataFrame, k: Int): DataFrame = {
     val exactNorm = sqrt(dotDec(col("embedding"), col("embedding")))
     val qSide = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

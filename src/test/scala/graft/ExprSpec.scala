@@ -383,4 +383,63 @@ class ExprSpec extends AnyFunSuite {
     assert(nullUid(0).getStruct(0).getString(0) == "1970-01-01" &&
       nullUid(0).getStruct(0).getString(2) == "C-103")
   }
+
+  test("IvfCells matches a naive top-p centroid scan (argmax-dot, low-id ties)") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val raw = emb.orderBy(col("vec_id")).limit(20).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // Normalize like Ivf.train does, so argmax-dot = argmax-cosine.
+    val cents: Array[Array[Double]] = raw.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat.toDouble) // float-rounded, as the kernel stores them
+    }
+    val flat = cents.flatMap(_.map(_.toFloat))
+    for (p <- Seq(1, 5)) {
+      val got = emb.select(col("vec_id"),
+          IvfCells.ivf_cells(col("embedding"), flat, 64, p).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      emb.collect().foreach { r =>
+        val x = r.getSeq[Float](1).map(_.toDouble).toArray
+        val dots = cents.zipWithIndex.map { case (c, i) =>
+          (c.zip(x).map { case (a, b) => a * b }.sum, i)
+        }
+        // descending dot, ascending cell id on ties
+        val want = dots.sortBy { case (d, i) => (-d, i) }.take(p).map(_._2).toSeq
+        assert(got(r.getLong(0)) == want,
+          s"vec ${r.getLong(0)} p=$p: got ${got(r.getLong(0))}, want $want")
+      }
+    }
+  }
+
+  test("VecSumF32 equals the declarative explode/groupBy vector sum") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 7).as("g"), col("embedding"))
+    val fused = emb.groupBy(col("g"))
+      .agg(VecSumF32.vec_sum_f32(col("embedding")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val twin = emb.select(col("g"), posexplode(col("embedding")))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("col").cast("double")).as("s"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    assert(fused.keySet == twin.keySet)
+    // The fused kernel accumulates fixed-point at 2^32 (deterministic);
+    // the declarative twin sums doubles. Agreement bound: one rounding
+    // of 2^-33 per input row per dimension.
+    fused.foreach { case (g, s) =>
+      val t = twin(g)
+      assert(s.length == t.length)
+      s.indices.foreach { i =>
+        assert(math.abs(s(i) - t(i)) < 1e-6,
+          s"group $g dim $i: fused ${s(i)} vs declarative ${t(i)}")
+      }
+    }
+    // Empty-group / null semantics: all-null input yields NULL.
+    import spark.implicits._
+    val nulls = Seq[Option[Seq[Float]]](None, None).toDF("v")
+      .agg(VecSumF32.vec_sum_f32(col("v").cast("array<float>")).as("s")).collect()
+    assert(nulls.head.isNullAt(0), "all-null group should yield NULL")
+  }
 }

@@ -69,6 +69,48 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN IVF nprobe=nlist degenerates to the exact brute-force result") {
+    // The FAISS nprobe→flat identity: probing every cell makes every
+    // vector a candidate, so the IVF result must EQUAL sim_cosine_topk
+    // row for row — training quality becomes irrelevant, which pins the
+    // probe-join + re-rank plumbing independently of k-means behavior.
+    val n = graft.sources.Tables.parquetRowCount(spark, dir, "embeddings")
+    val nlist = graft.operators.Ivf.autoNlist(n)
+    val ivf = graft.operators.Ivf.annIvf(spark, dir,
+        nlistOverride = Some(nlist), nprobeOverride = Some(nlist)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exact = brute.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.sorted.toSeq == exact.sorted.toSeq,
+      s"full-probe IVF differs from brute force")
+  }
+
+  test("ANN IVF recall@10 against brute force, and bit-determinism") {
+    val bruteSets = brute.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    def run() = graft.operators.Ivf.annIvf(spark, dir).collect()
+    val first = run()
+    val ann = first.filter(!_.isNullAt(2))
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = bruteSets.map { case (q, bs) =>
+      ann.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean IVF recall@10 at defaults = $mean")
+    // n=500 is the HARDEST regime for IVF recall: the corpus is too
+    // small for real cluster structure, so the true top-10 (cosines
+    // ~0.4, barely above the random-pair tail) scatter across cells and
+    // the default nprobe probes only ~1/3 of them. The planted-near-dup
+    // corpus class IVF actually serves is measured by RecallProbe at
+    // n=800k (BASELINE.md); this bar just catches a broken quantizer.
+    assert(mean >= 0.5, s"IVF recall collapsed: $mean")
+    // Fixed-point Lloyd accumulation (VecSumF32) makes centroids — and
+    // therefore every output row — bit-identical run to run.
+    val second = run()
+    assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq,
+      "IVF output is not deterministic across runs")
+  }
+
   test("ANN re-ranking is exact cosine (ann scores match brute on shared pairs)") {
     val bruteScores = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val shared = Similarity.annLsh(spark, dir).collect()
