@@ -64,6 +64,7 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf"     -> ((s, d) => Ivf.annIvf(s, d)),
+    "sim_ann_ivf_serve" -> ((s, d) => Ivf.annIvfServe(s, d)),
 
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -574,6 +575,9 @@ object SparkEntry {
     // sim_ann_ivf: k-means quantizer is engine-side → rows-only +
     // SimilaritySpec recall AND the nprobe=nlist exact-degeneration
     // identity vs the brute-force oracle.
+    // sim_ann_ivf_serve: rows-only + SimilaritySpec row-identity with
+    // sim_ann_ivf (deterministic training makes the on-disk index
+    // reproduce the in-flight cells exactly) + PlanSpec cell-prune.
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -137,10 +137,14 @@ object Ivf {
     * [[Similarity.annLsh]]: one row per (query, rank) plus a
     * null-candidate row for queries whose probed cells were all empty.
     *
-    * `nprobe` defaults to nlist/16 (≈6% of cells — candidates ≈ n/16
-    * per query at the √n default nlist), floor 8 (below 8 probes the
-    * probe set is too coarse to track cell-boundary neighbors at any
-    * n; the floor only binds under nlist = 128, i.e. tiny corpora). nprobe = nlist
+    * `nprobe` defaults to nlist/8 (≈12.5% of cells — candidates ≈ n/8
+    * per query at the √n default nlist; the r9 sweep on the n=800k
+    * planted corpus measured recall@10 0.875/0.950 at nlist/28 and
+    * nlist/14, so /8 buys headroom past the 0.9 bar while staying
+    * under the LSH path's ~19% candidate volume), floor 8 (below 8
+    * probes the probe set is too coarse to track cell-boundary
+    * neighbors at any n; the floor only binds under nlist = 64, i.e.
+    * tiny corpora). nprobe = nlist
     * degenerates to the exact scan: every vector becomes a candidate,
     * so the result EQUALS the brute-force top-k (SimilaritySpec pins
     * this identity; the FAISS nprobe→flat degeneration).
@@ -150,7 +154,7 @@ object Ivf {
              margin: Int = 16, iters: Int = 4): DataFrame = {
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
     val nlist = nlistOverride.getOrElse(autoNlist(n))
-    val nprobe = math.min(nlist, nprobeOverride.getOrElse(math.max(8, nlist / 16)))
+    val nprobe = math.min(nlist, nprobeOverride.getOrElse(math.max(8, nlist / 8)))
     val base = graft.Caches.scoped(Similarity.fastNormBase(spark, dir))
     val dim = base.select(size(col("embedding"))).head.getInt(0)
     val cents = train(base, n, nlist, dim, iters)
@@ -176,6 +180,163 @@ object Ivf {
 
     base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
       .join(Similarity.exactTopK(base, winners, k), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // On-disk index + serve-only path                                   //
+  // ---------------------------------------------------------------- //
+
+  /** Index location, keyed like the metrics store's serve twin: by the
+    * source dir AND its max mtime (regenerated testdata rebuilds
+    * instead of serving stale cells) AND nlist (a knob change is a
+    * different index). `_SUCCESS` markers guard half-written trees.
+    */
+  private def indexPath(dir: String, nlist: Int): String =
+    System.getProperty("java.io.tmpdir") + "/graft_ivf_index_" +
+      Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(sourceStamp(dir)) + "_" + nlist
+
+  private def sourceStamp(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max.orElse(0L)
+      finally s.close()
+    }
+  }
+
+  /** Build the on-disk index: train, assign, and write the corpus
+    * PARTITIONED BY CELL (`cells/cell=N/` part files) plus the centroid
+    * matrix (`centroids/`). Cell directories are what make serving
+    * O(candidates): a probe set becomes a PartitionFilters prune that
+    * LISTS nprobe directories instead of scanning n rows. The write
+    * clusters on the partition column first (REBALANCE under AQE,
+    * plain repartition otherwise) for the same reason MetricsStore
+    * does: unclustered, w upstream tasks × nlist cells spray w·nlist
+    * near-empty files and directory listing eats the prune's win.
+    */
+  def buildIndex(spark: SparkSession, dir: String,
+                 nlistOverride: Option[Int] = None, iters: Int = 4): String = {
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val nlist = nlistOverride.getOrElse(autoNlist(n))
+    val path = indexPath(dir, nlist)
+    val done = Seq("cells", "centroids").forall(sub =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, sub, "_SUCCESS")))
+    if (!done) {
+      // Registered through Caches like every operator-path persist;
+      // the CALLER releases after its terminal action (build runs at
+      // most once per index key, so later invocations register nothing).
+      val base = graft.Caches.scoped(Similarity.fastNormBase(spark, dir))
+      val dim = base.select(size(col("embedding"))).head.getInt(0)
+      val cents = train(base, n, nlist, dim, iters)
+      val assigned = base.select(col("vec_id"), col("embedding"), col("nf"),
+        element_at(IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1).as("cell"))
+      val aqeOn = spark.conf.get("spark.sql.adaptive.enabled", "false").toBoolean
+      val clustered =
+        if (aqeOn) assigned.hint("rebalance", col("cell"))
+        else assigned.repartition(col("cell"))
+      clustered.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/cells")
+      val centRows = (0 until nlist).map { c =>
+        (c, (0 until dim).map(i => cents(c * dim + i)))
+      }
+      import spark.implicits._
+      centRows.toDF("cell", "centroid").repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    path
+  }
+
+  /** `sim_ann_ivf_serve`: the amortized-index serving path. The build
+    * runs at most once per (dir, source-mtime, nlist) — Bench's cold
+    * rep pays it, every warm rep times the serve alone, which is the
+    * cost model of a production ANN service (FAISS builds the IVF
+    * index once and answers queries against it).
+    *
+    * Serve = centroid matrix read back (nlist rows), query vectors
+    * read via a vec_id-pushdown scan (8 rows — the query set is the
+    * API input here, exactly like the channel query's parameters),
+    * probe cells computed driver-side from those 8×nlist dots, then
+    * ONE pruned scan of the probed cell directories
+    * (`PartitionFilters: cell IN (...)` — PlanSpec-asserted) joined
+    * against the broadcast (query, cell) probe pairs, fast-cosine
+    * pruned to k+margin, and re-ranked decimal-exactly FROM THE
+    * STORE-RESIDENT rows — the corpus itself is never rescanned: the
+    * serve READS only the probed fraction of the store (nprobe/nlist
+    * ≈ 1/8 at defaults — an 8× I/O prune; at a FIXED nprobe the serve
+    * is O(nprobe·n/nlist) = sub-linear, and nprobe is the standard
+    * IVF recall↔cost knob).
+    */
+  def annIvfServe(spark: SparkSession, dir: String, k: Int = 10,
+                  nlistOverride: Option[Int] = None, nprobeOverride: Option[Int] = None,
+                  margin: Int = 16): DataFrame = {
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val nlist = nlistOverride.getOrElse(autoNlist(n))
+    val nprobe = math.min(nlist, nprobeOverride.getOrElse(math.max(8, nlist / 8)))
+    val path = buildIndex(spark, dir, Some(nlist))
+
+    val centRows = spark.read.parquet(s"$path/centroids").collect()
+    val dim = centRows.head.getSeq[Float](1).length
+    val cents = new Array[Float](nlist * dim)
+    centRows.foreach { r =>
+      val c = r.getInt(0)
+      val v = r.getSeq[Float](1)
+      var i = 0
+      while (i < dim) { cents(c * dim + i) = v(i); i += 1 }
+    }
+
+    // The 8 query vectors: a vec_id-pushdown scan (row-group stats skip
+    // everything else), collected — bounded by the query-set size, the
+    // same class of driver-side state as the channel query's params.
+    val qRows = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+    val probePairs = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      val emb = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v.toArray)
+      val cellsArr = IvfCells.topCells(emb, cents, dim, nprobe)
+      (0 until nprobe).map(i => (qid, cellsArr.getInt(i)))
+    }.toSeq
+    import spark.implicits._
+    val qDf = qRows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+    val probes = probePairs.toDF("query_id", "cell")
+
+    val probedCells = probePairs.map(_._2).distinct
+    val store = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*)) // literal IN → PartitionFilters
+    val qFast = qDf.select(col("query_id"), col("qe"),
+      sqrt(graft.functions.DotF32.dot_f32(col("qe"), col("qe"))).as("qnf"))
+    val cands = store
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qFast), Seq("query_id"))
+    val exactNorm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => sqrt(graft.functions.DotDecimal.dot_decimal(c, c))
+    val winners = cands
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"),
+        Similarity.fastCosine(col("qe"), col("qnf"), col("embedding"), col("nf")))
+      .withColumn("rank_f", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_fast").desc, col("vec_id"))))
+      .filter(col("rank_f") <= k + margin)
+    // Decimal-exact re-rank on the ≤ |Q|·(k+margin) surviving rows —
+    // all data store-resident or broadcast; the corpus is not rescanned.
+    val ranked = winners
+      .select(col("query_id"), col("vec_id"),
+        (graft.functions.DotDecimal.dot_decimal(col("qe"), col("embedding")) /
+          (exactNorm(col("qe")) * exactNorm(col("embedding")))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+    qDf.select(col("query_id"))
+      .join(ranked, Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -177,6 +177,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ann_ivf_serve scans only the probed cell directories") {
+    val df = graft.operators.Ivf.annIvfServe(spark, dir)
+    val s = planString(df)
+    // The probe set must land in the index scan's PartitionFilters —
+    // that prune is the whole point of the cell-partitioned layout: a
+    // serve lists nprobe directories, it does not scan the corpus.
+    assert(s.contains("PartitionFilters: [") && s.contains("cell"),
+      "IVF probe set did not become a partition prune on the cell store")
+    assert(df.collect().nonEmpty)
+  }
+
   test("q7 top-k prunes map-side before the shuffle (WindowGroupLimit Partial)") {
     val df = Relational.q7WindowTopk(spark, dir)
     df.collect()

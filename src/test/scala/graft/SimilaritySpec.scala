@@ -111,6 +111,20 @@ class SimilaritySpec extends AnyFunSuite {
       "IVF output is not deterministic across runs")
   }
 
+  test("ANN IVF serve path equals the in-one-go IVF result") {
+    // Training is bit-deterministic, so the on-disk index holds exactly
+    // the cells annIvf would compute in-flight: the pruned-scan serve
+    // path must reproduce annIvf row for row (including cosines — the
+    // serve re-rank recomputes them decimal-exactly from store-resident
+    // rows with the same kernel).
+    val inOneGo = graft.operators.Ivf.annIvf(spark, dir).collect().map(_.toString).toSeq
+    val served = graft.operators.Ivf.annIvfServe(spark, dir).collect().map(_.toString).toSeq
+    assert(served == inOneGo, "serve path diverged from in-one-go IVF")
+    // Second invocation reuses the built index (and still matches).
+    val again = graft.operators.Ivf.annIvfServe(spark, dir).collect().map(_.toString).toSeq
+    assert(again == inOneGo)
+  }
+
   test("ANN re-ranking is exact cosine (ann scores match brute on shared pairs)") {
     val bruteScores = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val shared = Similarity.annLsh(spark, dir).collect()
