@@ -149,8 +149,12 @@ object Curation {
     * arithmetic, so the DuckDB oracle's single-window form matches
     * bit-for-bit.
     */
-  private def packCore(toks: DataFrame, budgetTokens: Long): DataFrame = {
+  private def packCore(toksIn: DataFrame, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Both phases consume the tokenized projection — uncached, the
+    // block-totals aggregate re-runs the whole scan INCLUDING the
+    // TextStats kernel (the dominant per-row cost) a second time.
+    val toks = graft.Caches.scoped(toksIn)
     val cumIn = sum(col("n_tokens")).over(
       Window.partitionBy(col("blk")).orderBy(col("doc_id")))
     val blockTotals = toks.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tot"))
