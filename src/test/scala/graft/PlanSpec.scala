@@ -177,6 +177,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ann_ivf candidate join broadcasts the probe side (no nested loop)") {
+    val df = graft.operators.Ivf.annIvf(spark, dir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // The probe fan-out (|Q|·nprobe rows) must broadcast into a HASH
+    // join on cell; a nested-loop or cartesian here would score every
+    // (query, vector) pair and silently turn the index into a scan.
+    assert(s.contains("BroadcastHashJoin"), "probe join is not a broadcast hash join")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "IVF plan contains a nested-loop/cartesian join")
+  }
+
   test("sim_ann_ivf_serve scans only the probed cell directories") {
     val df = graft.operators.Ivf.annIvfServe(spark, dir)
     val s = planString(df)
