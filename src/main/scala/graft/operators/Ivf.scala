@@ -148,6 +148,14 @@ object Ivf {
     * degenerates to the exact scan: every vector becomes a candidate,
     * so the result EQUALS the brute-force top-k (SimilaritySpec pins
     * this identity; the FAISS nprobe→flat degeneration).
+    *
+    * Deliberately NO dense-scan fallback here (unlike
+    * [[Similarity.annLsh]]'s hybrid): for a one-shot 8-query batch
+    * dense is always cheaper than paying the quantizer, so a cost gate
+    * would make this operator never run its own machinery. The
+    * one-query-set cost model that MOTIVATES IVF — build once, serve
+    * many — is [[annIvfServe]]; this entry point is the build+serve
+    * round trip, the analogue of `etl_channel_query_store`.
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 10,
              nlistOverride: Option[Int] = None, nprobeOverride: Option[Int] = None,
