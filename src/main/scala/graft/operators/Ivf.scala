@@ -161,18 +161,46 @@ object Ivf {
              nlistOverride: Option[Int] = None, nprobeOverride: Option[Int] = None,
              margin: Int = 16, iters: Int = 4): DataFrame = {
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val base = graft.Caches.scoped(Similarity.fastNormBase(spark, dir))
+    annIvfCore(base, base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nf").as("qnf")),
+      n, k, nlistOverride, nprobeOverride, margin, iters)
+  }
+
+  /** Generic library entry (the [[graft.operators.Curation.packShardsFrom]]
+    * pattern): IVF top-k of ANY `(query_id, embedding)` query set
+    * against ANY `(vec_id, embedding)` corpus — the queries need not be
+    * corpus members (rows where `vec_id == query_id` are excluded as
+    * self-matches either way). Same plan, knobs, determinism, and output
+    * contract as the registered [[annIvf]]; the corpus cardinality that
+    * sizes nlist comes from one `count()` since a generic frame has no
+    * parquet footer to read it from.
+    */
+  def annIvfFrom(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                 nlistOverride: Option[Int] = None, nprobeOverride: Option[Int] = None,
+                 margin: Int = 16, iters: Int = 4): DataFrame = {
+    val base = graft.Caches.scoped(Similarity.withFastNorm(
+      corpus.select(col("vec_id"), col("embedding"))))
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+      .withColumn("qnf", sqrt(graft.functions.DotF32.dot_f32(col("qe"), col("qe"))))
+    annIvfCore(base, q, base.count(), k, nlistOverride, nprobeOverride, margin, iters)
+  }
+
+  /** Shared plan behind [[annIvf]] / [[annIvfFrom]]: `base` is the
+    * fast-normed corpus, `queriesDf` carries (query_id, qe, qnf).
+    */
+  private def annIvfCore(base: DataFrame, queriesDf: DataFrame, n: Long, k: Int,
+                         nlistOverride: Option[Int], nprobeOverride: Option[Int],
+                         margin: Int, iters: Int): DataFrame = {
     val nlist = nlistOverride.getOrElse(autoNlist(n))
     val nprobe = math.min(nlist, nprobeOverride.getOrElse(math.max(8, nlist / 8)))
-    val base = graft.Caches.scoped(Similarity.fastNormBase(spark, dir))
     val dim = base.select(size(col("embedding"))).head.getInt(0)
     val cents = train(base, n, nlist, dim, iters)
 
     val cells = base.select(col("vec_id"), col("embedding"), col("nf"),
       element_at(IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1).as("cell"))
-    val q = base.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nf").as("qnf"),
-        explode(IvfCells.ivf_cells(col("embedding"), cents, dim, nprobe)).as("cell"))
+    val q = queriesDf.select(col("query_id"), col("qe"), col("qnf"),
+      explode(IvfCells.ivf_cells(col("qe"), cents, dim, nprobe)).as("cell"))
     // One cell per data vector and distinct probed cells per query →
     // (query_id, vec_id) pairs are already unique: no dropDuplicates
     // (the LSH path needs one because L tables overlap).
@@ -186,10 +214,36 @@ object Ivf {
       .filter(col("rank_f") <= k + margin)
       .select(col("query_id"), col("vec_id"))
 
-    base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
-      .join(Similarity.exactTopK(base, winners, k), Seq("query_id"), "left")
+    queriesDf.select(col("query_id"))
+      .join(exactTopKFrom(base, queriesDf, winners, k), Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[Similarity.exactTopK]] generalized to an explicit query frame:
+    * decimal-exact re-rank of the O(|Q|·(k+margin)) winners, candidate
+    * embeddings fetched back from `base` via broadcast hash joins, same
+    * kernel and expression shapes so cosines crossing the oracle
+    * boundary stay bit-identical.
+    */
+  private def exactTopKFrom(base: DataFrame, queriesDf: DataFrame,
+                            winners: DataFrame, k: Int): DataFrame = {
+    val dotDec = graft.functions.DotDecimal.dot_decimal _
+    def exactNorm(c: org.apache.spark.sql.Column) = sqrt(dotDec(c, c))
+    val qSide = queriesDf.select(col("query_id"), col("qe"), exactNorm(col("qe")).as("qn"))
+    val candVecs = base
+      .join(broadcast(winners), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        exactNorm(col("embedding")).as("nrm"))
+    candVecs
+      .join(broadcast(qSide), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotDec(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
   }
 
   // ---------------------------------------------------------------- //

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class SimilaritySpec extends AnyFunSuite {
@@ -109,6 +110,38 @@ class SimilaritySpec extends AnyFunSuite {
     val second = run()
     assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq,
       "IVF output is not deterministic across runs")
+  }
+
+  test("ANN IVF generic entry handles an arbitrary query set (full-probe = exact)") {
+    // annIvfFrom with queries that are NOT the registered vec_id < 8
+    // set, full-probe so the result is checkable against local brute
+    // force exactly (candidate generation becomes irrelevant; what's
+    // pinned is the generic plumbing: query frame wiring, self-match
+    // exclusion, re-rank over an explicit query side).
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val qIds = Seq(100L, 101L, 102L, 103L)
+    val n = graft.sources.Tables.parquetRowCount(spark, dir, "embeddings")
+    val nlist = graft.operators.Ivf.autoNlist(n)
+    val got = graft.operators.Ivf.annIvfFrom(
+        emb, emb.filter(col("vec_id").isin(qIds: _*))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        nlistOverride = Some(nlist), nprobeOverride = Some(nlist))
+      .collect().filter(!_.isNullAt(2))
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.toSeq.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dd, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dd / math.sqrt(na * nb)
+    }
+    qIds.foreach { q =>
+      val want = all.keysIterator.filter(_ != q)
+        .map(v => (v, cos(all(q), all(v)))).toSeq
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1)
+      assert(got(q) == want, s"generic IVF query $q: got ${got(q)}, want $want")
+    }
   }
 
   test("ANN IVF serve path equals the in-one-go IVF result") {
