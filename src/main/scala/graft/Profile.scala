@@ -52,6 +52,52 @@ object Profile {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DECOMP=ivf: stage decomposition of the IVF build+serve
+    // cost — cumulative components materialized through noop so each
+    // delta isolates one stage; serve_warm is the amortized-index
+    // steady state (index built before its timings).
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("ivf")) {
+      import org.apache.spark.sql.functions._
+      val n = graft.sources.Tables.parquetRowCount(spark, dir, "embeddings")
+      val nlist = graft.operators.Ivf.autoNlist(n)
+      def best(label: String)(body: () => Unit): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); body(); Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] ivf $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      // base persisted OUTSIDE the Caches registry so the per-stage
+      // release() never drops it; unpersisted at the end.
+      val base = graft.operators.Similarity.fastNormBase(spark, dir).persist()
+      val dim = base.select(size(col("embedding"))).head.getInt(0)
+      best("base_scan")(() =>
+        graft.operators.Similarity.fastNormBase(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      best(s"train_nlist$nlist")(() =>
+        { graft.operators.Ivf.train(base, n, nlist, dim, iters = 4); () })
+      val cents = graft.operators.Ivf.train(base, n, nlist, dim, iters = 4)
+      best("assign")(() =>
+        base.select(col("vec_id"),
+            org.apache.spark.sql.functions.element_at(
+              graft.functions.IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1)
+              .as("cell"))
+          .write.format("noop").mode("overwrite").save())
+      best("full_registered")(() =>
+        SparkEntry.queries("sim_ann_ivf")(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      // build once so serve timings measure the steady state
+      graft.operators.Ivf.annIvfServe(spark, dir).write
+        .format("noop").mode("overwrite").save()
+      Caches.release()
+      best("serve_warm")(() =>
+        graft.operators.Ivf.annIvfServe(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      base.unpersist(true)
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DECOMP=embed: dedup_embed_cosine tau sweep — separates
     // the fixed candidate-verify cost from the tau-dependent volume that
     // flows into the dedup/cap stages.

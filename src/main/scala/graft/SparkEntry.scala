@@ -127,11 +127,21 @@ object SparkEntry {
     * sort AQE never improves. One-JVM A/B at sf10 (4 reps × 2 rounds
     * each way): dedup_exact 1.30→0.59 s, corpus_pack_shards
     * 1.03→0.76 s — the AQE barriers were half of dedup_exact's cost.
+    *
+    * Late r9 adds the IVF pair: every shuffle in those plans is
+    * bounded by |Q| or nlist — training aggregations reduce to ≤nlist
+    * rows, the rank windows partition by query_id (8 keys), the
+    * candidate join is an explicit broadcast, the final sort is 88
+    * rows — and the 4 Lloyd iterations each paid an AQE re-plan round
+    * for a ≤nlist-row exchange. One-JVM A/B at sf10 (4 reps × 2
+    * rounds each way): sim_ann_ivf 3.22→1.88 s, sim_ann_ivf_serve
+    * 1.06→0.98 s.
     */
   val boundedShuffleQueries: Set[String] = Set(
     "etl_consolidate", "etl_metrics", "etl_export_daily",
     "q1_agg", "corpus_stats",
-    "dedup_exact", "corpus_pack_shards")
+    "dedup_exact", "corpus_pack_shards",
+    "sim_ann_ivf", "sim_ann_ivf_serve")
 
   /** Shared shingle/size CTEs for the dedup oracles — the SQL mirror of
     * Dedup.shingled (3-gram word shingles, distinct per doc, docs with

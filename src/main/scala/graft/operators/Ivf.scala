@@ -82,7 +82,7 @@ object Ivf {
     * init, `iters` distributed Lloyd iterations. Returns the flattened
     * row-major nlist×dim centroid matrix, each row L2-normalized.
     */
-  private[operators] def train(base: DataFrame, n: Long, nlist: Int, dim: Int,
+  private[graft] def train(base: DataFrame, n: Long, nlist: Int, dim: Int,
                                iters: Int): Array[Float] = {
     val every = math.max(1L, n / (TrainPerCell * nlist))
     val sample = graft.Caches.scoped(
