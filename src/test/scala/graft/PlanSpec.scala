@@ -198,6 +198,23 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("PartitionFilters: [") && s.contains("cell"),
       "IVF probe set did not become a partition prune on the cell store")
     assert(df.collect().nonEmpty)
+    // The index write clusters on the partition column (REBALANCE /
+    // repartition fallback): each cell directory holds a bounded
+    // handful of files, never one per upstream task — same layout
+    // contract as the metrics store (w×nlist spray makes file listing
+    // eat the prune's win).
+    val idxRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("graft_ivf_index_" + Integer.toHexString(dir.hashCode)))
+      .maxBy(_.lastModified)
+    val cellDirs = new java.io.File(idxRoot, "cells")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    for (d <- cellDirs) {
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length >= 1 && parts.length <= 4,
+        s"${d.getName} has ${parts.length} files — index write not clustered")
+    }
   }
 
   test("q7 top-k prunes map-side before the shuffle (WindowGroupLimit Partial)") {
