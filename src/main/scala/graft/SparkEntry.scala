@@ -60,6 +60,8 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
+    "dedup_clusters"      -> ((s, d) => Clusters.clusters(s, d)),
+    "dedup_prune"         -> ((s, d) => Clusters.prune(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
@@ -163,6 +165,62 @@ object SparkEntry {
   }
 
   private val shingleCtes: String = shingleCtesN(3)
+
+  /** [[shingleCtes]] with the RECURSIVE keyword — SQL requires it on
+    * the WITH clause when ANY member of the chain is recursive (the
+    * cluster oracles' `reach`), and it is harmless for the rest.
+    */
+  private val recursiveShingleCtes: String =
+    "WITH RECURSIVE " + shingleCtes.stripPrefix("WITH ")
+
+  /** The dedup_ngram_jaccard candidate/verify chain reduced to a
+    * `pairs(a, b)` CTE of exact 3-gram-Jaccard ≥ 0.8 pairs — the input
+    * graph of both cluster oracles (same prefix-filter completeness
+    * argument as the dedup_ngram_jaccard entry below).
+    */
+  private val ngramPairCtes: String =
+    """, prefix AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS pos,
+      |      COUNT(*) OVER (PARTITION BY doc_id) AS n
+      |    FROM sh)
+      |  WHERE pos <= n - CEIL(0.8 * n - 1e-9) + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM prefix a JOIN prefix b ON b.s = a.s AND a.doc_id < b.doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      |  GROUP BY c.doc_a, c.doc_b
+      |), pairs AS (
+      |  SELECT i.doc_a AS a, i.doc_b AS b
+      |  FROM inter i
+      |  JOIN sizes na ON na.doc_id = i.doc_a
+      |  JOIN sizes nb ON nb.doc_id = i.doc_b
+      |  WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= 0.8
+      |)""".stripMargin
+
+  /** Transitive closure of the pair graph → min-label components, as
+    * recursive SQL: `reach` holds every (node, reachable node) pair
+    * over the symmetrized edges, so MIN(r) per node is the component
+    * minimum. Quadratic per component — the ORACLE-ONLY shape; the
+    * Spark side reaches the same labels in O(log n) bounded shuffles
+    * (large-star/small-star, see operators/Clusters.scala).
+    */
+  private val componentLabelCtes: String =
+    """, edges AS (
+      |  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT a AS doc_id, a AS r FROM edges
+      |  UNION
+      |  SELECT e.b AS doc_id, reach.r AS r
+      |  FROM reach JOIN edges e ON e.a = reach.doc_id
+      |), lab AS (
+      |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+      |)""".stripMargin
 
   /** SURVEY §3's deterministic events→feeds mapping, as DuckDB CTEs.
     * Shared prefix for every etl_* oracle so Spark and SQL derive the
@@ -555,6 +613,25 @@ object SparkEntry {
         |JOIN sizes nb ON nb.doc_id = i.doc_b
         |WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= 0.8
         |ORDER BY i.doc_a, i.doc_b""".stripMargin),
+
+    "dedup_clusters" -> (recursiveShingleCtes + ngramPairCtes + componentLabelCtes +
+      """, sz AS (
+        |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+        |)
+        |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+        |  l.doc_id = l.cluster_id AS is_keeper
+        |FROM lab l JOIN sz s ON s.cluster_id = l.cluster_id
+        |ORDER BY l.doc_id""".stripMargin),
+
+    "dedup_prune" -> (recursiveShingleCtes + ngramPairCtes + componentLabelCtes +
+      """
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lab
+        |  WHERE lab.doc_id = d.doc_id AND lab.doc_id <> lab.cluster_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
     // dedup_minhash_lsh / dedup_simhash: hash-family-specific (XXH64
     // seeds), not expressible in DuckDB → rows-only + DedupSpec recall
     // properties against the exact-Jaccard oracle.

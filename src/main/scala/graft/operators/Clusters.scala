@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution (SURVEY §2.3): the step between "near-dup
+  * PAIRS" (ngram/minhash/simhash/embed emit them) and "deduplicated
+  * CORPUS" (drop everything but one canonical doc per duplicate group).
+  * Pairs are not enough on their own: A≈B and B≈C puts A,B,C in one
+  * group even when A≈C itself scored below tau, so the group structure
+  * is the connected components of the pair graph.
+  *
+  * The components are computed with the alternating large-star /
+  * small-star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi,
+  * Vassilvitskii — "Connected Components in MapReduce and Beyond",
+  * SoCC 2014): each round is two bounded shuffles over (long, long)
+  * edges, and the edge set provably converges to star graphs centered
+  * at each component's minimum id in O(log n) rounds (the paper's
+  * Theorem 5; label propagation by contrast needs O(diameter) rounds —
+  * identical on the chain-shaped corpora that make CC hard).
+  *
+  * Scale design: nothing driver-side ever holds a component — the
+  * driver sees only per-iteration COUNTS (convergence test). Shuffles
+  * carry 16-byte edges, never document payloads; each iteration's edge
+  * set is ≤ the candidate-pair volume, which the upstream generators
+  * already bound sub-quadratically. The Catalyst plan is truncated to a
+  * LogicalRDD leaf every iteration ([[materialized]]) — without that,
+  * iteration k's plan embeds iteration k−1's twice (the star join
+  * reuses its input) and analysis cost doubles per round.
+  */
+object Clusters {
+
+  /** Persist `df` via the [[graft.Caches]] registry, force it, and
+    * return a plan-truncated frame (a LogicalRDD leaf over the cached
+    * rows). `count` both materializes the cache and feeds the caller's
+    * convergence test.
+    */
+  private def materialized(spark: SparkSession, df: DataFrame): (DataFrame, Long) = {
+    val cached = graft.Caches.scoped(df)
+    val n = cached.count()
+    (spark.createDataFrame(cached.rdd, cached.schema), n)
+  }
+
+  /** Large-star round: every node u points each LARGER neighbor v at
+    * m = min(N(u) ∪ {u}). Runs on the symmetrized edge list; one
+    * shuffle for the per-node min, one for the join back.
+    */
+  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node u points each SMALLER-or-equal
+    * neighbor (and itself) at m = min of that set. Orients each edge
+    * large→small first, so no symmetrization is needed.
+    */
+  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Connected components of an undirected pair graph. Input: any
+    * two-column frame of node-id pairs (castable to long). Output:
+    * `(doc_id, cluster_id)` — one row per node that appears in an
+    * edge, labeled with its component's minimum id (the canonical
+    * "keeper" under the same min-id convention [[Dedup.exact]] uses).
+    *
+    * Iterates large-star/small-star to a FIXPOINT, verified by edge-set
+    * equality (count match + empty difference — two jobs on the
+    * already-cached sets), not by an iteration budget: a converged
+    * small-star output is exactly the star edge set {(x, min C) : x ∈
+    * C, x ≠ min C}, which is the label assignment itself. `maxIter` is
+    * a backstop against a non-terminating bug, not a tuning knob — the
+    * paper bounds convergence at O(log n) rounds; hitting the backstop
+    * throws rather than silently returning partial components.
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+                          maxIter: Int = 40): DataFrame = {
+    val cols = pairs.columns
+    require(cols.length == 2, s"pair graph needs 2 columns, got ${cols.mkString(",")}")
+    val init = pairs
+      .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var (edges, n) = materialized(spark, init)
+    var converged = n == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val (next, nn) = materialized(spark, smallStar(largeStar(edges)))
+      // Sets (both sides are distinct): equal counts + empty one-sided
+      // difference ⇒ equal. exceptAll shuffles only the edge sets,
+      // both cache-resident at this point.
+      converged = nn == n && next.exceptAll(edges).isEmpty
+      edges = next
+      n = nn
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($n edges live) — cycle in the star iteration, please report")
+    // Star edges point member→min; the center labels itself.
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(
+        edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+  }
+
+  /** `dedup_clusters`: duplicate groups of the documents corpus —
+    * connected components over the EXACT 3-gram-Jaccard ≥ tau pair
+    * graph (the verified [[Dedup.ngramJaccard]] output, so the cluster
+    * input is the oracle-checked pair set, not a sketch). One row per
+    * clustered document: its component label (= minimum member id),
+    * the component size, and whether this doc is the canonical keeper.
+    */
+  def clusters(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame =
+    clustersFrom(spark,
+      Dedup.ngramJaccard(spark, dir, tau).select(col("doc_a"), col("doc_b")))
+
+  /** [[clusters]] over any pre-computed pair frame — the library entry
+    * (feed it minhash/simhash/embed candidates to cluster a 100 TB
+    * corpus where exact Jaccard is only run on survivors).
+    */
+  def clustersFrom(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(spark, pairs)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    // sizes has one row per component — tiny relative to labels; let
+    // AQE broadcast it rather than pinning a hint (at 100 TB the
+    // component count can still be large; AQE sees the real size).
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `dedup_prune`: the end-to-end corpus deduplication — documents
+    * minus every clustered non-keeper (transitive near-dup closure at
+    * tau, min-id survivor). This is the frame a training pipeline
+    * actually trains on; `dedup_clusters` is its audit view. The text
+    * column is dropped from the OUTPUT (id + metadata identify the
+    * kept row; re-join to fetch text) so the result shuffle carries no
+    * payloads — the anti-join itself streams the corpus once against a
+    * broadcast-or-hashed id set.
+    */
+  def prune(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    val drop = clusters(spark, dir, tau).filter(!col("is_keeper"))
+      .select(col("doc_id"))
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{Clusters, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-component duplicate clustering (operators/Clusters.scala):
+  * the star-iteration labels are checked against an independent
+  * union-find on crafted graph shapes, on seeded random graphs, and on
+  * the registered queries' own pair input at sf0.001.
+  */
+class ClustersSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  /** Independent ground truth: textbook union-find with path halving. */
+  private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        parent(r) = parent.getOrElse(parent(r), parent(r))
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // Root by construction is NOT guaranteed minimal under arbitrary
+    // union order — normalize to the component min explicitly.
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }.toMap
+  }
+
+  private def ccLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val labels = Clusters.connectedComponents(spark, edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    labels
+  }
+
+  test("star iteration matches union-find on crafted graph shapes") {
+    val shapes = Seq(
+      "chain" -> (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      // worst case for label propagation: long path presented in an
+      // order where min labels must travel the whole diameter
+      "reversed chain" -> (1L to 9L).sliding(2).map(s => (s(1), s(0))).toSeq.reverse,
+      "cycle" -> ((1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (6L -> 1L)),
+      "star" -> (2L to 8L).map(5L -> _),
+      "two components" -> Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L)),
+      "self loops + duplicates" -> Seq((4L, 4L), (1L, 2L), (2L, 1L), (1L, 2L), (7L, 7L)),
+      "non-contiguous ids" -> Seq((1000000007L, 3L), (3L, 999L), (42L, 1000000007L))
+    )
+    shapes.foreach { case (name, edges) =>
+      val expected = unionFindLabels(edges.filter(e => e._1 != e._2))
+      assert(ccLabels(edges) == expected, s"shape '$name'")
+    }
+  }
+
+  test("star iteration matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(9)
+    (0 until 5).foreach { trial =>
+      val n = 40 + trial * 30
+      // sparse (m ~ 0.8n) keeps many mid-size components with real
+      // transitive chains instead of one giant blob
+      val edges = Seq.fill((n * 0.8).toInt)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      assert(ccLabels(edges) == unionFindLabels(edges), s"trial $trial n=$n")
+    }
+  }
+
+  test("dedup_clusters agrees with union-find over its own pair input") {
+    val pairs = Dedup.ngramJaccard(spark, dir, tau = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "testdata should contain near-dup pairs")
+    val expected = unionFindLabels(pairs)
+    val got = Clusters.clusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    graft.Caches.release()
+    assert(got.map(r => r._1 -> r._2).toMap == expected)
+    // keeper flag and size audit against the label map itself
+    val sizes = expected.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    got.foreach { case (doc, cluster, size, keeper) =>
+      assert(size == sizes(cluster))
+      assert(keeper == (doc == cluster))
+    }
+    // output is per-doc unique and covers exactly the clustered nodes
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  test("dedup_prune = documents minus non-keeper cluster members") {
+    val all = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nonKeepers = Clusters.clusters(spark, dir)
+      .filter(!col("is_keeper")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    graft.Caches.release()
+    val kept = Clusters.prune(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    graft.Caches.release()
+    assert(kept == all -- nonKeepers)
+    assert(nonKeepers.nonEmpty, "prune should actually drop something at sf0.001")
+  }
+
+  test("clustersFrom clusters an arbitrary pair frame (library entry)") {
+    import spark.implicits._
+    val pairs = Seq((100L, 200L), (200L, 300L), (7L, 9L)).toDF("a", "b")
+    val got = Clusters.clustersFrom(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    graft.Caches.release()
+    assert(got == Set(
+      (100L, 100L, 3L, true), (200L, 100L, 3L, false), (300L, 100L, 3L, false),
+      (7L, 7L, 2L, true), (9L, 7L, 2L, false)))
+  }
+}
