@@ -614,14 +614,17 @@ object SparkEntry {
         |WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= 0.8
         |ORDER BY i.doc_a, i.doc_b""".stripMargin),
 
+    // single `lab` reference (window count, not a grouped self-join):
+    // DuckDB re-evaluates a multiply-referenced CTE that sits on a
+    // recursive chain, and `lab` carries the whole closure — the
+    // two-reference formulation measured 40 s vs 12 s at sf0.1
     "dedup_clusters" -> (recursiveShingleCtes + ngramPairCtes + componentLabelCtes +
-      """, sz AS (
-        |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
-        |)
-        |SELECT l.doc_id, l.cluster_id, s.cluster_size,
-        |  l.doc_id = l.cluster_id AS is_keeper
-        |FROM lab l JOIN sz s ON s.cluster_id = l.cluster_id
-        |ORDER BY l.doc_id""".stripMargin),
+      """
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  doc_id = cluster_id AS is_keeper
+        |FROM lab
+        |ORDER BY doc_id""".stripMargin),
 
     "dedup_prune" -> (recursiveShingleCtes + ngramPairCtes + componentLabelCtes +
       """

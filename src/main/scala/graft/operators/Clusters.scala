@@ -32,13 +32,17 @@ object Clusters {
 
   /** Persist `df` via the [[graft.Caches]] registry, force it, and
     * return a plan-truncated frame (a LogicalRDD leaf over the cached
-    * rows). `count` both materializes the cache and feeds the caller's
-    * convergence test.
+    * rows) plus (count, order-independent xor checksum) — ONE job that
+    * both materializes the cache and feeds the caller's convergence
+    * test (a separate count + set-difference pair would pay two more
+    * scheduling rounds per iteration).
     */
-  private def materialized(spark: SparkSession, df: DataFrame): (DataFrame, Long) = {
+  private def materialized(spark: SparkSession, df: DataFrame): (DataFrame, Long, Long) = {
     val cached = graft.Caches.scoped(df)
-    val n = cached.count()
-    (spark.createDataFrame(cached.rdd, cached.schema), n)
+    val r = cached.agg(
+      count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    (spark.createDataFrame(cached.rdd, cached.schema),
+      r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Large-star round: every node u points each LARGER neighbor v at
@@ -50,10 +54,14 @@ object Clusters {
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
-    sym.join(mins, "u")
+    // shuffle_hash: both sides are LogicalRDD leaves with no stats, so
+    // without the hint Catalyst sort-merges (and mins — one row per
+    // NODE — must never be broadcast at scale). No distinct here:
+    // small-star's terminal distinct collapses duplicates one round
+    // later, saving a full shuffle per round for a ≤2× temporary fanout.
+    sym.join(mins.hint("shuffle_hash"), "u")
       .filter(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star round: every node u points each SMALLER-or-equal
@@ -64,7 +72,7 @@ object Clusters {
     val dir = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
     val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
-    dir.join(mins, "u")
+    dir.join(mins.hint("shuffle_hash"), "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .unionByName(mins.select(col("u"), col("m").as("v")))
@@ -94,18 +102,53 @@ object Clusters {
       .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    var (edges, n) = materialized(spark, init)
+    val debug = sys.env.contains("SPARK_GRAFT_DEBUG_CC")
+    var t = System.nanoTime()
+    def lap(label: String): Unit = if (debug) {
+      System.err.println(f"[cc] $label ${(System.nanoTime() - t) / 1e9}%.3f s")
+      t = System.nanoTime()
+    }
+    // The upstream pair plan (e.g. the ngram prefix-filter join DAG)
+    // runs under the caller's conf; it is fully materialized by the
+    // first `materialized` call below, BEFORE the overrides.
+    var (edges, n, ck) = materialized(spark, init)
+    lap(s"init n=$n")
+    val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
+    val shufPrior = spark.conf.get("spark.sql.shuffle.partitions")
     var converged = n == 0L
-    var it = 0
-    while (!converged && it < maxIter) {
-      val (next, nn) = materialized(spark, smallStar(largeStar(edges)))
-      // Sets (both sides are distinct): equal counts + empty one-sided
-      // difference ⇒ equal. exceptAll shuffles only the edge sets,
-      // both cache-resident at this point.
-      converged = nn == n && next.exceptAll(edges).isEmpty
-      edges = next
-      n = nn
-      it += 1
+    try {
+      // Star-loop execution regime, restored on exit: AQE off — every
+      // loop shuffle is bounded by the (already-counted) edge volume,
+      // the join strategies are pinned by hint, so the per-stage
+      // re-plan barriers (~0.15 s each across ~6 stages/round, the
+      // dominant cost at test scale) buy nothing. Shuffle partitions
+      // sized from the MEASURED edge count (~50k edges/partition,
+      // capped at the session default): 32-partition shuffles of a
+      // 256-edge graph pay 200 task launches per round for nothing,
+      // while a 100 TB pair graph keeps the session's cluster sizing.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(shufPrior.toLong, n / 50000L)).toString)
+      var it = 0
+      while (!converged && it < maxIter) {
+        val (next, nn, nck) = materialized(spark, smallStar(largeStar(edges)))
+        lap(s"iter $it star n=$nn")
+        // Sets (both sides are distinct): the one-job (count, xor of
+        // per-edge hashes) fingerprint decides NON-convergence for
+        // free; only a fingerprint MATCH runs the exact set-difference
+        // confirmation — so exceptAll executes once per query (at the
+        // fixpoint), not once per round, and equality stays exact
+        // rather than probabilistic.
+        converged = nn == n && nck == ck && next.exceptAll(edges).isEmpty
+        lap(s"iter $it convergence=$converged")
+        edges = next
+        n = nn
+        ck = nck
+        it += 1
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrior)
+      spark.conf.set("spark.sql.shuffle.partitions", shufPrior)
     }
     if (!converged)
       throw new IllegalStateException(
@@ -134,12 +177,15 @@ object Clusters {
     */
   def clustersFrom(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val labels = connectedComponents(spark, pairs)
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    // sizes has one row per component — tiny relative to labels; let
-    // AQE broadcast it rather than pinning a hint (at 100 TB the
-    // component count can still be large; AQE sees the real size).
-    labels.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+    // Component size as a count-over-window: ONE shuffle on cluster_id
+    // (vs groupBy + join back = two label shuffles + a join). Key
+    // cardinality = component count, sizes bounded by component sizes —
+    // no skew a duplicate-cluster graph can produce beats the upstream
+    // pair generator's own worst case.
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    labels
+      .select(col("doc_id"), col("cluster_id"),
+        count(lit(1)).over(byCluster).as("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .orderBy(col("doc_id"))
   }
