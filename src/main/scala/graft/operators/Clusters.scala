@@ -49,7 +49,7 @@ object Clusters {
     * m = min(N(u) ∪ {u}). Runs on the symmetrized edge list; one
     * shuffle for the per-node min, one for the join back.
     */
-  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
@@ -68,7 +68,7 @@ object Clusters {
     * neighbor (and itself) at m = min of that set. Orients each edge
     * large→small first, so no symmetrization is needed.
     */
-  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
     val dir = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
     val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
@@ -202,8 +202,13 @@ object Clusters {
   def prune(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
     val drop = clusters(spark, dir, tau).filter(!col("is_keeper"))
       .select(col("doc_id"))
-    graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // Project the metadata columns that EXIST: the full testdata carries
+    // (lang, source, n_chars) and the oracle gate checks all of them;
+    // the ScaleData perf ladder keeps only (doc_id, text), and the prune
+    // semantics don't depend on the metadata projection.
+    val meta = Seq("lang", "source", "n_chars").filter(docs.columns.contains)
+    docs.select(("doc_id" +: meta).map(col): _*)
       .join(drop, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }

@@ -133,6 +133,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("CC star rounds hash-join without broadcasting the per-node min table") {
+    // Mirror the loop's real input class: a LogicalRDD leaf (no stats).
+    // Catalyst must not sort-merge (hint pins shuffle-hash) and must
+    // never broadcast `mins` — it holds one row per NODE, which at
+    // 100 TB is the corpus itself.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("u", LongType), StructField("v", LongType)))
+    val edges = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L), Row(2L, 3L))), schema)
+    for ((name, df) <- Seq(
+      "largeStar" -> graft.operators.Clusters.largeStar(edges),
+      "smallStar" -> graft.operators.Clusters.smallStar(edges))) {
+      val s = planString(df)
+      assert(s.contains("ShuffledHashJoin"), s"$name: star join must hash, got:\n$s")
+      assert(!s.contains("SortMergeJoin"), s"$name sort-merges 16-byte edge rows")
+      assert(!s.contains("BroadcastExchange"), s"$name broadcasts the per-node min table")
+    }
+  }
+
   test("date-partitioned metrics store prunes partitions on date filters") {
     import graft.etl.MetricsQueries
     val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
