@@ -252,12 +252,12 @@ object Bench {
     val aqeDefault = spark.conf.get("spark.sql.adaptive.enabled")
     val rt = Runtime.getRuntime
     val results = selected.map { case (name, fn) =>
-      // Domain-bounded aggregations gain nothing from AQE's re-plan
-      // barriers at any scale (SparkEntry.boundedShuffleQueries) —
-      // execute those with adaptive off, everything else at the
-      // session's volume-gated default.
+      // Queries that gain nothing from AQE's re-plan barriers at any
+      // scale (SparkEntry.aqeOffQueries: domain-bounded aggregations +
+      // the hint-pinned-join dedup family) execute with adaptive off,
+      // everything else at the session's volume-gated default.
       spark.conf.set("spark.sql.adaptive.enabled",
-        if (SparkEntry.boundedShuffleQueries(name)) "false" else aqeDefault)
+        if (SparkEntry.aqeOffQueries(name)) "false" else aqeDefault)
       val times = (1 to reps).map { r =>
         val cg0 = if (profile) codegenStats() else (0L, 0L)
         val t0 = System.nanoTime()

@@ -145,6 +145,34 @@ object SparkEntry {
     "dedup_exact", "corpus_pack_shards",
     "sim_ann_ivf", "sim_ann_ivf_serve")
 
+  /** Second AQE-gains-nothing class (r9-final): queries whose every
+    * JOIN strategy is already hint-pinned (`shuffle_hash` on the
+    * posting/verification/band/star joins — AQE cannot re-strategize
+    * them) and whose shuffle volumes are bounded by construction
+    * (prefix-filter candidates ≤ Σ df_prefix², adaptive LSH/simhash
+    * bands sized to keep collision volume linear in n, CC edges ≤ the
+    * verified pair set). r4 measured AQE worth 2× on this family, but
+    * that was the pre-prefix-filter rare-shingle plan whose 26M-row
+    * shingle shuffle needed runtime coalescing; the r7 rewrites removed
+    * the thing AQE was fixing. One-JVM A/B at sf10, TWO independent
+    * rounds each way (best / rep spread): ngram 6.17→3.32,
+    * minhash 9.45→3.62, simhash 6.75→3.56, embed_cosine 11.42→5.07,
+    * clusters 6.57→3.96 — AQE-off is ~2× across the family, and at
+    * sf0.1/sf1 the volume-based auto-gate already runs them AQE-off,
+    * so this only changes the ≥1 GiB regime to match the measurement.
+    * (corpus_contamination stays OUT: its τ-adaptive count plan was
+    * measured at 1.00× parity WITH AQE at sf10 and its doc-frequency
+    * posting join is the one place runtime skew handling still has a
+    * live job.)
+    */
+  val pinnedJoinQueries: Set[String] = Set(
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embed_cosine", "dedup_clusters", "dedup_prune",
+    "pipeline_corpus_clean")
+
+  /** Union consumed by Bench/Verify's per-query AQE gate. */
+  val aqeOffQueries: Set[String] = boundedShuffleQueries ++ pinnedJoinQueries
+
   /** Shared shingle/size CTEs for the dedup oracles — the SQL mirror of
     * Dedup.shingled (3-gram word shingles, distinct per doc, docs with
     * <3 words excluded).

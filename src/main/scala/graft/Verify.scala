@@ -22,9 +22,9 @@ object Verify {
       SparkEntry.queries.filter { case (k, _) => s(k) })
     val aqeDefault = spark.conf.get("spark.sql.adaptive.enabled")
     selected.foreach { case (name, fn) =>
-      // same per-query AQE gate as Bench (SparkEntry.boundedShuffleQueries)
+      // same per-query AQE gate as Bench (SparkEntry.aqeOffQueries)
       spark.conf.set("spark.sql.adaptive.enabled",
-        if (SparkEntry.boundedShuffleQueries(name)) "false" else aqeDefault)
+        if (SparkEntry.aqeOffQueries(name)) "false" else aqeDefault)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
