@@ -67,6 +67,7 @@ object SparkEntry {
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf"     -> ((s, d) => Ivf.annIvf(s, d)),
     "sim_ann_ivf_serve" -> ((s, d) => Ivf.annIvfServe(s, d)),
+    "sim_knn_join"    -> ((s, d) => Ivf.knnSelfJoin(s, d)),
 
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -168,7 +169,10 @@ object SparkEntry {
   val pinnedJoinQueries: Set[String] = Set(
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embed_cosine", "dedup_clusters", "dedup_prune",
-    "pipeline_corpus_clean")
+    "pipeline_corpus_clean",
+    // same class: one hint-pinned cell co-group + a WindowGroupLimit
+    // rank, candidate volume n·probes·(n/nlist) by construction
+    "sim_knn_join")
 
   /** Union consumed by Bench/Verify's per-query AQE gate. */
   val aqeOffQueries: Set[String] = boundedShuffleQueries ++ pinnedJoinQueries
@@ -696,6 +700,9 @@ object SparkEntry {
     // sim_ann_ivf_serve: rows-only + SimilaritySpec row-identity with
     // sim_ann_ivf (deterministic training makes the on-disk index
     // reproduce the in-flight cells exactly) + PlanSpec cell-prune.
+    // sim_knn_join: approximate by contract (probes knob) → rows-only
+    // + SimilaritySpec probes=nlist exact-degeneration identity vs
+    // brute force and a measured default-knob recall bar.
 
     "text_tokens" ->
       """SELECT doc_id,
