@@ -154,9 +154,15 @@ object ScaleData {
       val b = i / units.length
       alpha.map(c => ('a' + ((c - 'a') * a + b) % 26).toChar).mkString
     }
+    // Metadata columns (lang, source, n_chars, ...) ride along unchanged:
+    // the affine cipher is a letter permutation, so lengths — and with
+    // them n_chars — stay exact, and dropping them forced dedup_prune's
+    // ladder runs onto a reduced-schema detour (r9 verdict item 3).
+    val docMeta = docs.columns.filterNot(Set("doc_id", "text")).toSeq
     write("documents", (0 until factor).map { i =>
-      docs.select((col("doc_id") + lit(i * offD)).as("doc_id"),
-        translate(col("text"), alpha, affine(i)).as("text"))
+      docs.select((col("doc_id") + lit(i * offD)).as("doc_id") +:
+        translate(col("text"), alpha, affine(i)).as("text") +:
+        docMeta.map(col): _*)
     }.reduce(_ unionByName _))
 
     write("embeddings", scaledEmbeddings(spark, srcDir, factor))

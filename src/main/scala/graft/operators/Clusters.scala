@@ -37,12 +37,13 @@ object Clusters {
     * test (a separate count + set-difference pair would pay two more
     * scheduling rounds per iteration).
     */
-  private def materialized(spark: SparkSession, df: DataFrame): (DataFrame, Long, Long) = {
+  private def materialized(spark: SparkSession, df: DataFrame)
+      : (DataFrame, Long, Long, DataFrame) = {
     val cached = graft.Caches.scoped(df)
     val r = cached.agg(
       count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
     (spark.createDataFrame(cached.rdd, cached.schema),
-      r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), cached)
   }
 
   /** Large-star round: every node u points each LARGER neighbor v at
@@ -98,8 +99,24 @@ object Clusters {
                           maxIter: Int = 40): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"pair graph needs 2 columns, got ${cols.mkString(",")}")
+    // Integral ids only: a lossy cast (string keys, decimals) would null
+    // out non-castable ids and the u =!= v filter would silently DROP
+    // those edges — returning incomplete components instead of failing.
+    // String-keyed corpora should pre-map ids (xxhash64 or a dimension
+    // join) before clustering; rejecting here keeps that contract loud.
+    pairs.schema.fields.foreach { f =>
+      require(Set("byte", "short", "integer", "long")(f.dataType.typeName),
+        s"pair column ${f.name} is ${f.dataType.typeName}; connectedComponents " +
+          "needs integral node ids (pre-hash string keys with xxhash64)")
+    }
+    // NULL ids are data corruption, not an edge to drop: fail the job
+    // (raise_error stays inside codegen — no extra pass over the edges).
+    def guarded(c: String) = when(col(c).isNull,
+      raise_error(lit(s"connectedComponents: null node id in column $c"))
+        .cast("long")).otherwise(col(c).cast("long")).as(c)
     val init = pairs
-      .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      .select(col(cols(0)).as("u"), col(cols(1)).as("v"))
+      .select(guarded("u"), guarded("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG_CC")
@@ -111,7 +128,7 @@ object Clusters {
     // The upstream pair plan (e.g. the ngram prefix-filter join DAG)
     // runs under the caller's conf; it is fully materialized by the
     // first `materialized` call below, BEFORE the overrides.
-    var (edges, n, ck) = materialized(spark, init)
+    var (edges, n, ck, cachedEdges) = materialized(spark, init)
     lap(s"init n=$n")
     val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
     val shufPrior = spark.conf.get("spark.sql.shuffle.partitions")
@@ -127,11 +144,17 @@ object Clusters {
       // 256-edge graph pay 200 task launches per round for nothing,
       // while a 100 TB pair graph keeps the session's cluster sizing.
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, math.min(shufPrior.toLong, n / 50000L)).toString)
+      // A platform-managed session may hold a non-numeric value here
+      // (e.g. "auto"); skip the data-sized override rather than throw
+      // after AQE was already flipped (the library entry must be safe
+      // on sessions this repo didn't build).
+      scala.util.Try(shufPrior.toLong).toOption.foreach { prior =>
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.max(1L, math.min(prior, n / 50000L)).toString)
+      }
       var it = 0
       while (!converged && it < maxIter) {
-        val (next, nn, nck) = materialized(spark, smallStar(largeStar(edges)))
+        val (next, nn, nck, cachedNext) = materialized(spark, smallStar(largeStar(edges)))
         lap(s"iter $it star n=$nn")
         // Sets (both sides are distinct): the one-job (count, xor of
         // per-edge hashes) fingerprint decides NON-convergence for
@@ -141,6 +164,13 @@ object Clusters {
         // rather than probabilistic.
         converged = nn == n && nck == ck && next.exceptAll(edges).isEmpty
         lap(s"iter $it convergence=$converged")
+        // Only the current and previous edge sets are ever read: evict
+        // the superseded one NOW (it stays registered in Caches, whose
+        // release() is idempotent) — without this, all O(log n)
+        // iteration caches stay pinned until the caller's release,
+        // which at 100 TB is O(log n) copies of the edge set in memory.
+        cachedEdges.unpersist(blocking = false)
+        cachedEdges = cachedNext
         edges = next
         n = nn
         ck = nck

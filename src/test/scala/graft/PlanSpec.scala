@@ -153,6 +153,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kNN self-join co-groups cells shuffle-hash with a partial group limit, no broadcast") {
+    // knnSelfJoinFrom's scaladoc promises "no broadcast anywhere": the
+    // cells side is one row per CORPUS vector, so a stats drift that
+    // let Catalyst broadcast it would ship the corpus to every task at
+    // 100 TB. The rank filter must also stay a Partial WindowGroupLimit
+    // (each map task forwards only its local top-k per vector, not the
+    // full n·probes·(n/nlist) candidate stream).
+    val df = graft.operators.Ivf.knnSelfJoin(spark, dir, k = 3)
+    df.collect() // finalize the adaptive plan
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ShuffledHashJoin"), s"cell join must shuffle-hash, got:\n$s")
+    assert(!s.contains("SortMergeJoin"), "cell co-group sort-merges")
+    assert(!s.contains("BroadcastExchange"), "kNN join broadcasts a corpus-sized side")
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      "top-k rank filter not pushed into a partial per-partition group limit")
+    graft.Caches.release()
+  }
+
   test("date-partitioned metrics store prunes partitions on date filters") {
     import graft.etl.MetricsQueries
     val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
