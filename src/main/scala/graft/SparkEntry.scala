@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
     "dedup_clusters"      -> ((s, d) => Clusters.clusters(s, d)),
+    "dedup_clusters_sketch" -> ((s, d) => Clusters.clustersSketch(s, d)),
     "dedup_prune"         -> ((s, d) => Clusters.prune(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "text_langid"      -> TextAnalysis.langid _,
     "text_repetition"  -> TextAnalysis.repetition _,
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_keywords"    -> ((s, d) => TextAnalysis.keywords(s, d)),
     "text_pii_scrub"   -> Curation.piiScrub _,
     "split_train_test" -> Curation.splitAssign _,
     "corpus_stats"     -> Curation.corpusStats _,
@@ -169,6 +171,9 @@ object SparkEntry {
   val pinnedJoinQueries: Set[String] = Set(
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embed_cosine", "dedup_clusters", "dedup_prune",
+    // minhash banding + verify + CC: every join hint-pinned, same
+    // family as dedup_minhash_lsh + dedup_clusters above
+    "dedup_clusters_sketch",
     "pipeline_corpus_clean",
     // same class: one hint-pinned cell co-group + a WindowGroupLimit
     // rank, candidate volume n·probes·(n/nlist) by construction
@@ -210,14 +215,14 @@ object SparkEntry {
     * graph of both cluster oracles (same prefix-filter completeness
     * argument as the dedup_ngram_jaccard entry below).
     */
-  private val ngramPairCtes: String =
-    """, prefix AS (
+  private def ngramPairCtesAt(tau: Double): String =
+    s""", prefix AS (
       |  SELECT doc_id, s FROM (
       |    SELECT doc_id, s,
       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS pos,
       |      COUNT(*) OVER (PARTITION BY doc_id) AS n
       |    FROM sh)
-      |  WHERE pos <= n - CEIL(0.8 * n - 1e-9) + 1
+      |  WHERE pos <= n - CEIL($tau * n - 1e-9) + 1
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM prefix a JOIN prefix b ON b.s = a.s AND a.doc_id < b.doc_id
@@ -232,8 +237,10 @@ object SparkEntry {
       |  FROM inter i
       |  JOIN sizes na ON na.doc_id = i.doc_a
       |  JOIN sizes nb ON nb.doc_id = i.doc_b
-      |  WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= 0.8
+      |  WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= $tau
       |)""".stripMargin
+
+  private val ngramPairCtes: String = ngramPairCtesAt(0.8)
 
   /** Transitive closure of the pair graph → min-label components, as
     * recursive SQL: `reach` holds every (node, reachable node) pair
@@ -658,6 +665,20 @@ object SparkEntry {
         |FROM lab
         |ORDER BY doc_id""".stripMargin),
 
+    // Same exact-closure oracle as dedup_clusters, at the sketch path's
+    // tau=0.9: the Spark side generates candidates by MinHash banding
+    // instead of the complete prefix filter, so this gate re-verifies
+    // the LSH completeness bound (≈ 3.8e-8 miss probability per
+    // qualifying pair at 16x4 banding) against ground truth each round.
+    "dedup_clusters_sketch" -> (recursiveShingleCtes + ngramPairCtesAt(0.9) +
+      componentLabelCtes +
+      """
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  doc_id = cluster_id AS is_keeper
+        |FROM lab
+        |ORDER BY doc_id""".stripMargin),
+
     "dedup_prune" -> (recursiveShingleCtes + ngramPairCtes + componentLabelCtes +
       """
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -770,6 +791,28 @@ object SparkEntry {
     // PII patterns are written to the Java-regex/RE2 common subset;
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all semantics.
+    "text_keywords" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+        |), df AS (
+        |  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+        |), n AS (
+        |  SELECT COUNT(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, word, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, word) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, word, tf, df, score FROM ranked
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
     "text_pii_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,

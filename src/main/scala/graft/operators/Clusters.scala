@@ -201,6 +201,23 @@ object Clusters {
     clustersFrom(spark,
       Dedup.ngramJaccard(spark, dir, tau).select(col("doc_a"), col("doc_b")))
 
+  /** `dedup_clusters_sketch`: the 100 TB clustering recipe end-to-end —
+    * MinHash-banded candidates, exact Jaccard only on the survivors,
+    * connected components over the verified pairs. The registered
+    * [[clusters]] feeds CC the complete prefix-filter pair graph,
+    * which is exact but pays the posting join on the whole corpus;
+    * this path's candidate volume is the banded collision set (sized
+    * linear in n by the adaptive band knobs), so it is the variant a
+    * web-scale dedup actually runs. tau = 0.9: at the registered
+    * banding (16×4) the LSH miss probability for a J ≥ 0.9 pair is
+    * ≈ 3.8·10⁻⁸ (see [[Dedup.minhashVerifiedPairs]]), so the output
+    * equals [[clusters]] at the same tau up to that bound — which is
+    * why the DuckDB oracle (the exact recursive closure) gates it.
+    */
+  def clustersSketch(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame =
+    clustersFrom(spark,
+      Dedup.minhashVerifiedPairs(spark, dir, tau).select(col("doc_a"), col("doc_b")))
+
   /** [[clusters]] over any pre-computed pair frame — the library entry
     * (feed it minhash/simhash/embed candidates to cluster a 100 TB
     * corpus where exact Jaccard is only run on survivors).

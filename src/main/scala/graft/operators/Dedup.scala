@@ -158,13 +158,29 @@ object Dedup {
     // per-row idempotent, so duplicate candidates cost only their own
     // re-verification; the output is deduplicated *after* the J ≥ tau
     // filter, where the survivor set is ~1000× smaller.
-    // Verification joins the *shingle arrays* (two SHUFFLE-HASH joins
-    // on doc_id — the candidate stream needs no sort, and the array
-    // table builds a per-partition hash map instead of sorting ~450-byte
-    // rows) and merge-counts the sorted arrays per pair inside codegen —
-    // O(|cand|·|sh|) primitive scans with no exploded-row blow-up (a
-    // candidate×shingle re-join would materialize |cand|·|sh| ROWS
-    // before aggregating; this plan never leaves one row per pair).
+    verifyJaccard(docsSh, cand, tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** EXACT-Jaccard verification of a `(doc_a, doc_b)` candidate frame
+    * against a cached `(doc_id, sh)` shingle table: the shared back
+    * half of every candidates→pairs path (prefix-filtered, MinHash,
+    * or any external candidate generator — verify-on-survivors is the
+    * 100 TB recipe, so this is a first-class entry).
+    *
+    * Joins the *shingle arrays* (two SHUFFLE-HASH joins on doc_id —
+    * the candidate stream needs no sort, and the array table builds a
+    * per-partition hash map instead of sorting ~450-byte rows) and
+    * merge-counts the sorted arrays per pair inside codegen —
+    * O(|cand|·|sh|) primitive scans with no exploded-row blow-up (a
+    * candidate×shingle re-join would materialize |cand|·|sh| ROWS
+    * before aggregating; this plan never leaves one row per pair).
+    * Duplicate candidates are tolerated (verification is idempotent;
+    * the terminal distinct collapses them on the ~1000× smaller
+    * survivor set).
+    */
+  private[operators] def verifyJaccard(docsSh: DataFrame, cand: DataFrame,
+                                       tau: Double): DataFrame =
     cand
       .join(docsSh.as("da").hint("shuffle_hash"), col("doc_a") === col("da.doc_id"))
       .join(docsSh.as("db").hint("shuffle_hash"), col("doc_b") === col("db.doc_id"))
@@ -177,8 +193,23 @@ object Dedup {
           (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .distinct() // collapse multi-posting candidate duplicates (identical rows)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  /** MinHash-candidate pairs verified at EXACT Jaccard ≥ tau — the
+    * sketch-then-verify pair graph (candidates from banded LSH,
+    * truth from the shingle arrays; only candidates ever pay the
+    * array fetch). Complete up to LSH recall: with k=64, bands=16
+    * (r=4), a J ≥ 0.9 pair collides in ≥1 band with probability
+    * 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 3.8·10⁻⁸, so at tau ≥ 0.9 the verified
+    * output equals the exact pair graph up to that bound (DedupSpec
+    * pins the containment on testdata; the clusters oracle re-checks
+    * it end-to-end every round).
+    */
+  def minhashVerifiedPairs(spark: SparkSession, dir: String, tau: Double = 0.9,
+                           k: Int = 64, bands: Int = 16): DataFrame =
+    verifyJaccard(
+      graft.Caches.scoped(shingledHashed(spark, dir)),
+      minhashCandidates(spark, dir, k, bands),
+      tau)
 
   /** `dedup_minhash_lsh`: 64-hash MinHash signature (single-pass custom
     * expression) banded 16×4; candidate pairs share a band bucket, and

@@ -56,4 +56,42 @@ object Skew {
       .groupBy(keys: _*)
       .agg(merges.head, merges.tail: _*)
   }
+
+  /** Salted replicate join — the join-side analogue of [[saltedAgg]]
+    * for the many-to-ONE posting shape (a fact stream joining a
+    * dimension keyed uniquely on the join key, where the key
+    * distribution is Zipfian and the dimension is too large to
+    * broadcast): the fact side gets a content-hash salt in
+    * [0, fanout), the dimension side is replicated once per salt
+    * value, and the join runs on (key, salt) — so a hot key's fact
+    * rows spread across `fanout` reducers instead of pinning one.
+    *
+    * Cost model: the dimension shuffles fanout× (it is the SMALL side
+    * by assumption — one row per key), the fact side shuffles once
+    * (which a non-broadcast join pays anyway), and no reducer holds
+    * more than ~|hotkey|/fanout of any key. This is the standard
+    * replicate-fragment skew join; AQE's skew-split covers the same
+    * hazard for sort-merge joins at runtime, but a hint-pinned
+    * shuffle-hash join (the right strategy for fixed-width posting
+    * rows) is outside AQE's skew handling — salting is the structural
+    * fix.
+    *
+    * Requirements: `right` has AT MOST ONE row per key (a dimension) —
+    * many-to-many would multiply pairs across salts; the join is inner
+    * or left (each left row meets exactly its key's replica in its own
+    * salt bucket). The salt hashes the full left row content, so it is
+    * retry-stable (same argument as [[saltedAgg]]); byte-identical
+    * left rows share a salt, which only matters if a hot KEY consists
+    * of identical full rows.
+    */
+  def saltedReplicateJoin(left: DataFrame, right: DataFrame, key: String,
+                          fanout: Int = 32, joinType: String = "inner"): DataFrame = {
+    require(fanout >= 1, s"fanout must be positive, got $fanout")
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(fanout)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(fanout - 1))))
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 }

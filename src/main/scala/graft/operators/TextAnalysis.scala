@@ -136,4 +136,75 @@ object TextAnalysis {
       .select(col("doc_id"),
         RollingHash.rolling_fingerprint(col("text"), window).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Vocabulary size above which the document-frequency dimension stops
+    * being broadcast and the posting join goes salted: 1M words ×
+    * ~40 B ≈ 40 MB is the upper edge of a comfortable per-executor
+    * broadcast. Real web corpora blow past this fast — the token
+    * domain (URLs, numbers, typos, code identifiers) grows with the
+    * corpus, which is exactly why the salted path exists.
+    */
+  val BroadcastVocabMax = 1000000L
+
+  /** `text_keywords`: top-k TF-IDF keywords per document — the rarity
+    * scoring a curation pipeline uses for keyword extraction and
+    * quality weighting. idf is the raw N/df ratio (no log): rank order
+    * per document is identical (log is monotone) and the score stays
+    * ONE IEEE division of exact integers, so the DuckDB oracle matches
+    * bit-for-bit where a libm-vs-StrictMath `ln` would drift in the
+    * last ulp.
+    *
+    * This is the registered query that carries the engine's ZIPFIAN
+    * POSTING join (SURVEY §5 skew): term frequencies follow Zipf — at
+    * web scale the head word appears in nearly every document, so the
+    * tf⋈df posting join concentrates the hot word's full posting list
+    * onto one reducer under plain hash partitioning. The plan gates on
+    * the MEASURED vocabulary (the df table is cached and counted — one
+    * extra bounded job):
+    *   - vocab ≤ [[BroadcastVocabMax]]: broadcast the dictionary; the
+    *     posting stream never shuffles at all (skew vacuously solved).
+    *   - bigger: [[Skew.saltedReplicateJoin]] — the dictionary
+    *     replicates `fanout`×, the hot key's postings spread across
+    *     `fanout` reducers, no reducer holds more than ~1/fanout of
+    *     any key. AQE's skew-split does not cover this join (it is
+    *     hint-pinned shuffle-hash, and aggregation feeds it), so the
+    *     salt is structural, not runtime, mitigation.
+    * Both branches produce identical rows (SkewSpec pins the identity
+    * and the salted plan's shape; BASELINE.md carries the forced A/B
+    * at sf10).
+    *
+    * Downstream of the join everything collapses map-side: the rank
+    * filter compiles to a Partial WindowGroupLimit, so only ~k rows
+    * per document cross the final shuffle.
+    */
+  def keywords(spark: SparkSession, dir: String, k: Int = 5,
+               fanout: Int = 32, vocabMax: Long = BroadcastVocabMax): DataFrame = {
+    val nDocs = Tables.parquetRowCount(spark, dir, "documents")
+    // Distinct (doc, word) term frequencies: the natural cached
+    // intermediate — both the dictionary aggregation and the posting
+    // join read it (one scan + one shuffle on (doc_id, word), then
+    // never again).
+    val tf = graft.Caches.scoped(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf")))
+    // The dictionary: one row per distinct word. Cached BEFORE the
+    // count so the gate's job is also the join side's materialization.
+    val df = graft.Caches.scoped(
+      tf.groupBy(col("word")).agg(count(lit(1)).as("df")))
+    val joined =
+      if (df.count() <= vocabMax) tf.join(broadcast(df), Seq("word"))
+      else Skew.saltedReplicateJoin(tf, df, "word", fanout)
+    joined
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        ((col("tf") * nDocs).cast("double") / col("df")).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("word"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

@@ -109,6 +109,37 @@ class ClustersSpec extends AnyFunSuite {
     assert(nonKeepers.nonEmpty, "prune should actually drop something at sf0.001")
   }
 
+  test("sketch-candidate clusters equal exact-pair clusters at tau=0.9") {
+    // dedup_clusters_sketch's whole claim: MinHash banding + exact
+    // verification on survivors reaches the SAME clusters as the
+    // complete prefix-filter path (up to the 16x4 banding's ~4e-8 miss
+    // bound). Checked end-to-end on both small corpora; the DuckDB
+    // recursive-closure oracle re-checks it at sf0.01 every round.
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val exact = Clusters.clusters(spark, d, tau = 0.9).collect().map(_.toString).sorted
+      graft.Caches.release()
+      val sketch = Clusters.clustersSketch(spark, d, tau = 0.9)
+        .collect().map(_.toString).sorted
+      graft.Caches.release()
+      assert(exact.nonEmpty, s"$d: no clusters at tau=0.9")
+      assert(sketch.sameElements(exact), s"$d: sketch clusters diverge from exact")
+    }
+  }
+
+  test("minhash-verified pairs equal the exact pair graph at tau=0.9") {
+    val exact = Dedup.ngramJaccard(spark, "/root/testdata/sf0.01", tau = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.release()
+    val sketch = Dedup.minhashVerifiedPairs(spark, "/root/testdata/sf0.01")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.release()
+    assert(exact.nonEmpty)
+    // Exact verification can only FILTER candidates, so sketch ⊆ exact
+    // always; equality is the measured-recall claim.
+    assert(sketch == exact,
+      s"missed ${(exact -- sketch).size}, spurious ${(sketch -- exact).size}")
+  }
+
   test("clustersFrom clusters an arbitrary pair frame (library entry)") {
     import spark.implicits._
     val pairs = Seq((100L, 200L), (200L, 300L), (7L, 9L)).toDF("a", "b")

@@ -40,6 +40,47 @@ class SkewSpec extends AnyFunSuite {
     assert(phase1Groups.agg(max(col("count"))).head.getLong(0) <= 6000)
   }
 
+  test("salted replicate join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // Zipf-ish posting shape: one word in every doc, a mid word in
+    // some, plus per-doc unique words — fact side (doc, word), dim
+    // side one row per word.
+    val facts = ((1 to 5000).map(i => (i.toLong, "the")) ++
+      (1 to 500).map(i => (i.toLong, s"mid${i % 7}")) ++
+      (1 to 5000).map(i => (i.toLong, s"uniq$i"))).toDF("doc_id", "word")
+    val dim = facts.groupBy("word").agg(count(lit(1)).as("df"))
+    val plain = facts.join(dim, Seq("word"))
+    val salted = Skew.saltedReplicateJoin(facts, dim, "word", fanout = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("word", "doc_id", "df")
+      .exceptAll(plain.select("word", "doc_id", "df")).isEmpty)
+    // plan shape: hint-pinned shuffle-hash, never a broadcast (the dim
+    // side is replicated precisely because it is assumed unbroadcastable)
+    val s = salted.queryExecution.executedPlan.toString
+    assert(s.contains("ShuffledHashJoin"), s"salted join must shuffle-hash:\n$s")
+    assert(!s.contains("BroadcastExchange"), "salted join broadcast its dimension")
+    // the hot key's fact rows actually spread: every salt bucket holds
+    // some of "the", none holds more than half
+    val spread = facts.withColumn("__salt",
+        pmod(hash(facts.columns.map(col): _*), lit(8)))
+      .filter(col("word") === "the").groupBy("__salt").count()
+    assert(spread.count() >= 6, "hot word collapsed into few salt buckets")
+    assert(spread.agg(max(col("count"))).head.getLong(0) <= 2500)
+  }
+
+  test("text_keywords: salted path and broadcast path produce identical rows") {
+    import graft.operators.TextAnalysis
+    val d01 = "/root/testdata/sf0.01"
+    // vocabMax=0 forces the salted branch; default takes broadcast.
+    val viaBroadcast = TextAnalysis.keywords(spark, d01).collect()
+    Caches.release()
+    val viaSalt = TextAnalysis.keywords(spark, d01, vocabMax = 0L).collect()
+    Caches.release()
+    assert(viaSalt.length == viaBroadcast.length && viaSalt.length > 0)
+    assert(viaSalt.map(_.toString).sorted.sameElements(
+      viaBroadcast.map(_.toString).sorted))
+  }
+
   test("q17 median survives pathological value skew without a row sort") {
     import graft.operators.Relational
     import spark.implicits._
