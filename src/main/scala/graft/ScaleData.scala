@@ -47,15 +47,21 @@ object ScaleData {
     off
   }
 
-  /** Union of `factor` copies with each (column -> offset) shifted by
-    * i·offset in copy i. Copy 0 is the original data.
+  /** `factor` copies with each (column -> offset) shifted by i·offset
+    * in copy i; copy 0 is the original data. Implemented as ONE scan ×
+    * an exploded copy index, not a factor-way union — key-shift
+    * replication needs no per-copy payload variation, and a union of
+    * 1000 scan branches is a Catalyst plan explosion (the text /
+    * embedding tables, which DO perturb per copy, keep their bounded
+    * per-copy loops).
     */
-  private def replicate(df: DataFrame, factor: Int, shifts: Map[String, Long]): DataFrame =
-    (0 until factor).map { i =>
-      shifts.foldLeft(df) { case (d, (k, off)) =>
-        d.withColumn(k, col(k) + lit(i * off))
-      }
-    }.reduce(_ unionByName _)
+  private def replicate(df: DataFrame, factor: Int, shifts: Map[String, Long]): DataFrame = {
+    val withCopy = df.withColumn("__copy",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    shifts.foldLeft(withCopy) { case (d, (k, off)) =>
+      d.withColumn(k, col(k) + col("__copy") * lit(off))
+    }.drop("__copy")
+  }
 
   /** Scaled events table: `factor` copies with event/user ids shifted.
     * Exposed so ScaleSpec can pin sf1-scale correctness rows without
@@ -90,15 +96,35 @@ object ScaleData {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, factorS) = args
+    // Optional 4th arg: comma-separated table subset (default: all) —
+    // lets the FLAGGED-query sf100 points scale just the numeric fact
+    // tables (events at factor 1000 ≈ 2 GB) without paying lineitem's
+    // 11 GB or tripping the text-perturbation period.
+    val (srcDir, dstDir, factorS, tablesS) = args match {
+      case Array(s, d, f)     => (s, d, f, "")
+      case Array(s, d, f, t)  => (s, d, f, t)
+      case _ => sys.error("usage: ScaleData <srcDir> <dstDir> <factor> [tables]")
+    }
     val factor = factorS.toInt
+    val all = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val tables: Set[String] =
+      if (tablesS.isEmpty) all.toSet
+      else {
+        val t = tablesS.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = t -- all.toSet
+        require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
+        t
+      }
     // The perturbation families are finite: 312 affine text permutations,
     // 128 embedding (rotation, sign) states. Past the smaller period a
     // copy would repeat copy 0 byte-identically, silently reintroducing
     // the quadratic exact-duplicate explosion the perturbation exists to
-    // prevent. Fail loudly instead.
-    require(factor <= 128,
-      s"factor $factor exceeds the perturbation period (128): scaled copies would repeat")
+    // prevent. Fail loudly instead. Key-shift-only tables have no
+    // period — any factor is exact.
+    require(factor <= 128 || !(tables("documents") || tables("embeddings")),
+      s"factor $factor exceeds the perturbation period (128): scaled " +
+        "text/embedding copies would repeat (select numeric tables only)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,22 +139,22 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
     import graft.sources.Tables
 
-    def write(name: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+    def write(name: String, df: => DataFrame): Unit =
+      if (tables(name)) df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
 
     // Dimensions: copy as-is.
     write("region", Tables.region(spark, srcDir))
     write("nation", Tables.nation(spark, srcDir))
 
-    val cust = Tables.customer(spark, srcDir)
-    val supp = Tables.supplier(spark, srcDir)
-    val part = Tables.part(spark, srcDir)
-    val ord  = Tables.orders(spark, srcDir)
-    val li   = Tables.lineitem(spark, srcDir)
-    val offC = offset(cust, "c_custkey")
-    val offS = offset(supp, "s_suppkey")
-    val offP = offset(part, "p_partkey")
-    val offO = offset(ord, "o_orderkey")
+    lazy val cust = Tables.customer(spark, srcDir)
+    lazy val supp = Tables.supplier(spark, srcDir)
+    lazy val part = Tables.part(spark, srcDir)
+    lazy val ord  = Tables.orders(spark, srcDir)
+    lazy val li   = Tables.lineitem(spark, srcDir)
+    lazy val offC = offset(cust, "c_custkey")
+    lazy val offS = offset(supp, "s_suppkey")
+    lazy val offP = offset(part, "p_partkey")
+    lazy val offO = offset(ord, "o_orderkey")
     write("customer", replicate(cust, factor, Map("c_custkey" -> offC)))
     write("supplier", replicate(supp, factor, Map("s_suppkey" -> offS)))
     write("part", replicate(part, factor, Map("p_partkey" -> offP)))
@@ -142,8 +168,8 @@ object ScaleData {
     // reads it directly; Tables.events passes it through unchanged).
     write("events", scaledEvents(spark, srcDir, factor))
 
-    val docs = Tables.documents(spark, srcDir)
-    val offD = offset(docs, "doc_id")
+    lazy val docs = Tables.documents(spark, srcDir)
+    lazy val offD = offset(docs, "doc_id")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     // Affine cipher c -> a*c + b (mod 26): a must be a unit mod 26.
     // Copy i uses (a, b) = (units[i % 12], i / 12) -- distinct pairs for
@@ -158,7 +184,7 @@ object ScaleData {
     // the affine cipher is a letter permutation, so lengths — and with
     // them n_chars — stay exact, and dropping them forced dedup_prune's
     // ladder runs onto a reduced-schema detour (r9 verdict item 3).
-    val docMeta = docs.columns.filterNot(Set("doc_id", "text")).toSeq
+    lazy val docMeta = docs.columns.filterNot(Set("doc_id", "text")).toSeq
     write("documents", (0 until factor).map { i =>
       docs.select((col("doc_id") + lit(i * offD)).as("doc_id") +:
         translate(col("text"), alpha, affine(i)).as("text") +:
