@@ -50,8 +50,17 @@ object Bench {
     */
   private def emit(line: String): Unit = {
     println(line)
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/latest.json"))
+    // Subset runs (SPARK_GRAFT_QUERIES) write to a DIFFERENT default
+    // artifact: a one-query A/B must not clobber the last full-sweep
+    // latest.json with a partial result a reader could mistake for a
+    // sweep (the line also carries "subset":true in-band). The default
+    // path resolves against the repo root (located from the classpath),
+    // not the process CWD, so a bench launched from elsewhere still
+    // lands its artifact where the driver reads it.
+    val default = if (isSubsetRun) "bench_out/latest_subset.json" else "bench_out/latest.json"
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(repoRoot.resolve(default))
     try {
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
@@ -59,6 +68,36 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] WARNING: could not write $out: ${e.getMessage}")
     }
+  }
+
+  /** True when SPARK_GRAFT_QUERIES selects a strict subset of the
+    * registered map — stamped into the JSON ("subset":true) and routed
+    * to a separate default artifact path by [[emit]].
+    */
+  private lazy val isSubsetRun: Boolean =
+    sys.env.get("SPARK_GRAFT_QUERIES").exists { s =>
+      val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      names.nonEmpty && names != SparkEntry.queries.keySet
+    }
+
+  /** JSON fragment appended to every emitted line on subset runs. */
+  private def subsetJson: String = if (isSubsetRun) ""","subset":true""" else ""
+
+  /** The sbt project root: the directory holding build.sbt, located by
+    * walking up from this class's compiled-classes classpath entry;
+    * falls back to the process CWD when launched from a jar layout that
+    * doesn't match (e.g. a deployed assembly — where the caller should
+    * set SPARK_GRAFT_BENCH_OUT explicitly anyway).
+    */
+  private lazy val repoRoot: java.nio.file.Path = {
+    val fromCp = System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparator)
+      .collectFirst {
+        case e if e.endsWith("/target/scala-2.13/classes") =>
+          java.nio.file.Paths.get(e).getParent.getParent.getParent
+      }
+      .filter(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+    fromCp.getOrElse(java.nio.file.Paths.get(sys.props("user.dir")))
   }
 
   def main(args: Array[String]): Unit = {
@@ -203,7 +242,7 @@ object Bench {
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","reps":$reps,"cold_total":$coldTotal,"shards":${chunks.size},""" +
       s""""rep_times":$repJson,"heap_mb":$heapJson,"spread_flagged":$spreadJson""" +
-      s"""$recheckedJson$failedJson}""")
+      s"""$recheckedJson$failedJson$subsetJson}""")
     if (failed.nonEmpty) sys.exit(2)
   }
 
@@ -352,7 +391,8 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","reps":$reps,"cold_total":$coldTotal,""" +
-      s""""rep_times":$repJson,"heap_mb":$heapJson,"spread_flagged":$spreadJson$failedJson}"""
+      s""""rep_times":$repJson,"heap_mb":$heapJson,"spread_flagged":$spreadJson""" +
+      s"""$failedJson$subsetJson}"""
     sys.env.get("SPARK_GRAFT_SHARD_OUT") match {
       case Some(path) =>
         java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -56,6 +56,10 @@ object ScaleData {
     * per-copy loops).
     */
   private def replicate(df: DataFrame, factor: Int, shifts: Map[String, Long]): DataFrame = {
+    // A source column named __copy would be clobbered by the replication
+    // index and then dropped — corrupt output, no error. Fail loudly.
+    require(!df.columns.contains("__copy"),
+      "input already has a '__copy' column — rename it before scaling")
     val withCopy = df.withColumn("__copy",
       explode(sequence(lit(0L), lit(factor - 1L))))
     shifts.foldLeft(withCopy) { case (d, (k, off)) =>

@@ -36,6 +36,8 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[Column], buckets: Int,
                 partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "input already has a '__salt' column — rename it before calling saltedAgg")
     // The salt MUST be deterministic per row content: a retried map
     // task re-evaluates the salt, and a nondeterministic one (e.g.
     // monotonically_increasing_id) can re-assign rows whose original
@@ -87,6 +89,20 @@ object Skew {
   def saltedReplicateJoin(left: DataFrame, right: DataFrame, key: String,
                           fanout: Int = 32, joinType: String = "inner"): DataFrame = {
     require(fanout >= 1, s"fanout must be positive, got $fanout")
+    // The replicate construction is only correct for left-oriented
+    // joins: each right row exists once PER SALT, so a right/full outer
+    // join would emit `fanout` copies of every unmatched right row
+    // (each replica survives as its own null-extended output). Fail
+    // loudly — same contract convention as Clusters.connectedComponents.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+      "leftanti", "anti")(jt),
+      s"saltedReplicateJoin supports inner/left-oriented joins only, got '$joinType' " +
+        "(an outer right side would duplicate unmatched right rows fanout times)")
+    // A caller column named __salt would be silently clobbered by the
+    // internal salt and dropped from the output — corrupt data, no error.
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "input already has a '__salt' column — rename it before calling saltedReplicateJoin")
     val salted = left.withColumn("__salt",
       pmod(hash(left.columns.map(col): _*), lit(fanout)))
     val replicated = right.withColumn("__salt",
