@@ -186,6 +186,26 @@ object SparkEntry {
     * Dedup.shingled (3-gram word shingles, distinct per doc, docs with
     * <3 words excluded).
     */
+  /** B^k mod 2^64 for k = 0..15 as a DuckDB HUGEINT list literal — the
+    * window coefficients of the text_fingerprint oracle
+    * ([[graft.functions.RollingHash.Base]]; Scala's wrapping long
+    * arithmetic made explicit as mod-2^64).
+    */
+  private lazy val rollingPowSql: String = {
+    val m = java.math.BigInteger.ONE.shiftLeft(64)
+    val b = java.math.BigInteger.valueOf(graft.functions.RollingHash.Base)
+    Iterator.iterate(java.math.BigInteger.ONE)(_.multiply(b).mod(m))
+      .take(16).map(_.toString + "::HUGEINT").mkString("[", ", ", "]")
+  }
+
+  /** One window's rolling hash mod 2^64 as a DuckDB expression over the
+    * text_fingerprint oracle's (bs, w, pw) columns at 0-indexed window
+    * start `i` (DuckDB lists are 1-indexed): Σ_j bs[i+j+1] · pw[w−j].
+    */
+  private val rollingWinSql: String =
+    "(list_sum(list_transform(range(0, w), j -> bs[i+j+1] * pw[w-j]))" +
+      " % 18446744073709551616::HUGEINT)"
+
   private def shingleCtesN(n: Int): String = {
     val concat =
       (0 until n).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
@@ -785,8 +805,36 @@ object SparkEntry {
         |        x -> list_contains(['le','la','de','et','est'], x))) AS score_fr
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
-    // text_fingerprint: custom rolling-hash expression → rows-only +
-    // TextSpec vs an independent reimplementation.
+    // text_fingerprint: the winnowing fingerprint is a deterministic
+    // polynomial over UTF-8 bytes mod 2^64, so it IS SQL-expressible:
+    // each window hash is Σ byte[i+j]·B^(w−1−j) mod 2^64 (the O(n·w)
+    // direct form of the Scala kernel's O(n) roll — same values), the
+    // per-window mod-2^64 value is re-signed into int64 range (Scala's
+    // long arithmetic wraps; the MIN is over SIGNED longs), and the
+    // fingerprint is the min. Arithmetic runs in HUGEINT (terms ≤ 2^72,
+    // 16-term sums ≤ 2^76 — no overflow); the B^k mod 2^64 constants
+    // are embedded as literals. ord(text[i]) equals the UTF-8 byte
+    // because the corpus is ASCII — NOT assumed silently: a non-ASCII
+    // document raises error() rather than hashing codepoints instead
+    // of bytes and silently diverging.
+    "text_fingerprint" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]')
+        |         THEN error('text_fingerprint oracle requires ASCII text (byte != codepoint)')
+        |         ELSE list_transform(range(1, length(text)+1), i -> ord(text[i])::HUGEINT)
+        |    END AS bs,
+        |    least(16, length(text)) AS w, length(text) AS n, $rollingPowSql AS pw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    list_min(list_transform(range(0, n - w + 1), i ->
+        |      CAST(CASE WHEN $rollingWinSql >= 9223372036854775808::HUGEINT
+        |                THEN $rollingWinSql - 18446744073709551616::HUGEINT
+        |                ELSE $rollingWinSql END AS BIGINT)
+        |    )) END AS fingerprint
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // PII patterns are written to the Java-regex/RE2 common subset;
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
