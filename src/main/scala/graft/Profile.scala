@@ -52,6 +52,52 @@ object Profile {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DECOMP=keywords: one-JVM A/B grid for text_keywords —
+    // (df gate: broadcast vs forced-salted) × (tf intermediate: cached
+    // vs recomputed). Feeds the BASELINE.md text_keywords section: the
+    // forced-salted cost the scaladoc cites and the tf-cache decision.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("keywords")) {
+      import graft.operators.TextAnalysis
+      def best(label: String)(mk: () => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] keywords $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      best("broadcast_cache")(() => TextAnalysis.keywords(spark, dir))
+      best("broadcast_nocache")(() => TextAnalysis.keywords(spark, dir, cacheTf = false))
+      best("salted_cache")(() => TextAnalysis.keywords(spark, dir, vocabMax = 0L))
+      best("salted_nocache")(() =>
+        TextAnalysis.keywords(spark, dir, vocabMax = 0L, cacheTf = false))
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_DECOMP=contamination: one-JVM A/B of the prefix
+    // plan's df-attach gate (broadcast vs forced-salted) plus the
+    // registered count-plan row for the ladder re-pin.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("contamination")) {
+      import graft.operators.Curation
+      def best(label: String)(mk: () => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] contamination $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      best("prefix_broadcast_df")(() => Curation.contamination(spark, dir, minContain = 0.3))
+      best("prefix_salted_df")(() =>
+        Curation.contamination(spark, dir, minContain = 0.3, vocabMax = 0L))
+      best("count_registered")(() => SparkEntry.queries("corpus_contamination")(spark, dir))
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DECOMP=ivf: stage decomposition of the IVF build+serve
     // cost — cumulative components materialized through noop so each
     // delta isolates one stage; serve_warm is the amortized-index

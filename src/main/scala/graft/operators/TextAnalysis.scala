@@ -178,17 +178,24 @@ object TextAnalysis {
     * per document cross the final shuffle.
     */
   def keywords(spark: SparkSession, dir: String, k: Int = 5,
-               fanout: Int = 32, vocabMax: Long = BroadcastVocabMax): DataFrame = {
+               fanout: Int = 32, vocabMax: Long = BroadcastVocabMax,
+               cacheTf: Boolean = true): DataFrame = {
     val nDocs = Tables.parquetRowCount(spark, dir, "documents")
-    // Distinct (doc, word) term frequencies: the natural cached
-    // intermediate — both the dictionary aggregation and the posting
-    // join read it (one scan + one shuffle on (doc_id, word), then
-    // never again).
-    val tf = graft.Caches.scoped(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf")))
+    // Distinct (doc, word) term frequencies — read by both the
+    // dictionary aggregation and the posting join. `cacheTf` picks
+    // between persisting it (one scan + one (doc_id, word) shuffle,
+    // then never again) and recomputing it per consumer (two scans, no
+    // materialization). The default is CACHE, from a measured sf10 A/B
+    // (see BASELINE.md text_keywords section) — but the right answer is
+    // scale-dependent: the distinct-token table is corpus-scale, so at
+    // 100 TB a MEMORY_AND_DISK persist is a full materialization to
+    // local disk and recompute-from-columnar-scan wins; flip the knob
+    // there.
+    val tf0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (cacheTf) graft.Caches.scoped(tf0) else tf0
     // The dictionary: one row per distinct word. Cached BEFORE the
     // count so the gate's job is also the join side's materialization.
     val df = graft.Caches.scoped(

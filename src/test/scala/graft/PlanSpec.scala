@@ -255,6 +255,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_keywords broadcast branch: dictionary broadcasts, top-k rank is a Partial WindowGroupLimit") {
+    // The registered defaults take the broadcast branch (vocab ≪ 1M):
+    // the posting stream must meet the dictionary map-side — a lost
+    // broadcast would shuffle every (doc, word, tf) row — and the
+    // scaladoc's "only ~k rows per document cross the final shuffle"
+    // claim requires the rank filter to compile to a Partial
+    // WindowGroupLimit, same pin as q7 and knnSelfJoin.
+    val df = graft.operators.TextAnalysis.keywords(spark, dir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"dictionary not broadcast:\n$s")
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      "rank filter not pushed into a partial per-partition group limit")
+    graft.Caches.release()
+  }
+
+  test("text_keywords salted branch: no broadcast, shuffle-hash posting join, Partial WindowGroupLimit") {
+    // vocabMax = 0 forces the web-scale branch: the dictionary is by
+    // assumption unbroadcastable, so a BroadcastExchange anywhere in
+    // the join path means the gate leaked; the posting join must be
+    // the hint-pinned ShuffledHashJoin (sort-merge would sort the
+    // corpus-scale posting stream), and the same group-limit pin holds.
+    val df = graft.operators.TextAnalysis.keywords(spark, dir, vocabMax = 0L)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ShuffledHashJoin"), s"salted posting join must shuffle-hash:\n$s")
+    assert(!s.contains("BroadcastExchange"),
+      s"salted branch broadcasts a side assumed unbroadcastable:\n$s")
+    assert(!s.contains("SortMergeJoin"), "salted posting join sort-merges")
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      "rank filter not pushed into a partial per-partition group limit")
+    graft.Caches.release()
+  }
+
   test("q7 top-k prunes map-side before the shuffle (WindowGroupLimit Partial)") {
     val df = Relational.q7WindowTopk(spark, dir)
     df.collect()
