@@ -202,17 +202,37 @@ object Curation {
     * pushdown and the broadcast-or-shuffle test-side guard.
     */
   def contamination(spark: SparkSession, dir: String,
-                    minContain: Double = 0.3, ngram: Int = 3): DataFrame = {
-    val splits = splitAssign(spark, dir).select(col("doc_id"), col("split"))
-    val sh = Tables.documents(spark, dir)
+                    minContain: Double = 0.3, ngram: Int = 3,
+                    fanout: Int = 32,
+                    vocabMax: Long = TextAnalysis.BroadcastVocabMax): DataFrame =
+    contaminationFrom(Tables.documents(spark, dir),
+      Tables.parquetRowCount(spark, dir, "documents"),
+      minContain, ngram, fanout, vocabMax)
+
+  /** [[contamination]] over any (doc_id, text) frame — the reusable
+    * core, so the Zipfian-skew stress spec can drive it with a crafted
+    * corpus (a hot shingle in ~30% of documents) and pin both gate
+    * branches. `nDocs` feeds the broadcast guards (the caller knows the
+    * corpus size; the dir entry reads it from the parquet footers).
+    */
+  def contaminationFrom(docs: DataFrame, nDocs: Long,
+                        minContain: Double = 0.3, ngram: Int = 3,
+                        fanout: Int = 32,
+                        vocabMax: Long = TextAnalysis.BroadcastVocabMax): DataFrame = {
+    // Split assignment inline (same content-addressed splitBucket as
+    // splitAssign — a pure map of doc_id, so joining the splitAssign
+    // OUTPUT would re-scan the corpus to attach a derivable column).
+    // Val docs (buckets 90-94) belong to neither side of the check.
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= ngram)
       .select(col("doc_id"),
-        graft.functions.HashedShingles.hashed_shingles(col("w"), ngram).as("sh"))
-      .join(splits, Seq("doc_id"))
+        graft.functions.HashedShingles.hashed_shingles(col("w"), ngram).as("sh"),
+        splitBucket(col("doc_id")).as("bucket"))
+      .filter(col("bucket") < 90 || col("bucket") >= 95)
       .transform(graft.Caches.scoped(_))
-    val test = sh.filter(col("split") === "test")
-    val train = sh.filter(col("split") === "train")
+    val test = sh.filter(col("bucket") >= 95)
+    val train = sh.filter(col("bucket") < 90)
     val trainPost0 = train.select(col("doc_id").as("train_id"), explode(col("sh")).as("s"))
     // Test-vocabulary pushdown: every downstream consumer of the train
     // posting stream (the df aggregate, the candidate join) only ever
@@ -228,7 +248,6 @@ object Curation {
     // the pushdown is purely an optimization. df values of surviving
     // shingles are identical either way, so the prefix order — and the
     // output — are byte-identical.
-    val nDocs = Tables.parquetRowCount(spark, dir, "documents")
     val trainPost =
       if (nDocs <= 2000000L)
         trainPost0.join(
@@ -262,7 +281,8 @@ object Curation {
               .as("containment"))
           .filter(col("containment") >= minContain)
       } else {
-        val dfreq = trainPost.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val dfreq = graft.Caches.scoped(
+          trainPost.groupBy(col("s")).agg(count(lit(1)).as("df")))
         val wByRarity = org.apache.spark.sql.expressions.Window
           .partitionBy(col("test_id")).orderBy(col("df").asc_nulls_first, col("s"))
         // SHUFFLE_HASH on every candidate-path join: the test-prefix side
@@ -272,10 +292,26 @@ object Curation {
         // sort-merge would sort the big posting streams once per join
         // (the r7 sf10 ladder measured this class of cost at 2–4 s per
         // join on ngram).
-        val testPre = test
+        //
+        // The df attach is the ZIPFIAN POSTING join (same shape and same
+        // gate as TextAnalysis.keywords): dfreq is a per-shingle
+        // dimension, and shingle frequency is Zipf-skewed — a hot
+        // shingle ("of the X"-class) can sit in a large fraction of the
+        // corpus, so hash-partitioning the test postings on s pins that
+        // shingle's whole stream onto one reducer. Gate on the MEASURED
+        // vocabulary (dfreq is cached; the count is one bounded job):
+        // broadcastable → map-side attach, no shuffle at all; bigger →
+        // Skew.saltedReplicateJoin spreads every hot shingle across
+        // `fanout` reducers. Both branches are row-identical (left join
+        // semantics preserved — test shingles absent from train keep
+        // their null df and sort first), pinned by SkewSpec.
+        val testPost = test
           .select(col("doc_id").as("test_id"), size(col("sh")).as("sz"),
             explode(col("sh")).as("s"))
-          .join(dfreq.hint("shuffle_hash"), Seq("s"), "left")
+        val withDf =
+          if (dfreq.count() <= vocabMax) testPost.join(broadcast(dfreq), Seq("s"), "left")
+          else Skew.saltedReplicateJoin(testPost, dfreq, "s", fanout, "left")
+        val testPre = withDf
           .withColumn("rn", row_number().over(wByRarity))
           .filter(col("rn") <=
             (col("sz") - ceil(col("sz") * minContain - lit(1e-9)) + 1).cast("int"))

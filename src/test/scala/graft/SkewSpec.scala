@@ -81,6 +81,47 @@ class SkewSpec extends AnyFunSuite {
       viaBroadcast.map(_.toString).sorted))
   }
 
+  test("corpus_contamination: Zipfian hot-shingle corpus, both df-gate branches identical, salted plan pinned") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // Stress corpus: 3000 docs, a HOT 3-word phrase in ~30% of them
+    // (one shingle whose posting list covers a third of the corpus —
+    // the Zipf head that pins a reducer under plain hash partitioning),
+    // unique filler words everywhere else. Contamination is planted by
+    // twinning: doc i+N carries doc i's exact text, so any test-split
+    // doc whose twin landed in train is a true containment-1.0 hit.
+    val n = 1500
+    def text(i: Int): String = {
+      val filler = s"w${i}a w${i}b w${i}c w${i}d w${i}e"
+      if (i % 10 < 3) s"hot alpha beta $filler" else filler
+    }
+    val docs = ((0 until n).map(i => (i.toLong, text(i))) ++
+      (0 until n).map(i => ((i + n).toLong, text(i)))).toDF("doc_id", "text")
+
+    // Default gates: vocab ≈ 15k shingles → broadcast branch.
+    val viaBroadcast = Curation.contaminationFrom(docs, 2L * n, minContain = 0.3)
+    val b = viaBroadcast.collect()
+    val bPlan = viaBroadcast.queryExecution.executedPlan.toString
+    Caches.release()
+    // vocabMax = 0 forces the web-scale branch: the df attach must be
+    // the salted replicate join (salt visible in the join keys), never
+    // a broadcast of the dictionary. (Other broadcasts — the test-
+    // vocabulary pushdown, the test-array fetch — are legitimately
+    // small-side and stay.)
+    val viaSalt = Curation.contaminationFrom(docs, 2L * n, minContain = 0.3, vocabMax = 0L)
+    val s = viaSalt.collect()
+    val sPlan = viaSalt.queryExecution.executedPlan.toString
+    Caches.release()
+
+    assert(b.length > 10, s"stress corpus planted no contamination (got ${b.length})")
+    assert(b.forall(_.getDouble(2) >= 0.3))
+    assert(s.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+      "salted and broadcast df-gate branches disagree")
+    assert(!bPlan.contains("__salt"), "default gate took the salted branch on a tiny vocab")
+    assert(sPlan.contains("__salt") && sPlan.contains("ShuffledHashJoin"),
+      s"forced-salted branch did not materialize the salted shuffle-hash df join:\n$sPlan")
+  }
+
   test("q17 median survives pathological value skew without a row sort") {
     import graft.operators.Relational
     import spark.implicits._
