@@ -79,6 +79,34 @@ object RecallProbe {
       for (t <- Seq(16, 24); p <- Seq(96, 192, 288))
         println(f"[recall] MEAN bucket-path tables=$t probes=$p: ${
           recallOf(t, p, dense = false)}%.3f")
+
+    // sim_knn_join recall-vs-probes (SPARK_GRAFT_KNN_SWEEP = comma-
+    // separated probe counts, e.g. "4,8,16,32,0" with 0 = the
+    // max(8, nlist/8) default). The self-join computes ALL n queries —
+    // that full cost is what's timed — but ground truth is only
+    // computable for the planted vec_id < 8 queries (brute force over
+    // n×n is off the table at 800k), so recall@5 is scored on those,
+    // the same query set the LSH/IVF cells above use. Top-5 truth =
+    // the exact top-10's first five rows.
+    sys.env.get("SPARK_GRAFT_KNN_SWEEP").foreach { sweep =>
+      val exact5 = exactRows.filter(_.getLong(1) <= 5)
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+      for (p <- sweep.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)) {
+        val t0 = System.nanoTime()
+        val knn = operators.Ivf.knnSelfJoin(spark, dir, k = 5, probes = p)
+          .filter(org.apache.spark.sql.functions.col("query_id") < 8)
+          .collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Caches.release()
+        val got = knn.groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+        val recalls = exact5.toSeq.sortBy(_._1).map { case (q, bs) =>
+          got.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+        }
+        println(f"[recall] knn probes=$p recall@5 ${recalls.sum / recalls.size}%.3f " +
+          f"(full self-join wall ${dt}%.1f s)")
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+/** Structured-streaming throughput benchmark (not part of the driver
+  * contract): drives each streaming operator from the built-in
+  * rate-limited `rate` source at a configured rows/s and reports the
+  * SUSTAINED processing rate and per-trigger latency from the engine's
+  * own progress events — the two numbers BASELINE.md's streaming
+  * section pins.
+  *
+  * Protocol: the rate source generates (timestamp, value) rows at
+  * SPARK_GRAFT_STREAM_RATE rows/s (default 500k) which are mapped into
+  * the events schema by a deterministic projection (same shape as
+  * `/root/testdata` events: Zipf-ish 5-value event_type, 100k-user id
+  * space, value in [0,100)); each operator consumes it through the
+  * noop sink for SPARK_GRAFT_STREAM_SECS (default 30) wall seconds.
+  * Sustained rate = Σ numInputRows / Σ triggerExecution over the
+  * STEADY window (the first fifth of the run is warm-up: state-store
+  * init + codegen, excluded); latency = median and max triggerExecution
+  * over the same window. A run is BACKLOGGED — the operator cannot keep
+  * up with the offered rate — when sustained < 95% of offered; that is
+  * the capacity number, and it is reported as such rather than averaged
+  * away (find capacity by raising the rate until backlogged).
+  *
+  * Operators measured: the three unbounded-safe streaming twins —
+  * hourly windowed agg (watermarked tumbling window), exact dedup
+  * (dropDuplicatesWithinWatermark), and feed consolidation (the
+  * reference's /ingest loop as an incremental aggregation).
+  * signedExport is excluded: its cost is dominated by the per-batch
+  * store merge (disk), which the crash-injection spec covers and a
+  * rows/s figure would misstate.
+  */
+object StreamBench {
+
+  private case class Progress(rows: Long, execMs: Long)
+
+  def main(args: Array[String]): Unit = {
+    val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "500000").toLong
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    /** rate-source rows → the events schema (deterministic projection,
+      * no RNG: retried batches regenerate identical rows).
+      */
+    def events: DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rate.toString)
+        .option("numPartitions", cpus.toString)
+        .load()
+        .select(
+          col("value").as("event_id"),
+          col("timestamp").as("ts"),
+          pmod(col("value") * 2654435761L, lit(100000L)).as("user_id"),
+          element_at(
+            array(lit("view"), lit("view"), lit("view"), lit("click"), lit("purchase")),
+            (pmod(col("value"), lit(5)) + 1).cast("int")).as("event_type"),
+          (pmod(col("value") * 48271L, lit(10000L)).cast("double") / 100.0).as("value"),
+          concat(lit("utm_source=ads&utm_campaign=c"),
+            pmod(col("value"), lit(40L))).as("props"))
+
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "stream_hourly_agg" -> (() => streaming.EventStream.hourlyAgg(events)),
+      "stream_dedup" -> (() => streaming.EventStream.dedupEvents(events)),
+      "stream_consolidate" -> (() => streaming.EventStream.consolidate(events)))
+
+    val results = ops.map { case (name, mk) =>
+      val progress = scala.collection.mutable.ArrayBuffer[Progress]()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val exec = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
+          if (p.numInputRows > 0 && exec > 0)
+            progress.synchronized { progress += Progress(p.numInputRows, exec) }
+        }
+      }
+      spark.streams.addListener(listener)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_sb_$name").toString
+      // update mode: windowed agg / consolidate emit changed rows per
+      // trigger without waiting for watermark close — the steady-state
+      // production shape for a continuously-updating table.
+      val q = mk().writeStream.format("noop")
+        .outputMode(if (name == "stream_dedup") "append" else "update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      Thread.sleep(secs * 1000L)
+      q.stop(); q.awaitTermination()
+      spark.streams.removeListener(listener)
+      val all = progress.synchronized { progress.toVector }
+      // steady window: drop the first fifth (state-store + codegen warm-up)
+      val steady = all.drop(math.max(1, all.size / 5))
+      require(steady.nonEmpty, s"$name made no progress in $secs s")
+      val rows = steady.map(_.rows).sum
+      val execSec = steady.map(_.execMs).sum / 1000.0
+      val sustained = rows / execSec
+      val lat = steady.map(_.execMs).sorted
+      val med = lat(lat.size / 2)
+      System.err.println(f"[stream-bench] $name sustained $sustained%.0f rows/s " +
+        f"(offered $rate), median latency $med ms, max ${lat.last} ms, " +
+        f"${steady.size} steady triggers, backlogged=${sustained < rate * 0.95}")
+      (name, sustained, med, lat.last, sustained < rate * 0.95)
+    }
+
+    val qs = results.map { case (n, s, med, mx, bl) =>
+      s""""$n":{"rows_per_sec":${s.toLong},"median_ms":$med,"max_ms":$mx,"backlogged":$bl}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_throughput","offered_rows_per_sec":$rate,""" +
+      s""""secs":$secs,"queries":$qs}""")
+    spark.stop()
+  }
+}
