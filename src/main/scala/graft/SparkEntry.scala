@@ -175,8 +175,9 @@ object SparkEntry {
     // family as dedup_minhash_lsh + dedup_clusters above
     "dedup_clusters_sketch",
     "pipeline_corpus_clean",
-    // same class: one hint-pinned cell co-group + a WindowGroupLimit
-    // rank, candidate volume n·probes·(n/nlist) by construction
+    // same class: one hint-pinned cell co-group + a bounded-heap
+    // top-k aggregate, candidate volume n·probes·(n/nlist) by
+    // construction
     "sim_knn_join")
 
   /** Union consumed by Bench/Verify's per-query AQE gate. */

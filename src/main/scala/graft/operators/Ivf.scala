@@ -263,10 +263,12 @@ object Ivf {
     * probes·n^1.5 dots — the same count a FAISS batch self-query
     * pays; nlist is the knob that trades quantizer cost against
     * candidate volume). No broadcast anywhere: the cell join is a
-    * hint-pinned shuffle-hash co-group, the rank filter compiles to
-    * WindowGroupLimit so each map task forwards only its local top-k
-    * per vector instead of the full candidate stream, and the output
-    * is one row per (vector, rank ≤ k).
+    * hint-pinned shuffle-hash co-group, top-k is the bounded-heap
+    * `collect_top_k` aggregate (r11 — the rank-window form it
+    * replaced SORTED the full candidate stream per partition, which
+    * spilled >60 GB and died at the 200k-vector ladder point; the
+    * heap's map-side partial forwards ≤ k candidates per query per
+    * task instead), and the output is one row per (vector, rank ≤ k).
     *
     * Cosines are the fast-double kernel ([[Similarity.fastCosine]])
     * WITHOUT the decimal re-rank the per-query paths add: re-ranking
@@ -306,16 +308,30 @@ object Ivf {
     val probeSide = base.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("nf").as("qnf"),
       explode(IvfCells.ivf_cells(col("embedding"), cents, dim, p)).as("cell"))
+    // Top-k per query via the bounded-heap aggregate, NOT a rank
+    // window: the candidate stream is n·probes·cellsize rows (≈5·10^9
+    // at 200k vectors), and row_number's per-partition sort of that
+    // stream spilled >60 GB before dying at the sf10 ladder point
+    // (measured, r11) — the one plan shape here that did NOT survive a
+    // scale decade. collect_top_k keeps a k-element heap per query in
+    // the partial aggregate: map tasks forward ≤ k candidates per
+    // (query, map partition), nothing is globally sorted, and shuffle
+    // volume is bounded by the probe fan-out, not the candidate count.
+    // Ordering struct: largest (cosine, -nbr_id) ≡ the old window's
+    // (cosine DESC, nbr_id ASC); the array comes back best-first
+    // (TopKBySpec), so position+1 IS the rank. Negating the id is
+    // exact (ids are non-negative), as is passing cosine through
+    // untouched.
     probeSide.join(cells.hint("shuffle_hash"), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("nbr_id"),
         Similarity.fastCosine(col("qe"), col("qnf"), col("embedding"), col("nf")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine_fast").desc, col("nbr_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("nbr_id"), col("cosine_fast").as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy.collect_top_k(
+        struct(col("cosine_fast"), (-col("nbr_id")).as("neg_id")), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        (-col("t.neg_id")).as("nbr_id"), col("t.cosine_fast").as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -153,21 +153,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("kNN self-join co-groups cells shuffle-hash with a partial group limit, no broadcast") {
+  test("kNN self-join co-groups cells shuffle-hash with a bounded top-k aggregate, no broadcast, no sort-based rank") {
     // knnSelfJoinFrom's scaladoc promises "no broadcast anywhere": the
     // cells side is one row per CORPUS vector, so a stats drift that
     // let Catalyst broadcast it would ship the corpus to every task at
-    // 100 TB. The rank filter must also stay a Partial WindowGroupLimit
-    // (each map task forwards only its local top-k per vector, not the
-    // full n·probes·(n/nlist) candidate stream).
+    // 100 TB. The top-k must be the bounded-heap collect_top_k
+    // aggregate with a map-side partial (each map task forwards ≤ k
+    // candidates per query), and NEVER a rank window — the window
+    // form sorts the full n·probes·cellsize candidate stream per
+    // partition, which spilled >60 GB and died at the 200k-vector
+    // ladder point (r11).
     val df = graft.operators.Ivf.knnSelfJoin(spark, dir, k = 3)
     df.collect() // finalize the adaptive plan
     val s = df.queryExecution.executedPlan.toString
     assert(s.contains("ShuffledHashJoin"), s"cell join must shuffle-hash, got:\n$s")
     assert(!s.contains("SortMergeJoin"), "cell co-group sort-merges")
     assert(!s.contains("BroadcastExchange"), "kNN join broadcasts a corpus-sized side")
-    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
-      "top-k rank filter not pushed into a partial per-partition group limit")
+    assert(s.contains("collect_top_k") && s.contains("ObjectHashAggregate"),
+      s"top-k not the bounded-heap aggregate:\n$s")
+    assert(s.contains("partial_collect_top_k"),
+      "collect_top_k lost its map-side partial (full candidates would shuffle)")
+    assert(!s.contains("WindowGroupLimit") && !s.contains("Window"),
+      "kNN rank went through a sort-based window")
     graft.Caches.release()
   }
 
