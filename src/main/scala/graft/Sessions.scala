@@ -39,6 +39,19 @@ object Sessions {
       // Tables.normalizeNtz cast remains as a fallback for sessions built
       // without this conf.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation past
+      // this many distinct keys per partition (default 128 — sized for
+      // unbounded collect_list buffers). The engine's only object
+      // aggregate is collect_top_k, whose buffer is a BOUNDED k-element
+      // heap, so the hash path's memory is #groups·k — 4M groups × 5
+      // elements ≈ tens of MB/task — while the fallback re-introduces
+      // exactly the full-candidate-stream sort the aggregate exists to
+      // avoid (measured r11: the kNN self-join's 5·10^9-row candidate
+      // stream spilled >60 GB under the fallback at 200k vectors; the
+      // hash path holds 200k·k rows). 4M keeps the safety valve for a
+      // genuinely enormous per-partition group count while covering two
+      // more corpus decades at the default partitioning.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
