@@ -68,9 +68,18 @@ object Profile {
         println(f"[decomp] keywords $label best ${ts.min}%.3f  " +
           ts.map(t => f"$t%.3f").mkString(" "))
       }
-      best("broadcast_cache")(() => TextAnalysis.keywords(spark, dir))
-      best("broadcast_nocache")(() => TextAnalysis.keywords(spark, dir, cacheTf = false))
-      best("salted_cache")(() => TextAnalysis.keywords(spark, dir, vocabMax = 0L))
+      // The generated corpus's vocabulary is tiny (3,009 words at
+      // sf10), so the registered default resolves to the broadcast
+      // branch; vocabMax=0 FORCES the salted branch the gate would
+      // pick on a real web-scale vocabulary. registered_default is
+      // reported separately so the gate's own choice stays visible.
+      best("registered_default")(() => TextAnalysis.keywords(spark, dir))
+      best("broadcast_cache")(() =>
+        TextAnalysis.keywords(spark, dir, vocabMax = Long.MaxValue, cacheTf = true))
+      best("broadcast_nocache")(() =>
+        TextAnalysis.keywords(spark, dir, vocabMax = Long.MaxValue, cacheTf = false))
+      best("salted_cache")(() =>
+        TextAnalysis.keywords(spark, dir, vocabMax = 0L, cacheTf = true))
       best("salted_nocache")(() =>
         TextAnalysis.keywords(spark, dir, vocabMax = 0L, cacheTf = false))
       spark.stop()
@@ -141,6 +150,59 @@ object Profile {
         graft.operators.Ivf.annIvfServe(spark, dir)
           .write.format("noop").mode("overwrite").save())
       base.unpersist(true)
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_DECOMP=knn: one-JVM 2×2 attribution matrix for the r11
+    // kNN self-join rework — {generic CollectTopK struct heap, primitive
+    // TopKPairs} × {probes capped at 32, uncapped nlist/8} — because the
+    // headline Bench delta (198 → 68 s at sf10) landed both changes at
+    // once and candidate-volume arithmetic alone can't split them. The
+    // generic variant reconstructs the exact pre-r11 aggregate shape
+    // (struct(cosine, -id) under collect_top_k) over the SAME candidate
+    // stream the operator builds today.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("knn")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Ivf, Similarity}
+      val n = graft.sources.Tables.parquetRowCount(spark, dir, "embeddings")
+      val nlist = Ivf.autoNlist(n)
+      val uncapped = math.max(8, nlist / 8)
+      def knnGeneric(probes: Int): org.apache.spark.sql.DataFrame = {
+        val base = graft.Caches.scoped(Similarity.fastNormBase(spark, dir))
+        val dim = base.select(size(col("embedding"))).head.getInt(0)
+        val cents = Ivf.train(base, n, nlist, dim, iters = 4)
+        val cells = base.select(col("vec_id"), col("embedding"), col("nf"),
+          element_at(graft.functions.IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1).as("cell"))
+        val probeSide = base.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("nf").as("qnf"),
+          explode(graft.functions.IvfCells.ivf_cells(col("embedding"), cents, dim, probes)).as("cell"))
+        probeSide.join(cells.hint("shuffle_hash"), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("nbr_id"),
+            (graft.functions.DotF32.dot_f32(col("qe"), col("embedding")) /
+              (col("qnf") * col("nf"))).as("cosine_fast"))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKBy.collect_top_k(
+            struct(col("cosine_fast"), (-col("nbr_id")).as("neg_id")), 5).as("topk"))
+          .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+          .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+            (-col("t.neg_id")).as("nbr_id"), col("t.cosine_fast").as("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      }
+      def best(label: String)(mk: () => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] knn $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      best("pairs_probes32")(() => Ivf.knnSelfJoin(spark, dir))
+      best(s"pairs_probes$uncapped")(() => Ivf.knnSelfJoin(spark, dir, probes = uncapped))
+      best("generic_probes32")(() => knnGeneric(32))
+      best(s"generic_probes$uncapped")(() => knnGeneric(uncapped))
       spark.stop()
       return
     }

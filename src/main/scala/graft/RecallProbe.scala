@@ -81,13 +81,16 @@ object RecallProbe {
           recallOf(t, p, dense = false)}%.3f")
 
     // sim_knn_join recall-vs-probes (SPARK_GRAFT_KNN_SWEEP = comma-
-    // separated probe counts, e.g. "4,8,16,32,0" with 0 = the
-    // max(8, nlist/8) default). The self-join computes ALL n queries —
-    // that full cost is what's timed — but ground truth is only
-    // computable for the planted vec_id < 8 queries (brute force over
-    // n×n is off the table at 800k), so recall@5 is scored on those,
-    // the same query set the LSH/IVF cells above use. Top-5 truth =
-    // the exact top-10's first five rows.
+    // separated probe counts, e.g. "4,8,16,32,0" with 0 = the capped
+    // auto default). Ground truth is only computable for the planted
+    // vec_id < 8 queries (brute force over n×n is off the table at
+    // 800k), so recall@5 is scored on those, the same query set the
+    // LSH/IVF cells above use; Catalyst accordingly PUSHES the
+    // query_id filter into the probe side, so the printed wall is
+    // quantizer train+assign plus an 8-query probe — NOT the full
+    // self-join cost (the sf-ladder Bench cell carries that). Recall
+    // is unaffected: a query's top-k sees only its own candidates.
+    // Top-5 truth = the exact top-10's first five rows.
     sys.env.get("SPARK_GRAFT_KNN_SWEEP").foreach { sweep =>
       val exact5 = exactRows.filter(_.getLong(1) <= 5)
         .groupBy(_.getLong(0))
@@ -104,7 +107,7 @@ object RecallProbe {
           got.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
         }
         println(f"[recall] knn probes=$p recall@5 ${recalls.sum / recalls.size}%.3f " +
-          f"(full self-join wall ${dt}%.1f s)")
+          f"(train+assign+8-query probe wall ${dt}%.1f s; filter pushdown prunes the probe side)")
       }
     }
     spark.stop()

@@ -41,9 +41,10 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // ObjectHashAggregate falls back to SORT-BASED aggregation past
       // this many distinct keys per partition (default 128 — sized for
-      // unbounded collect_list buffers). The engine's only object
-      // aggregate is collect_top_k, whose buffer is a BOUNDED k-element
-      // heap, so the hash path's memory is #groups·k — 4M groups × 5
+      // unbounded collect_list buffers). The engine's object aggregates
+      // (top_k_pairs / VecSumF32) carry BOUNDED buffers — a k-element
+      // heap / one fixed-dim vector — so the hash path's memory is
+      // #groups·k — 4M groups × 5
       // elements ≈ tens of MB/task — while the fallback re-introduces
       // exactly the full-candidate-stream sort the aggregate exists to
       // avoid (measured r11: the kNN self-join's 5·10^9-row candidate
@@ -106,6 +107,10 @@ object Sessions {
       // default 100 entries evicts under a 59-query sweep (~600 generated
       // classes); identical stage code then recompiles instead of hitting
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Bounded-buffer object aggregates stay on the hash path — see the
+      // same setting in local() for the measured rationale (kNN's
+      // top_k_pairs heap spilled >60 GB under the 128-key sort fallback).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
     // Knob experiments without recompiling: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))

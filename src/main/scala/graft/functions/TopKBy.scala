@@ -20,6 +20,14 @@ import org.apache.spark.sql.{Column, GraftAgg, GraftColumn}
   * bounded by (keys-per-map-partition)·k regardless of candidate
   * count.
   *
+  * This is the GENERIC-ordering variant — any orderable struct, at a
+  * per-row cost of an InternalRow copy + boxed-queue insert under an
+  * interpreted ordering. For the ubiquitous (double score, long id)
+  * shape, [[TopKPairs]] is the primitive-specialized twin with zero
+  * per-row allocation — the kNN self-join rides it (BASELINE.md's
+  * sim_knn_join section carries the measured sf10 history and the
+  * heap-vs-probe-cap attribution).
+  *
   * Returns the k LARGEST values under `ord`'s ordering per group as an
   * array sorted DESCENDING — element 0 is the best, i.e. array
   * position IS rank−1 (semantics pinned by TopKBySpec, measured not

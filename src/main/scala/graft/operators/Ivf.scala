@@ -263,11 +263,11 @@ object Ivf {
     * probes·n^1.5 dots — the same count a FAISS batch self-query
     * pays; nlist is the knob that trades quantizer cost against
     * candidate volume). No broadcast anywhere: the cell join is a
-    * hint-pinned shuffle-hash co-group, top-k is the bounded-heap
-    * `collect_top_k` aggregate (r11 — the rank-window form it
-    * replaced SORTED the full candidate stream per partition, which
-    * spilled >60 GB and died at the 200k-vector ladder point; the
-    * heap's map-side partial forwards ≤ k candidates per query per
+    * hint-pinned shuffle-hash co-group, top-k is the bounded
+    * primitive-heap `top_k_pairs` aggregate (r11 — the rank-window
+    * form it replaced SORTED the full candidate stream per partition,
+    * which spilled >60 GB and died at the 200k-vector ladder point;
+    * the heap's map-side partial forwards ≤ k candidates per query per
     * task instead), and the output is one row per (vector, rank ≤ k).
     *
     * Cosines are the fast-double kernel ([[Similarity.fastCosine]])
@@ -289,17 +289,27 @@ object Ivf {
   }
 
   /** [[knnSelfJoin]] over any pre-normed (vec_id, embedding, nf) frame.
-    * `probes ≤ 0` = auto: max(8, nlist/8), the same probe fraction
-    * [[annIvf]] retuned from the planted-recall sweep. The spec's
-    * measured curve on the 500-vector testdata (near-random embeddings
-    * — IVF's WORST case; real embedding corpora cluster): probes
-    * 3/4/6/8/11 → recall@5 0.47/0.54/0.66/0.75/0.85.
+    * `probes ≤ 0` = auto: max(8, min(32, nlist/8)). The /8 fraction is
+    * [[annIvf]]'s retuned per-query default; the 32-cap is the r11
+    * self-join finding from the n=800k planted RecallCorpus sweep
+    * (BASELINE.md): probes 4/8/16/32 → recall@5 0.525/0.700/0.850/
+    * 0.975 — 32 probes already matches the recall the uncapped
+    * nlist/8 = 111 default bought with 3.5× the candidate volume.
+    * The cap also changes the SCALING LAW: candidate volume is
+    * n·probes·(n/nlist) = probes·n^1.5 at the √n nlist default, so
+    * probes ∝ √n (the uncapped rule) made the join quadratic in n
+    * while the cap keeps it at n^1.5 — 3.2× per decade, not 10×.
+    * Callers chasing the last few recall points pass `probes`
+    * explicitly. The small-corpus curve on the 500-vector testdata
+    * (near-random embeddings — IVF's WORST case; real embedding
+    * corpora cluster): probes 3/4/6/8/11 → recall@5
+    * 0.47/0.54/0.66/0.75/0.85.
     */
   private[graft] def knnSelfJoinFrom(base: DataFrame, n: Long, k: Int,
                                      probes: Int, nlistOverride: Option[Int],
                                      iters: Int): DataFrame = {
     val nlist = nlistOverride.getOrElse(autoNlist(n))
-    val auto = if (probes <= 0) math.max(8, nlist / 8) else probes
+    val auto = if (probes <= 0) math.max(8, math.min(32, nlist / 8)) else probes
     val p = math.max(1, math.min(nlist, auto))
     val dim = base.select(size(col("embedding"))).head.getInt(0)
     val cents = train(base, n, nlist, dim, iters)
@@ -308,30 +318,35 @@ object Ivf {
     val probeSide = base.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("nf").as("qnf"),
       explode(IvfCells.ivf_cells(col("embedding"), cents, dim, p)).as("cell"))
-    // Top-k per query via the bounded-heap aggregate, NOT a rank
+    // Top-k per query via a bounded-heap aggregate, NOT a rank
     // window: the candidate stream is n·probes·cellsize rows (≈5·10^9
     // at 200k vectors), and row_number's per-partition sort of that
     // stream spilled >60 GB before dying at the sf10 ladder point
     // (measured, r11) — the one plan shape here that did NOT survive a
-    // scale decade. collect_top_k keeps a k-element heap per query in
-    // the partial aggregate: map tasks forward ≤ k candidates per
-    // (query, map partition), nothing is globally sorted, and shuffle
-    // volume is bounded by the probe fan-out, not the candidate count.
-    // Ordering struct: largest (cosine, -nbr_id) ≡ the old window's
-    // (cosine DESC, nbr_id ASC); the array comes back best-first
-    // (TopKBySpec), so position+1 IS the rank. Negating the id is
-    // exact (ids are non-negative), as is passing cosine through
-    // untouched.
+    // scale decade. The heap keeps k elements per query in the partial
+    // aggregate: map tasks forward ≤ k candidates per (query, map
+    // partition), nothing is globally sorted, and shuffle volume is
+    // bounded by the probe fan-out, not the candidate count. The
+    // specific heap is [[graft.functions.TopKPairs]], the
+    // primitive-specialized (double, long) twin of Spark's
+    // CollectTopK: at ~10^10 candidates the generic collector's
+    // per-candidate cost (InternalRow copy + boxed-queue insert under
+    // an interpreted ordering) is paid once per distance eval, so it
+    // competes with the codegen'd dot itself — BASELINE.md's
+    // sim_knn_join section carries the sf10 history (window FAILED /
+    // generic 198 s / this plan 68 s) and the one-JVM heap-vs-probe-cap
+    // attribution matrix. top_k_pairs orders (score DESC, id ASC) and
+    // returns best-first, so position+1 IS the rank.
     probeSide.join(cells.hint("shuffle_hash"), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("nbr_id"),
         Similarity.fastCosine(col("qe"), col("qnf"), col("embedding"), col("nf")))
       .groupBy(col("query_id"))
-      .agg(graft.functions.TopKBy.collect_top_k(
-        struct(col("cosine_fast"), (-col("nbr_id")).as("neg_id")), k).as("topk"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("cosine_fast"), col("nbr_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        (-col("t.neg_id")).as("nbr_id"), col("t.cosine_fast").as("cosine"))
+        col("t.id").as("nbr_id"), col("t.score").as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 

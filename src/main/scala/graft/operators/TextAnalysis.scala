@@ -179,18 +179,20 @@ object TextAnalysis {
     */
   def keywords(spark: SparkSession, dir: String, k: Int = 5,
                fanout: Int = 32, vocabMax: Long = BroadcastVocabMax,
-               cacheTf: Boolean = true): DataFrame = {
+               cacheTf: Boolean = false): DataFrame = {
     val nDocs = Tables.parquetRowCount(spark, dir, "documents")
     // Distinct (doc, word) term frequencies — read by both the
     // dictionary aggregation and the posting join. `cacheTf` picks
     // between persisting it (one scan + one (doc_id, word) shuffle,
     // then never again) and recomputing it per consumer (two scans, no
-    // materialization). The default is CACHE, from a measured sf10 A/B
-    // (see BASELINE.md text_keywords section) — but the right answer is
-    // scale-dependent: the distinct-token table is corpus-scale, so at
-    // 100 TB a MEMORY_AND_DISK persist is a full materialization to
-    // local disk and recompute-from-columnar-scan wins; flip the knob
-    // there.
+    // materialization). The default is RECOMPUTE, from the measured
+    // sf10 A/B (BASELINE.md text_keywords section: broadcast branch
+    // 7.17 s recomputed vs 8.25 s cached — the MEMORY_AND_DISK persist
+    // of the corpus-scale projection costs more than the second
+    // columnar scan+agg it saves). The scale analysis agrees: at
+    // 100 TB the persist is a full materialization of the distinct-
+    // token table to local disk. The knob stays for narrow-corpus
+    // callers where the projection fits in executor memory.
     val tf0 = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))

@@ -157,7 +157,7 @@ class PlanSpec extends AnyFunSuite {
     // knnSelfJoinFrom's scaladoc promises "no broadcast anywhere": the
     // cells side is one row per CORPUS vector, so a stats drift that
     // let Catalyst broadcast it would ship the corpus to every task at
-    // 100 TB. The top-k must be the bounded-heap collect_top_k
+    // 100 TB. The top-k must be the bounded primitive-heap top_k_pairs
     // aggregate with a map-side partial (each map task forwards ≤ k
     // candidates per query), and NEVER a rank window — the window
     // form sorts the full n·probes·cellsize candidate stream per
@@ -169,10 +169,10 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("ShuffledHashJoin"), s"cell join must shuffle-hash, got:\n$s")
     assert(!s.contains("SortMergeJoin"), "cell co-group sort-merges")
     assert(!s.contains("BroadcastExchange"), "kNN join broadcasts a corpus-sized side")
-    assert(s.contains("collect_top_k") && s.contains("ObjectHashAggregate"),
+    assert(s.contains("top_k_pairs") && s.contains("ObjectHashAggregate"),
       s"top-k not the bounded-heap aggregate:\n$s")
-    assert(s.contains("partial_collect_top_k"),
-      "collect_top_k lost its map-side partial (full candidates would shuffle)")
+    assert(s.contains("partial_top_k_pairs"),
+      "top_k_pairs lost its map-side partial (full candidates would shuffle)")
     assert(!s.contains("WindowGroupLimit") && !s.contains("Window"),
       "kNN rank went through a sort-based window")
     graft.Caches.release()

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.TopKPairs.top_k_pairs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + distribution gates for the primitive bounded top-k
+  * aggregate ([[graft.functions.TopKPairs]]) the kNN self-join rides:
+  * best-first output under (score DESC, id ASC), agreement with a
+  * sort-based reference on random data, and invariance under partition
+  * count (partial heaps must merge associatively).
+  */
+class TopKPairsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4)
+
+  test("keeps the k best pairs, emitted best-first with ascending-id ties") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 7.0, 12L),
+      (1L, 9.0, 9L), (1L, 1.0, 13L), (2L, 3.0, 1L))
+      .toDF("g", "score", "id")
+    val out = df.groupBy(col("g"))
+      .agg(top_k_pairs(col("score"), col("id"), 3).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("pos", "t")))
+      .select(col("g"), col("pos"), col("t.score"), col("t.id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, 9.0, 9L), (1L, 1, 9.0, 11L), (1L, 2, 7.0, 12L),
+      (2L, 0, 3.0, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("matches the sort-based reference on random data at every partition count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map { i =>
+      (rnd.nextInt(40).toLong, math.floor(rnd.nextDouble() * 50) / 10.0, i.toLong)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy { case (s, id) => (-s, id) }.take(7)
+    }
+    for (parts <- Seq(1, 3, 32)) {
+      val got = rows.toDF("g", "score", "id").repartition(parts)
+        .groupBy(col("g"))
+        .agg(top_k_pairs(col("score"), col("id"), 7).as("t"))
+        .select(col("g"), explode(col("t")).as("t"))
+        .select(col("g"), col("t.score"), col("t.id"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (g, rs) => g -> rs.map(r => (r.getDouble(1), r.getLong(2))).toSeq }
+      assert(got.keySet == expected.keySet)
+      for ((g, exp) <- expected)
+        assert(got(g) == exp, s"parts=$parts group=$g: ${got(g)} vs $exp")
+    }
+  }
+
+  test("groups smaller than k return all their pairs; null scores are skipped") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0), 5L), (1L, None, 6L), (2L, Some(1.0), 7L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy(col("g"))
+      .agg(top_k_pairs(col("score"), col("id"), 10).as("t"))
+      .select(col("g"), size(col("t")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 1, 2L -> 1), s"got $got")
+  }
+}

@@ -29,10 +29,14 @@ def main(sf_dir: str, out_dir: str, reps: int = 3) -> int:
     con.execute(f"SET threads={threads}")
     for t in TABLES:
         # driver testdata = single file; graft.ScaleData output = a
-        # directory of part files
+        # directory of part files. ScaleData subsets (e.g. the sf100
+        # dress-rehearsal dirs) carry only the tables their queries
+        # read — skip the rest, the oracle subset won't reference them.
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path += "/*.parquet"
+        elif not os.path.exists(path):
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Optional comma-separated subset (e.g. the sf10 heavy-query ladder,
