@@ -164,6 +164,10 @@ object Profile {
     if (sys.env.get("SPARK_GRAFT_DECOMP").contains("knn")) {
       import org.apache.spark.sql.functions._
       import graft.operators.{Ivf, Similarity}
+      // sim_knn_join is AQE-off gated in Bench (pinnedJoinQueries) —
+      // match the registered configuration or the matrix's absolutes
+      // aren't comparable to the ladder cells.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val n = graft.sources.Tables.parquetRowCount(spark, dir, "embeddings")
       val nlist = Ivf.autoNlist(n)
       val uncapped = math.max(8, nlist / 8)
