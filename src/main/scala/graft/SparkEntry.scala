@@ -69,6 +69,7 @@ object SparkEntry {
     "sim_ann_ivf"     -> ((s, d) => Ivf.annIvf(s, d)),
     "sim_ann_ivf_serve" -> ((s, d) => Ivf.annIvfServe(s, d)),
     "sim_knn_join"    -> ((s, d) => Ivf.knnSelfJoin(s, d)),
+    "sim_knn_exact"   -> ((s, d) => Similarity.knnExact(s, d)),
 
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -178,7 +179,10 @@ object SparkEntry {
     // same class: one hint-pinned cell co-group + a bounded-heap
     // top-k aggregate, candidate volume n·probes·(n/nlist) by
     // construction
-    "sim_knn_join")
+    "sim_knn_join",
+    // the degeneration run of the same co-group plus two hint-pinned
+    // shuffle-hash id joins in the decimal re-rank
+    "sim_knn_exact")
 
   /** Union consumed by Bench/Verify's per-query AQE gate. */
   val aqeOffQueries: Set[String] = boundedShuffleQueries ++ pinnedJoinQueries
@@ -745,6 +749,31 @@ object SparkEntry {
     // sim_knn_join: approximate by contract (probes knob) → rows-only
     // + SimilaritySpec probes=nlist exact-degeneration identity vs
     // brute force and a measured default-knob recall bar.
+
+    // sim_knn_exact: the family's oracle anchor — exact top-5 for EVERY
+    // vector, decimal re-rank crossing the boundary exactly like
+    // sim_cosine_topk (whose SQL this generalizes by dropping the
+    // 8-query filter).
+    "sim_knn_exact" ->
+      """WITH nrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(CAST((SELECT SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                             AS DECIMAL(30,12)))
+        |               FROM UNNEST(range(1, 65)) AS t(i)) AS DOUBLE)) AS nrm
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |    CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |                          AS DECIMAL(30,12)))
+        |          FROM UNNEST(range(1, 65)) AS t(i)) AS DOUBLE) / (q.nrm * e.nrm) AS cosine
+        |  FROM nrm q JOIN nrm e ON e.vec_id != q.vec_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -89,6 +89,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** `sim_knn_exact`: EXACT cosine top-k for EVERY corpus vector — the
+    * oracle-gated anchor of the kNN family (the one member whose full
+    * result DuckDB re-derives and hash-checks, where `sim_knn_join` is
+    * approximate by contract and gated by recall properties).
+    *
+    * Candidates are the fast-double top-(k+margin) per vector from
+    * [[Ivf.knnSelfJoinFrom]] run in its probes=nlist exact-degeneration
+    * mode: every pair is scored exactly once through the cell co-group.
+    * That is an all-pairs pass BY CONSTRUCTION — exact kNN costs O(n²)
+    * distance evals in any engine — so this operator is the
+    * small-to-mid-corpus tool and the correctness anchor; at corpus
+    * scale you run [[graft.operators.Ivf.knnSelfJoin]] and buy recall
+    * with the probes knob. The decimal-exact re-rank then touches only
+    * n·(k+margin) pairs (linear), and every re-rank join is a
+    * hint-pinned shuffle-hash on ids — unlike [[cosineTopk]], whose
+    * 8-query side can broadcast, NOTHING here is corpus-sized on a
+    * build side that grows past executor memory: embeddings ride the
+    * id joins, norms are recomputed per consumer off the cached base,
+    * and the rank window sorts ≤ k+margin rows per query. The margin
+    * guard is the same ≲1e-9 fast-vs-exact bound documented on
+    * [[cosineTopk]]; SimilaritySpec additionally pins this plan's
+    * result to the [[cosineTopk]] slice it must agree with.
+    */
+  def knnExact(spark: SparkSession, dir: String, k: Int = 5,
+               margin: Int = 16): DataFrame = {
+    val base = graft.Caches.scoped(fastNormBase(spark, dir))
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val winners = Ivf
+      .knnSelfJoinFrom(base, n, k + margin, probes = Int.MaxValue,
+        nlistOverride = None, iters = 4)
+      .select(col("query_id"), col("nbr_id").as("vec_id"))
+    val exactNorm = sqrt(dotDec(col("embedding"), col("embedding")))
+    val qSide = base.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), exactNorm.as("qn"))
+    val cand = winners.join(
+      base.select(col("vec_id"), col("embedding"), exactNorm.as("nrm"))
+        .hint("shuffle_hash"), Seq("vec_id"))
+    cand.join(qSide.hint("shuffle_hash"), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotDec(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+  }
+
   /** The fast-double prune: top-(k+margin) per query by [[DotF32]]
     * cosine. Package-visible so SimilaritySpec can assert the hand-off
     * invariant directly — the survivors must contain the EXACT top-k,

@@ -145,15 +145,42 @@ class ExprSpec extends AnyFunSuite {
     assert(df.filter(col("fused") =!= col("declarative")).isEmpty)
   }
 
-  test("DotDecimal is bit-identical to the declarative decimal aggregate") {
+  test("DotDecimal implements the oracle's cast semantics: rint(p*1e12) scaled-long sum") {
+    // The contract is bit-identity with DuckDB's double->DECIMAL(30,12)
+    // cast (nearbyint on the scaled BINARY value, round-half-even), NOT
+    // with Spark's own string-HALF_UP decimal cast — the two disagree
+    // on boundary products (see the DotDecimal scaladoc for the real
+    // counterexample the sim_knn_exact oracle caught). Pin the kernel
+    // to an independent reference loop with those exact semantics, on
+    // real embeddings plus the known boundary product.
     val emb = graft.sources.Tables.embeddings(spark, dir).limit(100)
-    val df = emb.select(
-      DotDecimal.dot_decimal(col("embedding"), col("embedding")).as("fused"),
-      expr("cast(aggregate(zip_with(embedding, embedding, (x, y) -> " +
-        "cast(cast(x as double) * cast(y as double) as decimal(30,12))), " +
-        "cast(0 as decimal(30,12)), (acc, v) -> cast(acc + v as decimal(30,12))) as double)")
-        .as("declarative"))
-    assert(df.filter(col("fused") =!= col("declarative")).isEmpty)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0L
+      for (i <- a.indices)
+        acc += Math.rint(a(i).toDouble * b(i).toDouble * 1e12).toLong
+      acc.toDouble / 1e12
+    }
+    import spark.implicits._
+    val pairs = emb.zip(emb.reverse)
+    val got = pairs.toSeq.toDF("a", "b")
+      .select(DotDecimal.dot_decimal(col("a").cast("array<float>"),
+        col("b").cast("array<float>")).as("fused"))
+      .collect().map(_.getDouble(0))
+    pairs.map { case (a, b) => ref(a, b) }.zip(got).foreach { case (e, g) =>
+      assert(e == g, s"kernel $g != reference $e")
+    }
+    // The boundary product itself (element 60 of the sf0.01 vec
+    // 141x272 pair the oracle caught): p = 0.0297976582285000013...,
+    // p*1e12 lands on the exact representable half 29797658228.5 and
+    // half-even rounds DOWN to ...228 where string-HALF_UP gives ...229.
+    val x = 0.1710841953754425.toFloat; val y = 0.17416955530643463.toFloat
+    val p = x.toDouble * y.toDouble
+    assert(p * 1e12 == 29797658228.5, s"boundary product drifted: ${p * 1e12}")
+    val one = Seq((Array(x), Array(y))).toDF("a", "b")
+      .select(DotDecimal.dot_decimal(col("a"), col("b")).as("d"))
+      .head.getDouble(0)
+    assert(one == 29797658228.0 / 1e12, s"got $one")
   }
 
   test("SumScaled equals the decimal sum it replaces, including edge cases") {

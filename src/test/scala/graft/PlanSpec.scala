@@ -178,6 +178,22 @@ class PlanSpec extends AnyFunSuite {
     graft.Caches.release()
   }
 
+  test("sim_knn_exact: shuffle-hash re-rank joins, nothing corpus-sized broadcasts") {
+    // knnExact's scaladoc promises the decimal re-rank fetches
+    // embeddings through hint-pinned shuffle-hash id joins — at corpus
+    // scale BOTH sides of those joins are data-sized, so a stats drift
+    // that let Catalyst broadcast one would ship the corpus to every
+    // task. (The candidate stage is the same plan the kNN co-group pin
+    // above asserts.)
+    val df = graft.operators.Similarity.knnExact(spark, dir, k = 3)
+    df.collect() // finalize the adaptive plan
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ShuffledHashJoin"), s"re-rank joins must shuffle-hash, got:\n$s")
+    assert(!s.contains("BroadcastExchange"), "knnExact broadcasts a corpus-sized side")
+    assert(!s.contains("SortMergeJoin"), "knnExact sort-merges an id join")
+    graft.Caches.release()
+  }
+
   test("date-partitioned metrics store prunes partitions on date filters") {
     import graft.etl.MetricsQueries
     val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString

@@ -213,6 +213,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.99, f"full-probe kNN recall $mean%.3f < 0.99")
   }
 
+  test("sim_knn_exact agrees cell-exactly with the brute-force slice it overlaps") {
+    // Two independent plans compute decimal-exact cosines: cosineTopk
+    // (broadcast query side, k=10, queries < 8) and knnExact (cell
+    // co-group candidates + shuffle-hash re-rank, k=5, ALL queries).
+    // On the shared (query < 8, rank <= 5) slice they must agree on
+    // every cell — ranks, ids, AND the decimal-derived cosines.
+    val got = Similarity.knnExact(spark, dir).collect()
+    graft.Caches.release()
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(got.groupBy(_.getLong(0)).size.toLong == n, "every vector gets rows")
+    val exactSlice = got.filter(r => r.getLong(0) < 8)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val bruteSlice = brute.filter(r => r.getLong(1) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(exactSlice == bruteSlice,
+      s"knnExact diverges from cosineTopk on the shared slice:\n$exactSlice\nvs\n$bruteSlice")
+  }
+
   test("kNN self-join default knobs: dense contract + measured recall bar") {
     val got = graft.operators.Ivf.knnSelfJoin(spark, dir).collect()
     graft.Caches.release()

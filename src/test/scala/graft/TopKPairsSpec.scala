@@ -55,6 +55,42 @@ class TopKPairsSpec extends AnyFunSuite {
     }
   }
 
+  test("expression children (generic eval path) match bound-attribute children (primitive path)") {
+    // The planner binds plain attribute inputs to BoundReferences (the
+    // zero-boxing fast path); computed children like score+0.0 keep an
+    // expression tree and take the generic eval branch. Both must agree.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 2000).map { i =>
+      (rnd.nextInt(20).toLong, math.floor(rnd.nextDouble() * 30) / 10.0 - 1.5, i.toLong)
+    }.toDF("g", "score", "id").repartition(5)
+    def run(scoreCol: org.apache.spark.sql.Column, idCol: org.apache.spark.sql.Column) =
+      df.groupBy(col("g"))
+        .agg(top_k_pairs(scoreCol, idCol, 4).as("t"))
+        .select(col("g"), col("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getDouble(0), p.getLong(1)))).toMap
+    val fast = run(col("score"), col("id"))
+    val generic = run(col("score") + lit(0.0), col("id") + lit(0L))
+    assert(fast == generic, s"paths diverge: $fast vs $generic")
+  }
+
+  test("buffer serialization round-trips the heap contents") {
+    val buf = new graft.functions.TopKPairsBuf(5)
+    val rnd = new scala.util.Random(3)
+    val agg = graft.functions.TopKPairs(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(1,
+        org.apache.spark.sql.types.LongType, nullable = true), 5)
+    (0 until 200).foreach(i => buf.insert(math.floor(rnd.nextDouble() * 20) / 4.0, i.toLong))
+    val back = agg.deserialize(agg.serialize(buf))
+    def pairs(b: graft.functions.TopKPairsBuf) =
+      (0 until b.size).map(i => (b.scores(i), b.ids(i))).sortBy { case (s, id) => (-s, id) }
+    assert(back.size == buf.size)
+    assert(pairs(back) == pairs(buf), s"${pairs(back)} vs ${pairs(buf)}")
+  }
+
   test("groups smaller than k return all their pairs; null scores are skipped") {
     import spark.implicits._
     val df = Seq((1L, Some(2.0), 5L), (1L, None, 6L), (2L, Some(1.0), 7L))
