@@ -752,21 +752,34 @@ object SparkEntry {
 
     // sim_knn_exact: the family's oracle anchor — exact top-5 for EVERY
     // vector, decimal re-rank crossing the boundary exactly like
-    // sim_cosine_topk (whose SQL this generalizes by dropping the
-    // 8-query filter).
+    // sim_cosine_topk. Strongest-SQL convention (r4): DuckDB gets the
+    // same two-phase shape the operator uses — native list_dot_product
+    // double prefilter to top-(k+margin), decimal re-rank only on the
+    // linear survivor set — instead of n² correlated-UNNEST decimal
+    // dots (measured: 1.87 vs 2.8 s at sf0.01, 9.2 s vs minutes at
+    // sf0.1; result verified identical to the naive form at sf0.01).
     "sim_knn_exact" ->
-      """WITH nrm AS (
-        |  SELECT vec_id, embedding,
+      """WITH d AS (
+        |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, de,
         |    sqrt(CAST((SELECT SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
         |                             AS DECIMAL(30,12)))
-        |               FROM UNNEST(range(1, 65)) AS t(i)) AS DOUBLE)) AS nrm
-        |  FROM embeddings
-        |), scored AS (
+        |               FROM UNNEST(range(1, 65)) AS t(i)) AS DOUBLE)) AS nrm,
+        |    sqrt(list_dot_product(de, de)) AS nf
+        |  FROM d
+        |), fast AS (
         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-        |    CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-        |                          AS DECIMAL(30,12)))
-        |          FROM UNNEST(range(1, 65)) AS t(i)) AS DOUBLE) / (q.nrm * e.nrm) AS cosine
+        |    list_dot_product(q.de, e.de) / (q.nf * e.nf) AS cf
         |  FROM nrm q JOIN nrm e ON e.vec_id != q.vec_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY cf DESC, e.vec_id) <= 21
+        |), scored AS (
+        |  SELECT f.query_id, f.vec_id,
+        |    CAST((SELECT SUM(CAST(q.de[i] * e.de[i] AS DECIMAL(30,12)))
+        |          FROM UNNEST(range(1, 65)) AS t(i)) AS DOUBLE) / (q.nrm * e.nrm) AS cosine
+        |  FROM fast f
+        |  JOIN nrm q ON q.vec_id = f.query_id
+        |  JOIN nrm e ON e.vec_id = f.vec_id
         |), ranked AS (
         |  SELECT query_id, vec_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
