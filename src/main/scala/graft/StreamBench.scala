@@ -43,6 +43,17 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STREAM_STATESTORE=rocksdb swaps the per-key state
+    // store to RocksDB — the production provider once state outgrows
+    // executor heap (the default HDFSBacked store keeps every key's
+    // state as JVM objects). BASELINE.md's streaming section carries
+    // the measured A/B on the state-heavy dedup twin.
+    if (sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // SPARK_GRAFT_STREAM_OPS: comma-separated subset (default: all).
+    val opFilter = sys.env.get("SPARK_GRAFT_STREAM_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     import spark.implicits._
 
     /** rate-source rows → the events schema (deterministic projection,
@@ -68,6 +79,7 @@ object StreamBench {
       "stream_hourly_agg" -> (() => streaming.EventStream.hourlyAgg(events)),
       "stream_dedup" -> (() => streaming.EventStream.dedupEvents(events)),
       "stream_consolidate" -> (() => streaming.EventStream.consolidate(events)))
+      .filter { case (n, _) => opFilter.forall(_.contains(n)) }
 
     val results = ops.map { case (name, mk) =>
       val progress = scala.collection.mutable.ArrayBuffer[Progress]()
