@@ -1105,9 +1105,31 @@ object SparkEntry {
         |   ORDER BY epoch_us(v.ts) DESC, v.event_id DESC LIMIT 1) AS attributed_view
         |FROM events c WHERE c.event_type = 'click'
         |ORDER BY c.event_id""".stripMargin,
-    // range_session_events: rows-only (session reconstruction at
-    // second granularity is operator-internal; membership is checked
-    // against the window-derived truth in TemporalJoinSpec).
+    // range_session_events (oracle since r11): DuckDB derives session
+    // membership DIRECTLY from the gap-flag numbering — the Spark side
+    // reassigns every event through the bucketed range join, so
+    // agreement proves the range join lands each event in exactly its
+    // own session (a stronger independent check than the in-suite
+    // collect-and-scan the query previously relied on alone).
+    "range_session_events" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id,
+        |    -- CAST: DuckDB widens windowed SUM(int) to HUGEINT (same
+        |    -- convention as the q18 oracle above)
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "mm_chunks" ->
       """SELECT doc_id, i - 1 AS chunk_idx,
