@@ -36,6 +36,8 @@ object SparkEntry {
     "q17_median_disc"   -> Relational.q17MedianDisc _,
     "q18_sessionize"    -> Relational.q18Sessionize _,
     "q19_range_window"  -> Relational.q19RangeWindow _,
+    "q20_intersect"     -> Relational.q20Intersect _,
+    "q21_except"        -> Relational.q21Except _,
 
     "etl_ads_extract"   -> EtlQueries.adsExtract _,
     "etl_crm_extract"   -> EtlQueries.crmExtract _,
@@ -62,6 +64,7 @@ object SparkEntry {
     "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
     "dedup_clusters"      -> ((s, d) => Clusters.clusters(s, d)),
     "dedup_clusters_sketch" -> ((s, d) => Clusters.clustersSketch(s, d)),
+    "dedup_semantic"      -> ((s, d) => Clusters.clustersEmbed(s, d)),
     "dedup_prune"         -> ((s, d) => Clusters.prune(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
@@ -89,6 +92,12 @@ object SparkEntry {
     // ANY complete candidate scheme); 3-gram keeps candidates linear. The
     // spec brute-forces 3-gram and 2-gram variants at sf0.001.
     "corpus_contamination"     -> ((s, d) => Curation.contamination(s, d, minContain = 0.05)),
+    // Same leakage sweep served through the Bloom-filter vocabulary
+    // pushdown (SURVEY §5 bounded-size semi-join): results identical by
+    // construction — same oracle — the registration keeps the 100 TB
+    // pushdown path oracle-gated and benchmarked every round.
+    "corpus_contamination_bloom" ->
+      ((s, d) => Curation.contamination(s, d, minContain = 0.05, pushdown = "bloom")),
 
     "mm_meta"     -> Multimodal.meta _,
     "mm_chunks"   -> ((s, d) => Multimodal.chunks(s, d)),
@@ -175,6 +184,9 @@ object SparkEntry {
     // minhash banding + verify + CC: every join hint-pinned, same
     // family as dedup_minhash_lsh + dedup_clusters above
     "dedup_clusters_sketch",
+    // embed-cosine pairs (hint-pinned blocked LSH self-join) + CC —
+    // the same composition class as dedup_clusters
+    "dedup_semantic",
     "pipeline_corpus_clean",
     // same class: one hint-pinned cell co-group + a bounded-heap
     // top-k aggregate, candidate volume n·probes·(n/nlist) by
@@ -285,6 +297,44 @@ object SparkEntry {
       |), lab AS (
       |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
       |)""".stripMargin
+
+  /** The corpus_contamination oracle — shared verbatim by
+    * `corpus_contamination_bloom` (the Bloom-filter vocabulary-pushdown
+    * variant is result-identical by construction: filter false
+    * positives only admit train postings into exact joins where they
+    * match nothing).
+    */
+  private val contaminationOracleSql: String = shingleCtes +
+    """, sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+      |          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+      |          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS b
+      |    FROM documents)
+      |), pairs AS (
+      |  SELECT t.doc_id AS test_id, r.doc_id AS train_id, COUNT(*) AS n_common
+      |  FROM sh t
+      |  JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'test'
+      |  JOIN sh r ON r.s = t.s
+      |  JOIN sp sr ON sr.doc_id = r.doc_id AND sr.split = 'train'
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT p.test_id, p.train_id,
+      |    CAST(p.n_common AS DOUBLE) / CAST(sz.n AS DOUBLE) AS containment
+      |  FROM pairs p JOIN sizes sz ON sz.doc_id = p.test_id
+      |)
+      |SELECT doc_id, n_contaminating, max_containment, worst_train_doc FROM (
+      |  SELECT test_id AS doc_id,
+      |    COUNT(*) OVER (PARTITION BY test_id) AS n_contaminating,
+      |    containment AS max_containment, train_id AS worst_train_doc,
+      |    ROW_NUMBER() OVER (PARTITION BY test_id
+      |                       ORDER BY containment DESC, train_id DESC) AS rn
+      |  FROM scored WHERE containment >= 0.05)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
 
   /** SURVEY §3's deterministic events→feeds mapping, as DuckDB CTEs.
     * Shared prefix for every etl_* oracle so Spark and SQL derive the
@@ -545,6 +595,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q20_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q21_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_custkey""".stripMargin,
 
     "etl_ads_extract" -> (feedCtes +
       """SELECT event_id, date, campaign_id, channel, clicks, impressions,
@@ -963,37 +1027,11 @@ object SparkEntry {
         |WHERE sample_bucket < CASE WHEN lang_pred = 'en' THEN 50 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
 
-    "corpus_contamination" -> (shingleCtes +
-      """, sp AS (
-        |  SELECT doc_id,
-        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
-        |  FROM (
-        |    SELECT doc_id,
-        |      CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
-        |          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
-        |          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS b
-        |    FROM documents)
-        |), pairs AS (
-        |  SELECT t.doc_id AS test_id, r.doc_id AS train_id, COUNT(*) AS n_common
-        |  FROM sh t
-        |  JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'test'
-        |  JOIN sh r ON r.s = t.s
-        |  JOIN sp sr ON sr.doc_id = r.doc_id AND sr.split = 'train'
-        |  GROUP BY 1, 2
-        |), scored AS (
-        |  SELECT p.test_id, p.train_id,
-        |    CAST(p.n_common AS DOUBLE) / CAST(sz.n AS DOUBLE) AS containment
-        |  FROM pairs p JOIN sizes sz ON sz.doc_id = p.test_id
-        |)
-        |SELECT doc_id, n_contaminating, max_containment, worst_train_doc FROM (
-        |  SELECT test_id AS doc_id,
-        |    COUNT(*) OVER (PARTITION BY test_id) AS n_contaminating,
-        |    containment AS max_containment, train_id AS worst_train_doc,
-        |    ROW_NUMBER() OVER (PARTITION BY test_id
-        |                       ORDER BY containment DESC, train_id DESC) AS rn
-        |  FROM scored WHERE containment >= 0.05)
-        |WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin),
+    "corpus_contamination" -> contaminationOracleSql,
+
+    // identical result contract — FPs in the Bloom pushdown only admit
+    // probe rows into exact joins where they match nothing
+    "corpus_contamination_bloom" -> contaminationOracleSql,
 
     // DuckDB widens windowed SUM(BIGINT) to HUGEINT (→ pandas float64) while Spark's
     // DIV emits int64 — same hazard as the q18 oracle; CAST back to BIGINT before

@@ -218,6 +218,31 @@ object Clusters {
     clustersFrom(spark,
       Dedup.minhashVerifiedPairs(spark, dir, tau).select(col("doc_a"), col("doc_b")))
 
+  /** `dedup_semantic`: SEMANTIC duplicate-cluster resolution (r12) —
+    * the SemDeDup-class recipe (Abbas et al., 2023: embedding-space
+    * groups, keep one representative per group) as a registered,
+    * end-to-end query: connected components over the
+    * [[Dedup.embedCosine]] cosine ≥ tau pair graph, exactly the
+    * clustersFrom("ANY pair frame") contract exercised on the
+    * embedding family instead of the shingle family. Output mirrors
+    * `dedup_clusters`: (doc_id, cluster_id = component min,
+    * cluster_size, is_keeper).
+    *
+    * Scale shape is inherited from both stages and stays bounded: the
+    * pair generator's candidates are ≤ tables·n·blockSize/2 by
+    * construction with the emitted edge set ≤ n·maxPairsPerDoc (the
+    * one-sided cap), and CC is O(log n) rounds of bounded edge
+    * shuffles. tau defaults to the pair operator's registered 0.35 —
+    * the reporting threshold; a production SemDeDup prune would raise
+    * it (the knob is the caller's) and feed `clustersFrom` the same
+    * way. The cap can split a would-be component only by dropping its
+    * lowest-cosine edges — acceptable for semantic grouping, where the
+    * retained top-k edges are exactly the strongest evidence.
+    */
+  def clustersEmbed(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame =
+    clustersFrom(spark,
+      Dedup.embedCosine(spark, dir, tau).select(col("doc_a"), col("doc_b")))
+
   /** [[clusters]] over any pre-computed pair frame — the library entry
     * (feed it minhash/simhash/embed candidates to cluster a 100 TB
     * corpus where exact Jaccard is only run on survivors).

@@ -204,10 +204,11 @@ object Curation {
   def contamination(spark: SparkSession, dir: String,
                     minContain: Double = 0.3, ngram: Int = 3,
                     fanout: Int = 32,
-                    vocabMax: Long = TextAnalysis.BroadcastVocabMax): DataFrame =
+                    vocabMax: Long = TextAnalysis.BroadcastVocabMax,
+                    pushdown: String = "auto"): DataFrame =
     contaminationFrom(Tables.documents(spark, dir),
       Tables.parquetRowCount(spark, dir, "documents"),
-      minContain, ngram, fanout, vocabMax)
+      minContain, ngram, fanout, vocabMax, pushdown)
 
   /** [[contamination]] over any (doc_id, text) frame — the reusable
     * core, so the Zipfian-skew stress spec can drive it with a crafted
@@ -218,7 +219,10 @@ object Curation {
   def contaminationFrom(docs: DataFrame, nDocs: Long,
                         minContain: Double = 0.3, ngram: Int = 3,
                         fanout: Int = 32,
-                        vocabMax: Long = TextAnalysis.BroadcastVocabMax): DataFrame = {
+                        vocabMax: Long = TextAnalysis.BroadcastVocabMax,
+                        pushdown: String = "auto"): DataFrame = {
+    require(Set("auto", "set", "bloom", "none")(pushdown),
+      s"pushdown must be auto|set|bloom|none, got '$pushdown'")
     // Split assignment inline (same content-addressed splitBucket as
     // splitAssign — a pure map of doc_id, so joining the splitAssign
     // OUTPUT would re-scan the corpus to attach a derivable column).
@@ -244,16 +248,47 @@ object Curation {
     // candidate join (measured; a shuffle-side semi-join is a net LOSS
     // here because the filter itself then costs the full posting
     // shuffle it was meant to avoid). Beyond the broadcast budget the
+    // "bloom" pushdown takes over (see below); past even that, the
     // unfiltered stream is used — the plan stays correct at any scale,
     // the pushdown is purely an optimization. df values of surviving
     // shingles are identical either way, so the prefix order — and the
     // output — are byte-identical.
-    val trainPost =
-      if (nDocs <= 2000000L)
+    //
+    // pushdown = "bloom" (registered as `corpus_contamination_bloom`):
+    // the exact key set is replaced by a [[graft.functions.BloomFilters]]
+    // filter at 12 bits/key — 1.5 B/key vs ~30 B/key for an exact
+    // hash-set, i.e. ~20× more test-vocabulary keys per broadcast byte,
+    // which is the regime between "vocab fits as a set" and "no
+    // pushdown at all". Build is ONE aggregation job over the test
+    // postings (partials OR map-side; the driver holds the single
+    // bounded filter — the IvfCells centroid-state class, not a
+    // data-sized collect); the probe is a codegen'd map-side bit test,
+    // no join. False positives only admit extra train postings into
+    // the EXACT joins downstream, where they match nothing — output
+    // identical to "set"/"none" by construction (CurationSpec pins all
+    // branches row-identical; sized from Σ|sh(test)|, an upper bound
+    // on the distinct count, so the FP rate only improves on dup-heavy
+    // test splits).
+    val trainPost = pushdown match {
+      case "none" => trainPost0
+      case "bloom" =>
+        val nKeys = Option(test.agg(sum(size(col("sh")))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val filter = graft.functions.BloomFilters.build(
+          test.select(explode(col("sh")).as("s")), col("s"), math.max(nKeys, 1L))
+        trainPost0.filter(
+          graft.functions.BloomFilters.bloom_contains(col("s"), filter))
+      case "set" =>
         trainPost0.join(
           broadcast(test.select(explode(col("sh")).as("s")).distinct()),
           Seq("s"), "left_semi")
-      else trainPost0
+      case "auto" =>
+        if (nDocs <= 2000000L)
+          trainPost0.join(
+            broadcast(test.select(explode(col("sh")).as("s")).distinct()),
+            Seq("s"), "left_semi")
+        else trainPost0
+    }
     // TWO physical plans, selected by how much the prefix filter can
     // actually prune. The prefix keeps |t| − ⌈c·|t|⌉ + 1 ≈ (1−c)·|t|
     // of each test doc's postings, so at low thresholds (c < 0.2 —

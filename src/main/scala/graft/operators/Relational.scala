@@ -343,6 +343,40 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q20_intersect — INTERSECT set semantics: customers who ordered in
+    * BOTH 1994 and 1995. Catalyst plans `intersect` as distinct +
+    * left-semi join, so each branch shuffles only its DISTINCT key set
+    * (map-side partial dedup first) — never the row streams; at 100 TB
+    * the shuffle carries O(distinct customers), not O(orders). The date
+    * filters sit on the scan (row-group pushdown), and both branches
+    * read the same two columns of one table.
+    */
+  def q20Intersect(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(from: String, until: String): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_custkey"))
+    custsIn("1996-01-01", "1997-01-01")
+      .intersect(custsIn("1997-01-01", "1998-01-01"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q21_except — EXCEPT set semantics: customers who placed an order
+    * but are not in the BUILDING segment. Same scale shape as
+    * [[q20Intersect]] with the anti join in place of the semi: distinct
+    * key sets only, the segment filter pushed to the (small) customer
+    * scan.
+    */
+  def q21Except(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"))
+      .except(
+        Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")))
+      .orderBy(col("o_custkey"))
+
   /** q19: sliding event-time window via a RANGE frame — each event's
     * trailing-1-hour activity (count + decimal-exact value sum) per
     * user. RANGE frames bound by the *ordering value*, not row

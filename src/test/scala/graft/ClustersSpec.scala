@@ -95,6 +95,26 @@ class ClustersSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == got.length)
   }
 
+  test("dedup_semantic agrees with union-find over the embed-cosine pair graph") {
+    // the registered semantic-clusters query: CC over the embedding
+    // near-dup pairs must equal independent union-find on exactly the
+    // pair set the operator emits, with the same keeper/size contract
+    val pairs = Dedup.embedCosine(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.Caches.release()
+    assert(pairs.nonEmpty, "testdata should contain embed-cosine pairs")
+    val expected = unionFindLabels(pairs)
+    val got = Clusters.clustersEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    graft.Caches.release()
+    assert(got.map(r => r._1 -> r._2).toMap == expected)
+    val sizes = expected.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    got.foreach { case (doc, cluster, size, keeper) =>
+      assert(size == sizes(cluster))
+      assert(keeper == (doc == cluster))
+    }
+  }
+
   test("dedup_prune = documents minus non-keeper cluster members") {
     val all = graft.sources.Tables.documents(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -149,6 +149,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination pushdown branches (set / bloom / none) are row-identical") {
+    // The vocabulary pushdown is a pure volume optimization: the exact
+    // set semi-join, the Bloom-filter bit test (false positives admit
+    // train postings into exact joins where they match nothing), and no
+    // pushdown at all must return the same rows — at the registered
+    // knobs AND at a selective threshold where the prefix plan (whose
+    // df values see the filtered stream) runs instead of the count plan.
+    for (minC <- Seq(0.05, 0.3)) {
+      val branches = Seq("set", "bloom", "none").map { p =>
+        p -> Curation.contamination(spark, dir, minContain = minC, pushdown = p)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      val (_, ref) = branches.head
+      assert(ref.nonEmpty, s"no contamination rows at c>=$minC")
+      branches.foreach { case (p, rows) =>
+        assert(rows == ref, s"pushdown=$p diverged from set at c>=$minC")
+      }
+    }
+  }
+
   test("corpus stats reconcile with the per-document operators") {
     val stats = Curation.corpusStats(spark, dir).collect()
     val docs = graft.sources.Tables.documents(spark, dir).count()

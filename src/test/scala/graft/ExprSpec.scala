@@ -469,4 +469,35 @@ class ExprSpec extends AnyFunSuite {
       .agg(VecSumF32.vec_sum_f32(col("v").cast("array<float>")).as("s")).collect()
     assert(nulls.head.isNullAt(0), "all-null group should yield NULL")
   }
+
+  test("BloomAgg/BloomContains: no false negatives, bounded FP rate, partition-invariant") {
+    import spark.implicits._
+    val n = 20000
+    val keys = (0 until n).map(i => i.toLong * 0x9e3779b97f4a7c15L) // deterministic spread-out keys
+    val inDf = keys.toDF("k")
+    val filter = BloomFilters.build(inDf, col("k"), n.toLong)
+    // 1. NO false negatives — every inserted key is contained (the
+    //    property the pushdown's correctness argument rests on).
+    val misses = inDf.filter(!BloomFilters.bloom_contains(col("k"), filter)).count()
+    assert(misses == 0L, s"$misses inserted keys reported absent")
+    // 2. FP rate at capacity stays near the design point (~0.4% at
+    //    12 bits/key, k=6); assert under 4x the theoretical bound to
+    //    keep the test host-stable.
+    val absent = (0 until n).map(i => (i.toLong + 7) * 0x94d049bb133111ebL + 13L)
+      .filterNot(keys.toSet)
+    val fps = absent.toDF("k")
+      .filter(BloomFilters.bloom_contains(col("k"), filter)).count()
+    assert(fps.toDouble / absent.size < 0.016,
+      s"FP rate ${fps.toDouble / absent.size} above 4x the design bound")
+    // 3. Build is partitioning-invariant BIT-FOR-BIT: the merge is a
+    //    word-wise OR (associative + commutative), so 1 vs 13
+    //    partitions produce the identical filter.
+    val filter13 = BloomFilters.build(inDf.repartition(13), col("k"), n.toLong)
+    assert(java.util.Arrays.equals(filter, filter13),
+      "filter differs across build-side partitionings")
+    // 4. Null keys are skipped, not inserted.
+    val withNulls = (keys.map(Option(_)) ++ Seq(None, None)).toDF("k")
+    val f2 = BloomFilters.build(withNulls, col("k"), n.toLong)
+    assert(java.util.Arrays.equals(filter, f2), "null keys perturbed the filter")
+  }
 }

@@ -45,6 +45,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == 1000L) // every event lands in exactly one session
   }
 
+  test("q20/q21 set ops match the join-derived formulation") {
+    import org.apache.spark.sql.functions._
+    // INTERSECT ≡ distinct ⨝ left_semi distinct, EXCEPT ≡ distinct ⨝
+    // left_anti — the SQL-semantics identities Catalyst itself compiles
+    // to, re-derived here from the raw frames as an independent check.
+    val ord = graft.sources.Tables.orders(spark, dir)
+    def y(from: String, until: String) = ord
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val expInter = y("1996-01-01", "1997-01-01")
+      .join(y("1997-01-01", "1998-01-01"), Seq("o_custkey"), "left_semi")
+      .collect().map(_.getLong(0)).sorted
+    val gotInter = Relational.q20Intersect(spark, dir).collect().map(_.getLong(0))
+    assert(gotInter.nonEmpty && gotInter.sameElements(expInter))
+
+    val expExcept = ord.select(col("o_custkey")).distinct()
+      .join(graft.sources.Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    val gotExcept = Relational.q21Except(spark, dir).collect().map(_.getLong(0))
+    assert(gotExcept.nonEmpty && gotExcept.sameElements(expExcept))
+  }
+
   test("q15 keeps only above-threshold orders") {
     val rows = Relational.q15Subquery(spark, dir).collect()
     assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
