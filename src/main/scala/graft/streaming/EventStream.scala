@@ -75,6 +75,43 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream event-time INTERVAL join (r12): every click joined
+    * to the views of the same user in its trailing `lookback` window —
+    * the bounded-window streaming form of click→view attribution
+    * (`asof_attribution` is the batch as-of; an unbounded as-of cannot
+    * stream, since no watermark could ever seal "the latest view so
+    * far", so the production stream bounds the lookback and the batch
+    * twin the spec compares against applies the same bound).
+    *
+    * Both sides carry a watermark and the join condition carries the
+    * time range, so Spark derives a state watermark per side and EVICTS
+    * buffered rows once no future match is possible — state is bounded
+    * by rate × (delay + lookback), never by stream length. The join
+    * itself is the standard hash equi-join on user_id with the range as
+    * a post-condition: one shuffle per side, sharded by key across
+    * executors at cluster scale.
+    *
+    * Both inputs may derive from the SAME source stream (the spec
+    * does): Spark plans a self-join over one scan.
+    */
+  def attributionJoin(events: DataFrame, lookback: String = "1 hour",
+                      delay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Streaming twin of the reference's export loop (handlers.go
     * runExport → consolidateMetricsByDate → HMAC sign → POST): daily
     * (date, channel, campaign_id, utm_campaign) export totals are

@@ -62,6 +62,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == ev.count())
   }
 
+  test("stream-stream interval join equals the batch bounded attribution join") {
+    val ev = Tables.events(spark, dir)
+    val (minTs, maxTs) = {
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    // Events arrive out of order across micro-batches, so the watermark
+    // delay covers the feed's whole span — nothing is ever late-dropped
+    // and the finite-feed result must equal the batch join exactly.
+    val spanSec = (maxTs.getTime - minTs.getTime) / 1000 + 10
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_attr").toString
+    ev.repartition(3).write.mode("overwrite").parquet(tmp)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = EventStream.attributionJoin(src, delay = s"$spanSec seconds")
+      .writeStream
+      .format("memory").queryName("attr_stream").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // batch twin: identical bounded-window inner join, derived
+    // independently from the raw frames
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("view_ts"))
+    val want = clicks.join(views,
+        col("user_id") === col("vu") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 hour"))
+      .select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = spark.table("attr_stream").select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"stream-stream join diverged: got ${got.size} pairs, want ${want.size}")
+  }
+
   test("streaming signed export equals per-date batch export; replay leaves the store unchanged") {
     import graft.etl.{Consolidate, EtlQueries, MetricsQueries}
     val ev = Tables.events(spark, dir)
