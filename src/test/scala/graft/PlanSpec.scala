@@ -451,6 +451,39 @@ class PlanSpec extends AnyFunSuite {
       "selective-tau contamination lost its rarity window: the prefix order is gone")
   }
 
+  test("bloom pushdown is a map-side filter: no broadcast join for the vocabulary") {
+    // The set branch prunes the train posting stream through a
+    // broadcast left-semi join; the bloom branch must replace that with
+    // a pure Filter carrying bloom_contains — no BroadcastExchange for
+    // the vocabulary at all (at the registered low tau the count plan
+    // has no other broadcast either), and the filter must sit in the
+    // plan (a silently dropped pushdown would still be correct, just
+    // not the 100 TB plan).
+    def plan(p: String) = planString(
+      graft.operators.Curation.contamination(spark, dir, minContain = 0.05, pushdown = p))
+    val bloom = plan("bloom")
+    assert(bloom.contains("bloom_contains"),
+      "bloom pushdown filter missing from the plan")
+    assert(!finalPlanOnly(bloom).contains("BroadcastExchange"),
+      "bloom branch still broadcasts something — the pushdown didn't replace the semi-join")
+    val set = plan("set")
+    assert(finalPlanOnly(set).contains("BroadcastExchange"),
+      "set branch lost its broadcast semi-join (gate comparison invalid)")
+  }
+
+  test("set-op queries shuffle distinct keys only (aggregate below the join)") {
+    // INTERSECT/EXCEPT compile to distinct + semi/anti join; the
+    // partial aggregate must sit BELOW the join on both sides so the
+    // exchanges carry distinct keys, and nothing row-level crosses.
+    for ((name, df) <- Seq(
+        "q20_intersect" -> Relational.q20Intersect(spark, dir),
+        "q21_except" -> Relational.q21Except(spark, dir))) {
+      val s = planString(df)
+      assert(s.contains("HashAggregate"), s"$name lost its distinct aggregate")
+      assert(!finalPlanOnly(s).contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
   test("windows keyed by low-cardinality columns never run over a raw scan") {
     // A window PARTITION BY a handful-of-distinct-values key over the full
     // table is an unpartitioned window in disguise: every row shuffles into
