@@ -269,24 +269,30 @@ object Curation {
     // branches row-identical; sized from Σ|sh(test)|, an upper bound
     // on the distinct count, so the FP rate only improves on dup-heavy
     // test splits).
+    def setPruned = trainPost0.join(
+      broadcast(test.select(explode(col("sh")).as("s")).distinct()),
+      Seq("s"), "left_semi")
+    def bloomPruned = {
+      val nKeys = Option(test.agg(sum(size(col("sh")))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val filter = graft.functions.BloomFilters.build(
+        test.select(explode(col("sh")).as("s")), col("s"), math.max(nKeys, 1L))
+      trainPost0.filter(
+        graft.functions.BloomFilters.bloom_contains(col("s"), filter))
+    }
     val trainPost = pushdown match {
-      case "none" => trainPost0
-      case "bloom" =>
-        val nKeys = Option(test.agg(sum(size(col("sh")))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val filter = graft.functions.BloomFilters.build(
-          test.select(explode(col("sh")).as("s")), col("s"), math.max(nKeys, 1L))
-        trainPost0.filter(
-          graft.functions.BloomFilters.bloom_contains(col("s"), filter))
-      case "set" =>
-        trainPost0.join(
-          broadcast(test.select(explode(col("sh")).as("s")).distinct()),
-          Seq("s"), "left_semi")
-      case "auto" =>
-        if (nDocs <= 2000000L)
-          trainPost0.join(
-            broadcast(test.select(explode(col("sh")).as("s")).distinct()),
-            Seq("s"), "left_semi")
+      case "none"  => trainPost0
+      case "bloom" => bloomPruned
+      case "set"   => setPruned
+      case "auto"  =>
+        // Three regimes by corpus size (test vocab scales with nDocs):
+        // exact set while it fits the broadcast budget, bloom for the
+        // next ~20× (1.5 B/key vs ~30 B/key buys exactly that factor at
+        // the same executor-heap spend), unfiltered beyond — each tier
+        // is the cheapest correct plan for its regime, and the output
+        // is identical across all three by the FP argument above.
+        if (nDocs <= 2000000L) setPruned
+        else if (nDocs <= 40000000L) bloomPruned
         else trainPost0
     }
     // TWO physical plans, selected by how much the prefix filter can

@@ -169,6 +169,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination auto pushdown is three-tier: set, bloom, then none by corpus size") {
+    // `auto` must pick the cheapest correct pruning for the regime the
+    // corpus size implies: exact broadcast set within the budget, the
+    // Bloom bit test for the next ~20x, unfiltered beyond. The corpus is
+    // tiny; nDocs is the caller-supplied size signal, so the tiers are
+    // pinned by plan shape at three crafted sizes.
+    val docs = graft.sources.Tables.documents(spark, dir)
+    def plan(nDocs: Long): String = Curation
+      .contaminationFrom(docs, nDocs, minContain = 0.05, pushdown = "auto")
+      .queryExecution.executedPlan.toString
+    val set = plan(1000L)
+    assert(set.contains("BroadcastExchange") && !set.contains("bloom_contains"),
+      "small corpus must take the exact broadcast-set tier")
+    val bloom = plan(10000000L)
+    assert(bloom.contains("bloom_contains") && !bloom.contains("BroadcastExchange"),
+      "mid corpus must take the bloom tier (no vocabulary broadcast)")
+    val none = plan(100000000L)
+    assert(!none.contains("bloom_contains") && !none.contains("BroadcastExchange"),
+      "huge corpus must run unfiltered (no pushdown)")
+  }
+
   test("corpus stats reconcile with the per-document operators") {
     val stats = Curation.corpusStats(spark, dir).collect()
     val docs = graft.sources.Tables.documents(spark, dir).count()
