@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_clusters_sketch" -> ((s, d) => Clusters.clustersSketch(s, d)),
     "dedup_semantic"      -> ((s, d) => Clusters.clustersEmbed(s, d)),
     "dedup_prune"         -> ((s, d) => Clusters.prune(s, d)),
+    "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
@@ -194,7 +195,10 @@ object SparkEntry {
     "sim_knn_join",
     // the degeneration run of the same co-group plus two hint-pinned
     // shuffle-hash id joins in the decimal re-rank
-    "sim_knn_exact")
+    "sim_knn_exact",
+    // batch-sized hash groupBy + one hint-pinned shuffle-hash anti join
+    // on the 16-byte content hash — both shuffles bounded by batch size
+    "dedup_incremental")
 
   /** Union consumed by Bench/Verify's per-query AQE gate. */
   val aqeOffQueries: Set[String] = boundedShuffleQueries ++ pinnedJoinQueries
@@ -710,6 +714,22 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH buck AS (
+        |  SELECT doc_id, text,
+        |    CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT MIN(b.doc_id) AS doc_id, md5(b.text) AS text_hash,
+        |  COUNT(*) AS batch_copies
+        |FROM buck b
+        |WHERE b.bucket >= 80
+        |  AND NOT EXISTS (SELECT 1 FROM buck s
+        |                  WHERE s.bucket < 80 AND s.text = b.text)
+        |GROUP BY md5(b.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> (shingleCtes +
       """, prefix AS (

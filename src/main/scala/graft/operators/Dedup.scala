@@ -85,6 +85,81 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
 
+  /** `dedup_incremental`: arrival-batch exact dedup (r12) — the shape a
+    * 100 TB pipeline actually runs when a new crawl lands: dedup the
+    * BATCH against itself and against the existing STORE, never
+    * re-aggregating the store. Batch/store is the content-addressed
+    * [[Curation.splitBucket]] split on doc_id (buckets ≥ `batchBucket`
+    * are the arriving ~20% "new crawl", the rest the standing corpus).
+    * Survivors: batch docs that are the min-id copy of their content
+    * WITHIN the batch and whose content is unseen in the store — with
+    * the batch's internal copy count, so the caller can audit what the
+    * arrival contributed.
+    *
+    * Scale shape: the only aggregate is batch-sized (groupBy on the
+    * 16-byte md5); the store contributes a narrow hash projection into
+    * a left_anti join — no store-side distinct or aggregate (anti-join
+    * semantics tolerate duplicate right rows), no broadcast
+    * (shuffle_hash-hinted; neither side fits a broadcast at scale).
+    * In production the store's hash column is the standing exact-dedup
+    * audit table ([[exact]]'s output) bucketed by hash, so the anti
+    * join reads a precomputed narrow table and the per-arrival cost is
+    * O(batch) + one hash-keyed shuffle — this operator derives it from
+    * raw text only because the testdata ships no materialized store.
+    */
+  def incremental(spark: SparkSession, dir: String, batchBucket: Int = 80): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        Curation.splitBucket(col("doc_id")).as("bucket"))
+    val batch = docs.filter(col("bucket") >= batchBucket)
+    val store = docs.filter(col("bucket") < batchBucket)
+    batch
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
+      .join(store.select(md5(col("text").cast("binary")).as("text_hash"))
+        .hint("shuffle_hash"), Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"), col("batch_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-duplicate INCREMENTAL matches (library entry; spec-gated —
+    * MinHash banding has no SQL oracle): batch docs whose content is a
+    * J ≥ tau near-dup of some STORE doc, via banding the batch
+    * signatures against the store signatures — the CROSS collision set
+    * only (batch-internal near-dups are [[minhashVerifiedPairs]]'s job
+    * on the batch alone; the two compose into the full arrival dedup).
+    * Returns verified (doc_id = batch doc, store_id, jaccard) matches;
+    * the caller anti-joins survivors out of the batch.
+    *
+    * Per-arrival cost at a steady corpus: O(batch) new signatures plus
+    * the banded collision volume between sides — never O(store) work,
+    * because the store's signature/band-key table is the standing
+    * index (recomputed here only for the same no-materialized-store
+    * reason as [[incremental]]) and only colliding store rows are ever
+    * fetched for verification.
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String, tau: Double = 0.9,
+                         k: Int = 64, bands: Int = 16,
+                         batchBucket: Int = 80): DataFrame = {
+    val r = k / bands
+    val sig = tokenized(spark, dir)
+      .select(col("doc_id"), Curation.splitBucket(col("doc_id")).as("bucket"),
+        MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
+      .transform(graft.Caches.scoped(_))
+    def bandKeys(side: DataFrame) = side.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
+    val cand = bandKeys(sig.filter(col("bucket") >= batchBucket)).as("a")
+      .join(bandKeys(sig.filter(col("bucket") < batchBucket)).as("b")
+          .hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(graft.Caches.scoped(shingledHashed(spark, dir)), cand, tau)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("store_id"),
+        col("jaccard"))
+  }
+
   /** `dedup_ngram_jaccard`: EXACT 3-gram Jaccard ≥ tau — every
     * qualifying pair in the corpus, with prefix-filtered candidate
     * generation (see [[ngramJaccardFrom]]). Because the prefix filter

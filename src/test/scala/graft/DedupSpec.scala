@@ -45,6 +45,63 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent reimplementation of the content-addressed split bucket
+    * (md5-hex chars, same as Curation.splitBucket / the DuckDB oracle).
+    */
+  private def splitBucketOf(id: Long): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (h(0).toInt * 65536 + h(1).toInt * 256 + h(2).toInt) % 100
+  }
+
+  test("incremental dedup equals brute-force batch-vs-store semantics") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val batch = docs.filter(d => splitBucketOf(d._1) >= 80)
+    val store = docs.filter(d => splitBucketOf(d._1) < 80).map(_._2).toSet
+    assert(batch.nonEmpty && store.nonEmpty, "split produced an empty side")
+    val expect = batch.groupBy(_._2).filter { case (text, _) => !store(text) }
+      .map { case (_, copies) => (copies.map(_._1).min, copies.size.toLong) }
+      .toSet
+    val got = Dedup.incremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == expect,
+      s"missed=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("incremental near-dup matches equal brute-force cross batch-store Jaccard >= 0.9") {
+    // Two-dir fallback: the planted near-dup pairs only count here when
+    // the content-addressed split puts their members on OPPOSITE sides
+    // (~32% per pair) — take the first corpus where the brute-force
+    // cross set is non-empty so the test never goes vacuous.
+    val checked = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").iterator
+      .map { d =>
+        val docs = graft.sources.Tables.documents(spark, d)
+          .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+          .filter(_._2.length >= 3)
+        val sh = docs.map { case (id, w) =>
+          id -> w.sliding(3).map(_.mkString(" ")).toSet
+        }.toMap
+        val batchIds = sh.keys.filter(splitBucketOf(_) >= 80).toArray.sorted
+        val storeIds = sh.keys.filter(splitBucketOf(_) < 80).toArray.sorted
+        val brute = (for {
+          b <- batchIds.iterator; s <- storeIds.iterator
+          a = sh(b); c = sh(s); i = (a & c).size
+          if i.toDouble / (a.size + c.size - i) >= 0.9
+        } yield (b, s)).toSet
+        (d, brute)
+      }
+      .collectFirst { case (d, brute) if brute.nonEmpty => (d, brute) }
+    assert(checked.nonEmpty,
+      "no cross-side near-dup pair in either corpus — ground truth vacuous")
+    val (d, brute) = checked.get
+    val got = Dedup.incrementalNearDup(spark, d, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16x4 banding misses a J>=0.9 pair with p ~ 3.8e-8 — exact equality
+    // is the honest assertion at corpus sizes this small.
+    assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
+  }
+
   test("ngram Jaccard equals brute-force all-pairs exactly (prefix filter is complete)") {
     // The operator's contract since the prefix-filter rewrite: EVERY
     // pair with Jaccard >= tau, not a heuristic subset. Verified against
