@@ -484,6 +484,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: batch-sized aggregate, shuffle-hash anti join, no broadcast") {
+    // The arrival-batch contract: the only aggregate keys on the batch
+    // content hash (below the join), the store side enters a HASHED
+    // anti join (neither side may broadcast — at scale neither fits),
+    // and no store-side aggregate exists (left_anti tolerates duplicate
+    // right rows; a distinct would re-aggregate the standing corpus).
+    val df = Dedup.incremental(spark, dir)
+    val exec = finalPlanOnly(df.queryExecution.executedPlan.toString)
+    assert(exec.contains("LeftAnti"), "anti join lost")
+    assert(exec.contains("ShuffledHashJoin"), "anti join must stay shuffle-hash (hint dropped?)")
+    assert(!exec.contains("BroadcastExchange"), "store hash projection must not broadcast")
+    assert(exec.split("HashAggregate").length - 1 == 2,
+      "exactly one partial+final aggregate pair (the batch groupBy) — a second " +
+        "aggregate means the store side is being re-aggregated")
+  }
+
   test("windows keyed by low-cardinality columns never run over a raw scan") {
     // A window PARTITION BY a handful-of-distinct-values key over the full
     // table is an unpartitioned window in disguise: every row shuffles into
