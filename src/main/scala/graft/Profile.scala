@@ -12,6 +12,16 @@ object Profile {
     val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "etl_consolidate")
       .split(",").map(_.trim).filter(_.nonEmpty)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(4)
+    // SPARK_GRAFT_EXPLAIN=1: print each query's formatted physical plan
+    // (no execution beyond what plan building needs) and exit — the
+    // .explain-audit loop the scale rules prescribe, on any sf dir.
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      for (n <- names) {
+        println(s"========== $n ==========")
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
+      }
+      spark.stop(); return
+    }
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // SPARK_GRAFT_DECOMP=consolidate: stage-by-stage cost decomposition
     // of etl_consolidate (verdict r8 item 1) — cumulative plans from the
@@ -39,6 +49,35 @@ object Profile {
         "full_metricsPacked" -> (() =>
           graft.etl.Consolidate.metricsPacked(ev)),
         "full_registered" -> (() => SparkEntry.queries("etl_consolidate")(spark, dir)))
+      for ((label, mk) <- stages) {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_DECOMP=setops: stage decomposition of q21_except —
+    // scan, distinct, anti join, and the terminal sort isolated.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("setops")) {
+      import org.apache.spark.sql.functions._
+      val ord = graft.sources.Tables.orders(spark, dir).select(col("o_custkey"))
+      val cust = graft.sources.Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val stages: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "scan_only" -> (() => ord),
+        "scan+distinct" -> (() => ord.distinct()),
+        "anti_eq" -> (() => ord.distinct()
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")),
+        "anti_nullsafe" -> (() => ord.distinct()
+          .join(cust, col("o_custkey") <=> col("c_custkey"), "left_anti")),
+        "except_nosort" -> (() => ord.except(cust)),
+        "full_registered" -> (() => SparkEntry.queries("q21_except")(spark, dir)))
       for ((label, mk) <- stages) {
         val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

@@ -357,8 +357,21 @@ object Relational {
         .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
           col("o_orderdate") < lit(until).cast("timestamp"))
         .select(col("o_custkey"))
-    custsIn("1996-01-01", "1997-01-01")
-      .intersect(custsIn("1997-01-01", "1998-01-01"))
+    // NOT .intersect(): native set ops build null-safe join keys
+    // (coalesce(k,0), isnull(k)) which kick the broadcast relation off
+    // its long-key fast path — the sf10 decomposition (Profile
+    // SPARK_GRAFT_DECOMP=setops) measured the null-safe anti form at
+    // 6.17 s vs 4.00 s for plain === on the same distinct+join plan.
+    // o_custkey is a TPC-H foreign key, declared non-null, so === is
+    // exact here; a null-keyed corpus needs <=> and pays the generic
+    // key path — that is the engine's own price for null-safe joins,
+    // stated rather than hidden. (Catalyst pushes the semi/anti join
+    // below the distinct either way — PushDownLeftSemiAntiJoin — so the
+    // join probes raw rows and the distinct runs on the survivor set;
+    // the aggregate's exchange still carries distinct keys only.)
+    custsIn("1996-01-01", "1997-01-01").distinct().as("a")
+      .join(custsIn("1997-01-01", "1998-01-01").distinct().as("b"),
+        col("a.o_custkey") === col("b.o_custkey"), "left_semi")
       .orderBy(col("o_custkey"))
   }
 
@@ -369,12 +382,17 @@ object Relational {
     * scan.
     */
   def q21Except(spark: SparkSession, dir: String): DataFrame =
+    // Same long-key-fast-path rationale as [[q20Intersect]]: .except()'s
+    // null-safe keys measured 5.84 s where the plain-=== anti join runs
+    // 4.00 s at sf10 (both get the same distinct+anti plan shape after
+    // PushDownLeftSemiAntiJoin). Keys are non-null TPC-H identifiers.
     Tables.orders(spark, dir)
-      .select(col("o_custkey"))
-      .except(
+      .select(col("o_custkey")).distinct()
+      .join(
         Tables.customer(spark, dir)
           .filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey")))
+          .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
       .orderBy(col("o_custkey"))
 
   /** q19: sliding event-time window via a RANGE frame — each event's

@@ -45,27 +45,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == 1000L) // every event lands in exactly one session
   }
 
-  test("q20/q21 set ops match the join-derived formulation") {
+  test("q20/q21 set ops match Catalyst's native INTERSECT/EXCEPT") {
     import org.apache.spark.sql.functions._
-    // INTERSECT ≡ distinct ⨝ left_semi distinct, EXCEPT ≡ distinct ⨝
-    // left_anti — the SQL-semantics identities Catalyst itself compiles
-    // to, re-derived here from the raw frames as an independent check.
+    // The registered operators hand-plan the distinct-BELOW-the-join
+    // form (only distinct keys ever cross a shuffle — .intersect/.except
+    // anti/semi-join the raw stream and distinct after). Catalyst's own
+    // set-op compilation is the independent semantics check.
     val ord = graft.sources.Tables.orders(spark, dir)
     def y(from: String, until: String) = ord
       .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
         col("o_orderdate") < lit(until).cast("timestamp"))
-      .select(col("o_custkey")).distinct()
+      .select(col("o_custkey"))
     val expInter = y("1996-01-01", "1997-01-01")
-      .join(y("1997-01-01", "1998-01-01"), Seq("o_custkey"), "left_semi")
+      .intersect(y("1997-01-01", "1998-01-01"))
       .collect().map(_.getLong(0)).sorted
     val gotInter = Relational.q20Intersect(spark, dir).collect().map(_.getLong(0))
     assert(gotInter.nonEmpty && gotInter.sameElements(expInter))
 
-    val expExcept = ord.select(col("o_custkey")).distinct()
-      .join(graft.sources.Tables.customer(spark, dir)
-          .filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey")),
-        col("o_custkey") === col("c_custkey"), "left_anti")
+    val expExcept = ord.select(col("o_custkey"))
+      .except(graft.sources.Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")))
       .collect().map(_.getLong(0)).sorted
     val gotExcept = Relational.q21Except(spark, dir).collect().map(_.getLong(0))
     assert(gotExcept.nonEmpty && gotExcept.sameElements(expExcept))

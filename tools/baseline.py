@@ -49,16 +49,26 @@ def main(sf_dir: str, out_dir: str, reps: int = 3) -> int:
             raise SystemExit(f"BASELINE_QUERIES not in oracle_sql.json: {sorted(unknown)}")
         oracles = {k: v for k, v in oracles.items() if k in want}
     timings = {}
+    failed = {}
     for name in sorted(oracles):
         best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 - a DNF (e.g. out-of-disk
+            # spill on the sim_knn_exact all-pairs SQL at sf1) must not
+            # lose the whole column: record it and keep timing the rest.
+            failed[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"[baseline] {name} DNF: {failed[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
-    print(json.dumps({"queries": timings,
-                      "total": round(sum(timings.values()), 4),
-                      "sf": sf_dir, "reps": reps, "threads": threads}))
+    out = {"queries": timings, "total": round(sum(timings.values()), 4),
+           "sf": sf_dir, "reps": reps, "threads": threads}
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
     return 0
 
 
