@@ -91,6 +91,27 @@ object Profile {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DECOMP=pushdown: one-JVM A/B of the vocabulary
+    // pushdown tiers (set / bloom / none) — the bloom tier's honest
+    // comparison is NONE (its regime is where the set no longer fits),
+    // and the set-vs-bloom delta prices the tier boundary. (Distinct
+    // from DECOMP=contamination below, the r11 df-gate A/B.)
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("pushdown")) {
+      import graft.operators.Curation
+      for (p <- Seq("set", "bloom", "none"); _ <- 1 to 1) {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          Curation.contamination(spark, dir, minContain = 0.05, pushdown = p)
+            .write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] contamination pushdown=$p best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DECOMP=keywords: one-JVM A/B grid for text_keywords —
     // (df gate: broadcast vs forced-salted) × (tf intermediate: cached
     // vs recomputed). Feeds the BASELINE.md text_keywords section: the
