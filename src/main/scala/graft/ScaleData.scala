@@ -143,8 +143,20 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
     import graft.sources.Tables
 
+    // Scaled fact tables must not inherit the source's single-file
+    // layout: explode-replication keeps the source partition count, so
+    // a factor-100 orders lands as ONE 140 MB file — Spark gets 2
+    // byte-range input splits where DuckDB parallelizes by row group,
+    // and the ladder charges the engine for the generator's layout
+    // (r12 protocol amendment in BASELINE.md; a real 100 TB table is
+    // thousands of files). Land every scaled table in 2·cpus part
+    // files; the tiny copied dims stay as-is.
+    val smallDims = Set("region", "nation")
     def write(name: String, df: => DataFrame): Unit =
-      if (tables(name)) df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      if (tables(name)) {
+        val out = if (smallDims(name)) df else df.repartition(cpus.toInt * 2)
+        out.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      }
 
     // Dimensions: copy as-is.
     write("region", Tables.region(spark, srcDir))

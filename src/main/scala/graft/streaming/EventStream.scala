@@ -95,7 +95,27 @@ object EventStream {
     * does): Spark plans a self-join over one scan.
     */
   def attributionJoin(events: DataFrame, lookback: String = "1 hour",
-                      delay: String = "2 hours"): DataFrame = {
+                      delay: String = "2 hours"): DataFrame =
+    attributionJoinOfType(events, lookback, delay, "inner")
+
+  /** LEFT OUTER variant of [[attributionJoin]]: every click emits —
+    * matched rows as they arrive (inner semantics), UNMATCHED clicks
+    * with null view columns once the click-side state watermark proves
+    * no qualifying view can still arrive. That null stream is the
+    * "unattributed spend" audit a marketing pipeline needs as much as
+    * the matches, and it is exactly what the batch as-of query cannot
+    * produce incrementally. Same per-side state bounds as the inner
+    * form (rate × (delay + lookback)); the only added cost is emission
+    * LATENCY on the null rows — a click is provably unmatched only
+    * `delay` past its own event time, which is the watermark contract,
+    * not an implementation lag.
+    */
+  def attributionJoinOuter(events: DataFrame, lookback: String = "1 hour",
+                           delay: String = "2 hours"): DataFrame =
+    attributionJoinOfType(events, lookback, delay, "left_outer")
+
+  private def attributionJoinOfType(events: DataFrame, lookback: String,
+                                    delay: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -107,7 +127,8 @@ object EventStream {
     clicks.join(views,
       col("user_id") === col("view_user") &&
         col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"),
+      joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
   }

@@ -322,4 +322,45 @@ class StreamingSpec extends AnyFunSuite {
     val want = Relational.q18Sessionize(spark, dir).collect().map(key).sortBy(t => (t._1, t._2))
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
+
+  test("left-outer interval join: matches emit eagerly, unmatched clicks after the watermark") {
+    // The unattributed-click audit stream: a click with no same-user
+    // view in its lookback must emit ONCE — with null view columns —
+    // and only after the watermark proves no qualifying view can still
+    // arrive. MemoryStream gives deterministic batch order: clicks
+    // arrive BEFORE their (older) views, the watermark delay covers the
+    // disorder, and a far-future sentinel pair advances both side
+    // watermarks so the null row actually seals inside the test.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStream.attributionJoinOuter(events,
+      lookback = "30 minutes", delay = "60 minutes")
+    val q = out.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      // user 1: view 20 min before the click (in window -> match);
+      // user 2: view 40 min before (outside -> unmatched click);
+      // user 3: view only (never emits -- left side is clicks).
+      mem.addData((10L, 1L, ts(40), "click"), (20L, 2L, ts(50), "click"))
+      q.processAllAvailable()
+      mem.addData((11L, 1L, ts(20), "view"), (21L, 2L, ts(10), "view"),
+        (31L, 3L, ts(30), "view"))
+      q.processAllAvailable()
+      // sentinel: same-user click+view pair far past every horizon, then
+      // one more batch so the advanced watermark is APPLIED to state.
+      mem.addData((90L, -1L, ts(100000), "click"), (91L, -1L, ts(100000), "view"))
+      q.processAllAvailable()
+      mem.addData((92L, -1L, ts(100001), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_outer").filter(col("user_id") >= 0)
+      .select(col("click_id"), col("view_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((10L, 11L), (20L, -1L)),
+      s"expected one match and one sealed unmatched click, got $rows")
+  }
 }
