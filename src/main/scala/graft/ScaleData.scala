@@ -150,11 +150,25 @@ object ScaleData {
     // and the ladder charges the engine for the generator's layout
     // (r12 protocol amendment in BASELINE.md; a real 100 TB table is
     // thousands of files). Land every scaled table in 2·cpus part
-    // files; the tiny copied dims stay as-is.
-    val smallDims = Set("region", "nation")
+    // files, RANGE-clustered on the table's natural key — a plain
+    // round-robin repartition was measured to halve q21 (input splits
+    // restored) but regress q20/q3/etl_metrics 20–50%, because random
+    // placement destroys the time/key clustering that row-group
+    // zone-map pruning exploits in BOTH engines; range clustering is
+    // what a production warehouse layout (time-partitioned facts,
+    // key-sorted dims) actually looks like. Tiny copied dims stay
+    // as-is.
+    val clusterKey = Map(
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderdate",
+      "lineitem" -> "l_shipdate", "events" -> "ts",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
     def write(name: String, df: => DataFrame): Unit =
       if (tables(name)) {
-        val out = if (smallDims(name)) df else df.repartition(cpus.toInt * 2)
+        val out = clusterKey.get(name) match {
+          case Some(k) => df.repartitionByRange(cpus.toInt * 2, col(k))
+          case None => df
+        }
         out.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
       }
 
