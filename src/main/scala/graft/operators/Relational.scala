@@ -96,23 +96,36 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_orderkey"))
   }
 
-  /** Cluster-scale plan: pre-aggregate lineitem to one row per order
-    * BELOW the join (the classic Q3 rewrite Catalyst won't derive) —
-    * the orderkey exchange carries one (key, 128-bit accumulator) row
-    * per order instead of every line item — then SHUFFLE_HASH against
-    * filtered orders (the pre-aggregated stream is already
-    * hash-partitioned on the join key; sort-merge sorts buy nothing)
-    * and broadcast customer. The reduced build side cannot broadcast at
-    * this tier by definition of the gate, so every exchanged byte is
-    * load-bearing.
+  /** Cluster-scale plan: Bloom-prune lineitem to the QUALIFYING orders
+    * first, then pre-aggregate one row per order BELOW the join (the
+    * classic Q3 rewrite Catalyst won't derive). The qualifying set —
+    * BUILDING-segment orders in the date window, ~18% of orders — is
+    * too big to broadcast at this tier by definition of the gate, but
+    * its BLOOM FILTER is 1.5 B/key (the same [[graft.functions
+    * .BloomFilters]] tier as corpus_contamination's vocabulary
+    * pushdown): a map-side bit test drops ~80% of the lineitem stream
+    * BEFORE the aggregate, so partial aggregation actually reduces
+    * (aggregating all orders first put ~one distinct key per input row
+    * into each map task's hash — no reduction, the full stream hit the
+    * exchange; the r12 sf100 point measured that form at 15.8 s where
+    * this plan runs ~3 s on 180M lineitems × 45M orders). False
+    * positives only admit lineitem groups the exact shuffle-hash join
+    * drops. The qualifying frame is scope-cached: it feeds the count
+    * (filter sizing), the build, and the final join.
     */
   private[graft] def q3AggBelowJoin(spark: SparkSession, dir: String): DataFrame = {
     val (cust, ord) = q3Filtered(spark, dir)
+    val qual = graft.Caches.scoped(
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate")))
+    val nQual = qual.count()
+    val bloom = graft.functions.BloomFilters.build(
+      qual, col("o_orderkey"), math.max(nQual, 1L))
     val liAgg = Tables.lineitem(spark, dir)
+      .filter(graft.functions.BloomFilters.bloom_contains(col("l_orderkey"), bloom))
       .groupBy(col("l_orderkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-    liAgg.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    liAgg.join(qual.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), dstr(col("o_orderdate")).as("orderdate"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)

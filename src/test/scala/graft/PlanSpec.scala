@@ -98,6 +98,7 @@ class PlanSpec extends AnyFunSuite {
     val df = Relational.q3AggBelowJoin(spark, dir)
     df.collect()
     val all = deepNodes(df.queryExecution.executedPlan)
+    graft.Caches.release() // scoped qual cache — see RelationalSpec's q3 note
     val shj = all.collectFirst { case j: ShuffledHashJoinExec => j }
     assert(shj.isDefined, "orders join lost its shuffle-hash shape")
     val aggBelow = deepNodes(shj.get.left).exists {

@@ -25,6 +25,10 @@ class RelationalSpec extends AnyFunSuite {
   test("q3's two cost-gated plans produce identical rows") {
     val bcast = Relational.q3BroadcastReduced(spark, dir).collect()
     val shuffle = Relational.q3AggBelowJoin(spark, dir).collect()
+    // release the cluster tier's scoped qual cache (the harness calls
+    // release() per query; a leaked cache substitutes into the broadcast
+    // tier's identical ord⋈cust subtree in later tests)
+    graft.Caches.release()
     assert(bcast.nonEmpty)
     assert(bcast.map(_.toString).toSeq == shuffle.map(_.toString).toSeq,
       "the broadcast-reduced and agg-below-join tiers diverged")
