@@ -13,8 +13,13 @@ object Profile {
       .split(",").map(_.trim).filter(_.nonEmpty)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(4)
     // SPARK_GRAFT_EXPLAIN=1: print each query's formatted physical plan
-    // (no execution beyond what plan building needs) and exit — the
-    // .explain-audit loop the scale rules prescribe, on any sf dir.
+    // and exit — the .explain-audit loop the scale rules prescribe, on
+    // any sf dir. Caveat (r12 ADVICE): plan CONSTRUCTION is not free for
+    // the Bloom-pushdown tiers — q3's cluster tier and contamination's
+    // bloom tier run their sizing count + filter-build aggregation jobs
+    // while the DataFrame is being built, so "explain" executes those
+    // jobs (seconds at sf10+). That is the tiers' design, not a leak:
+    // the filter must exist before the probe expression can be planned.
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
       for (n <- names) {
         println(s"========== $n ==========")

@@ -43,13 +43,19 @@ object BloomFilters {
 
   /** Filter size in BITS for an expected key count (an upper bound is
     * fine — oversizing only lowers the FP rate), rounded up to a whole
-    * number of 64-bit words. Capped at 2^34 bits (2 GiB — the JVM array
-    * / broadcast ceiling): beyond ~1.4e9 keys the FP rate degrades
-    * instead of failing, which for a pushdown filter is the correct
-    * failure mode (more probe rows pass; results unchanged).
+    * number of 64-bit words. Capped at 2^33 bits (1 GiB serialized):
+    * beyond ~715M keys the FP rate degrades instead of failing, which
+    * for a pushdown filter is the correct failure mode (more probe rows
+    * pass; results unchanged). The cap must keep the SERIALIZED byte
+    * size under Int.MaxValue — at 2^34 bits the byte length is 2^31,
+    * which both overflows `Int` in serialize and exceeds the JVM's max
+    * array size, so the fail-soft claim would break exactly at the cap
+    * (BloomSpec pins the arithmetic).
     */
+  val MaxBits: Long = 1L << 33
+
   def sizeBitsFor(nKeys: Long, bitsPerKey: Int = BitsPerKey): Long =
-    math.min(1L << 34, math.max(64L, ((nKeys * bitsPerKey + 63) / 64) * 64))
+    math.min(MaxBits, math.max(64L, ((nKeys * bitsPerKey + 63) / 64) * 64))
 
   private def mix(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -127,10 +133,10 @@ case class BloomAgg(child: Expression, numBits: Long, k: Int,
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType if numBits >= 64 && numBits % 64 == 0 &&
-        numBits <= (1L << 34) && k > 0 =>
+        numBits <= BloomFilters.MaxBits && k > 0 =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a long key, 64 <= numBits <= 2^34 divisible by 64, " +
+      s"$prettyName requires a long key, 64 <= numBits <= 2^33 divisible by 64, " +
         s"k > 0; got ${t.simpleString}, numBits=$numBits, k=$k")
   }
 

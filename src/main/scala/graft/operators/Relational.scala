@@ -357,7 +357,7 @@ object Relational {
   }
 
   /** q20_intersect — INTERSECT set semantics: customers who ordered in
-    * BOTH 1994 and 1995. Catalyst plans `intersect` as distinct +
+    * BOTH 1996 and 1997. Catalyst plans `intersect` as distinct +
     * left-semi join, so each branch shuffles only its DISTINCT key set
     * (map-side partial dedup first) — never the row streams; at 100 TB
     * the shuffle carries O(distinct customers), not O(orders). The date

@@ -500,4 +500,36 @@ class ExprSpec extends AnyFunSuite {
     val f2 = BloomFilters.build(withNulls, col("k"), n.toLong)
     assert(java.util.Arrays.equals(filter, f2), "null keys perturbed the filter")
   }
+
+  test("BloomAgg: the size cap keeps serialize under the JVM array limit") {
+    // r12 ADVICE: at the old 2^34-bit cap, buffer.length * 8 overflowed
+    // Int (2^31 → negative) so ByteBuffer.allocate threw exactly at the
+    // cap — the fail-soft FP-degradation claim was broken there. The cap
+    // is now 2^33 bits; pin the arithmetic that makes it safe.
+    assert(BloomFilters.MaxBits == (1L << 33))
+    // Every build size clamps to the cap...
+    assert(BloomFilters.sizeBitsFor(Long.MaxValue / 16) == BloomFilters.MaxBits)
+    assert(BloomFilters.sizeBitsFor(2_000_000_000L) == BloomFilters.MaxBits)
+    // ...and at the cap both the long buffer length and the serialized
+    // byte length stay representable as non-negative Ints.
+    val words = BloomFilters.MaxBits / 64
+    assert(words <= Int.MaxValue, "buffer word count overflows Int")
+    assert(words * 8L <= Int.MaxValue, "serialized byte size overflows Int")
+    // The type check mirrors the bound: cap accepted, one word past it rejected.
+    val key = org.apache.spark.sql.catalyst.expressions.Literal(1L)
+    assert(BloomAgg(key, BloomFilters.MaxBits, 6).checkInputDataTypes().isSuccess)
+    assert(!BloomAgg(key, BloomFilters.MaxBits + 64, 6).checkInputDataTypes().isSuccess)
+    // Exercise serialize→deserialize AT the cap when the heap can hold
+    // the transient 2 GiB (buffer + bytes); the bench host (32g) always
+    // runs this branch.
+    if (Runtime.getRuntime.maxMemory > 6L * (1L << 30)) {
+      val agg = BloomAgg(key, BloomFilters.MaxBits, 6)
+      val buf = agg.createAggregationBuffer()
+      buf(0) = 0x5aL; buf(buf.length - 1) = -1L
+      val bytes = agg.serialize(buf)
+      assert(bytes.length.toLong == words * 8L)
+      val back = agg.deserialize(bytes)
+      assert(back(0) == 0x5aL && back(back.length - 1) == -1L && back.length == buf.length)
+    }
+  }
 }

@@ -67,7 +67,15 @@ def main(sf_dir: str, out_dir: str, reps: int = 3) -> int:
     out = {"queries": timings, "total": round(sum(timings.values()), 4),
            "sf": sf_dir, "reps": reps, "threads": threads}
     if failed:
+        # A DNF makes the bare total non-comparable against an engine
+        # total that includes the query (r12 ADVICE: the silent shrink
+        # reads as a speedup). Null the headline total and emit the
+        # surviving set explicitly so any pairing is forced to drop the
+        # same queries on both sides; the per-query cells stay usable.
         out["failed"] = failed
+        out["total"] = None
+        out["total_surviving"] = round(sum(timings.values()), 4)
+        out["surviving_queries"] = sorted(timings)
     print(json.dumps(out))
     return 0
 
