@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_semantic"      -> ((s, d) => Clusters.clustersEmbed(s, d)),
     "dedup_prune"         -> ((s, d) => Clusters.prune(s, d)),
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
+    "dedup_incremental_serve" -> ((s, d) => Dedup.incrementalServe(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
@@ -198,7 +199,10 @@ object SparkEntry {
     "sim_knn_exact",
     // batch-sized hash groupBy + one hint-pinned shuffle-hash anti join
     // on the 16-byte content hash — both shuffles bounded by batch size
-    "dedup_incremental")
+    "dedup_incremental",
+    // same plan with the anti join's store side read from the
+    // materialized hash audit table — still hint-pinned + narrow
+    "dedup_incremental_serve")
 
   /** Union consumed by Bench/Verify's per-query AQE gate. */
   val aqeOffQueries: Set[String] = boundedShuffleQueries ++ pinnedJoinQueries
@@ -716,6 +720,25 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "dedup_incremental" ->
+      """WITH buck AS (
+        |  SELECT doc_id, text,
+        |    CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT MIN(b.doc_id) AS doc_id, md5(b.text) AS text_hash,
+        |  COUNT(*) AS batch_copies
+        |FROM buck b
+        |WHERE b.bucket >= 80
+        |  AND NOT EXISTS (SELECT 1 FROM buck s
+        |                  WHERE s.bucket < 80 AND s.text = b.text)
+        |GROUP BY md5(b.text)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The serve twin computes the SAME relation — the store side is just
+    // read from the materialized hash audit table instead of re-derived
+    // from text, which no SQL oracle can observe.
+    "dedup_incremental_serve" ->
       """WITH buck AS (
         |  SELECT doc_id, text,
         |    CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536

@@ -122,6 +122,112 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** On-disk standing dedup store for the incremental path, mtime-keyed
+    * like [[Ivf.buildIndex]]'s index (a regenerated source is a new
+    * path; `_SUCCESS` guards half-written trees). Two narrow tables:
+    *   - `hashes/`  — the store's DISTINCT md5 text hashes (16 B/doc —
+    *     [[exact]]'s audit key set restricted to the standing corpus);
+    *   - `bands/`   — the store's MinHash band keys (doc_id, band, bh),
+    *     the near-dup collision index.
+    * This is the state a production pipeline keeps between arrivals, so
+    * [[incrementalServe]] / [[incrementalNearDupServe]] measure the
+    * per-arrival cost the design actually claims — O(batch) hashing +
+    * narrow-key joins — instead of re-deriving the store from text every
+    * run the way [[incremental]] must (testdata ships no materialized
+    * store; the build runs once per source stamp, Bench's cold rep pays
+    * it and every warm rep times the serve alone).
+    */
+  def buildIncrementalStore(spark: SparkSession, dir: String,
+                            batchBucket: Int = 80, k: Int = 64,
+                            bands: Int = 16): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_dedup_store_" +
+      Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(Tables.sourceStamp(dir, "documents")) +
+      "_" + batchBucket + "_" + k + "_" + bands
+    val done = Seq("hashes", "bands").forall(sub =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, sub, "_SUCCESS")))
+    if (!done) {
+      val store = Tables.documents(spark, dir)
+        .filter(Curation.splitBucket(col("doc_id")) < batchBucket)
+      store.select(md5(col("text").cast("binary")).as("text_hash"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$path/hashes")
+      val r = k / bands
+      tokenized(spark, dir)
+        .filter(Curation.splitBucket(col("doc_id")) < batchBucket)
+        .select(col("doc_id"),
+          MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
+        .write.mode("overwrite").parquet(s"$path/bands")
+    }
+    path
+  }
+
+  /** `dedup_incremental_serve`: [[incremental]]'s store-resident twin —
+    * the batch aggregate is unchanged, but the anti join probes the
+    * materialized `hashes/` audit table instead of re-hashing the
+    * store's text (same NOT EXISTS oracle; identical output). Per
+    * arrival this pays O(batch) md5 + one narrow hash-keyed
+    * shuffle_hash anti join whose store side is 16 B/doc — never the
+    * store's text. On a real warehouse the audit table would also be
+    * BUCKETED by hash so its side of the anti join never re-shuffles;
+    * path-read parquet can't declare bucketing to Spark without a
+    * catalog table, so that last exchange is priced here rather than
+    * elided — it carries hashes only.
+    */
+  def incrementalServe(spark: SparkSession, dir: String,
+                       batchBucket: Int = 80): DataFrame = {
+    val path = buildIncrementalStore(spark, dir, batchBucket)
+    Tables.documents(spark, dir)
+      .filter(Curation.splitBucket(col("doc_id")) >= batchBucket)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
+      .join(spark.read.parquet(s"$path/hashes").hint("shuffle_hash"),
+        Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"), col("batch_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[incrementalNearDup]]'s store-resident twin (spec-gated identity):
+    * batch signatures are computed O(batch), the store side of the band
+    * join reads the materialized `bands/` index, and shingle arrays for
+    * verification are re-derived only for docs that actually appear in a
+    * candidate pair (batch docs + COLLIDING store docs — a semi-join
+    * prune, O(collisions) shingling instead of O(store)). Production
+    * would keep the store's shingle table materialized and bucketed by
+    * doc_id too; the semi-join fetch here still scans the store's text
+    * column once, which is the honest price of testdata shipping no
+    * shingle store.
+    */
+  def incrementalNearDupServe(spark: SparkSession, dir: String,
+                              tau: Double = 0.9, k: Int = 64, bands: Int = 16,
+                              batchBucket: Int = 80): DataFrame = {
+    val path = buildIncrementalStore(spark, dir, batchBucket, k, bands)
+    val r = k / bands
+    val batchKeys = tokenized(spark, dir)
+      .filter(Curation.splitBucket(col("doc_id")) >= batchBucket)
+      .select(col("doc_id"),
+        MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
+    val cand = batchKeys.as("a")
+      .join(spark.read.parquet(s"$path/bands").as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .transform(graft.Caches.scoped(_)) // feeds the semi-join prune AND verification
+    val needed = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val neededSh = shingledHashed(spark, dir)
+      .join(needed.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    verifyJaccard(neededSh, cand, tau)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("store_id"),
+        col("jaccard"))
+  }
+
   /** Near-duplicate INCREMENTAL matches (library entry; spec-gated —
     * MinHash banding has no SQL oracle): batch docs whose content is a
     * J ≥ tau near-dup of some STORE doc, via banding the batch

@@ -95,6 +95,23 @@ object Tables {
     countCache.computeIfAbsent(s"$sfDir/$name.parquet",
       _ => parquetRowCountUncached(spark, sfDir, name))
 
+  /** Max last-modified time (ms) across a table's files — the
+    * immutability key for on-disk derived stores ([[graft.operators.Ivf]]'s
+    * index, [[graft.operators.Dedup]]'s standing dedup store): a
+    * regenerated source gets a NEW stamp, so a derived-store path that
+    * embeds the stamp never serves stale state and never needs
+    * invalidation logic.
+    */
+  def sourceStamp(sfDir: String, name: String): Long = {
+    val root = java.nio.file.Paths.get(sfDir, s"$name.parquet")
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max.orElse(0L)
+      finally s.close()
+    }
+  }
+
   private def parquetRowCountUncached(
       spark: SparkSession, sfDir: String, name: String): Long = {
     val conf = spark.sessionState.newHadoopConf()

@@ -102,6 +102,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
   }
 
+  test("incremental serve twins are row-identical to the from-text forms") {
+    // The store-resident serve paths must compute the SAME relation as
+    // the from-text operators — the materialized hashes/bands tables are
+    // a cost change, never a semantics change.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exactA = Dedup.incremental(spark, d).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val exactB = Dedup.incrementalServe(spark, d).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(exactA == exactB,
+        s"$d exact serve: missed=${exactA -- exactB} extra=${exactB -- exactA}")
+      val nearA = Dedup.incrementalNearDup(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      graft.Caches.release()
+      val nearB = Dedup.incrementalNearDupServe(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      graft.Caches.release()
+      assert(nearA == nearB,
+        s"$d near serve: missed=${nearA -- nearB} extra=${nearB -- nearA}")
+    }
+  }
+
   test("ngram Jaccard equals brute-force all-pairs exactly (prefix filter is complete)") {
     // The operator's contract since the prefix-filter rewrite: EVERY
     // pair with Jaccard >= tau, not a heuristic subset. Verified against
