@@ -94,9 +94,22 @@ object Clusters {
     * a backstop against a non-terminating bug, not a tuning knob — the
     * paper bounds convergence at O(log n) rounds; hitting the backstop
     * throws rather than silently returning partial components.
+    *
+    * A size-gated SMALL-GRAPH tier (r13, the [[Dedup.exact]]-style
+    * measured-gate idiom): once the init job has COUNTED the distinct
+    * edge set, a graph at or under `smallGraphMaxEdges` is solved by
+    * driver union-find on the collected edges instead of the star loop —
+    * the loop pays ~6 scheduling rounds per iteration × O(log n)
+    * iterations, which dominated dedup_semantic's sweep cell (3.39 s for
+    * a 262-edge graph at sf0.1). Driver memory is bounded BY the gate
+    * (≤ 2^20 edges ≈ 16 MB of ids — the same bounded-by-construction
+    * class as the IVF centroid matrix); outputs are identical by the
+    * min-label convention (ClustersSpec gates both branches against the
+    * same reference), and above the gate nothing changes.
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-                          maxIter: Int = 40): DataFrame = {
+                          maxIter: Int = 40,
+                          smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"pair graph needs 2 columns, got ${cols.mkString(",")}")
     // Integral ids only: a lossy cast (string keys, decimals) would null
@@ -130,6 +143,35 @@ object Clusters {
     // first `materialized` call below, BEFORE the overrides.
     var (edges, n, ck, cachedEdges) = materialized(spark, init)
     lap(s"init n=$n")
+    if (n <= smallGraphMaxEdges) {
+      // Small-graph tier: the init job already bounded the edge count,
+      // so the collect is ≤ gate rows — union-find with path
+      // compression, roots always the component min (unions attach the
+      // larger root under the smaller, and initial roots are node ids,
+      // so the root is the minimum id seen — exactly the star loop's
+      // label convention).
+      val rows = cachedEdges.collect()
+      cachedEdges.unpersist(blocking = false)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      val nodes = scala.collection.mutable.LongMap.empty[Unit]
+      rows.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        nodes(u) = (); nodes(v) = ()
+        val a = find(u); val b = find(v)
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      lap(s"small-graph union-find nodes=${nodes.size}")
+      import spark.implicits._
+      return nodes.keysIterator.map(x => (x, find(x))).toSeq
+        .toDF("doc_id", "cluster_id")
+    }
     val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
     val shufPrior = spark.conf.get("spark.sql.shuffle.partitions")
     var converged = n == 0L

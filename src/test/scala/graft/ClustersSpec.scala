@@ -38,9 +38,14 @@ class ClustersSpec extends AnyFunSuite {
     }.toMap
   }
 
-  private def ccLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** gate = 0 forces the star loop (the scale path) — the structural
+    * tests must keep exercising it now that the default gate routes
+    * every test-sized graph to the driver union-find tier.
+    */
+  private def ccLabels(edges: Seq[(Long, Long)], gate: Long = 0L): Map[Long, Long] = {
     import spark.implicits._
-    val labels = Clusters.connectedComponents(spark, edges.toDF("u", "v"))
+    val labels = Clusters
+      .connectedComponents(spark, edges.toDF("u", "v"), smallGraphMaxEdges = gate)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.Caches.release()
     labels
@@ -74,6 +79,36 @@ class ClustersSpec extends AnyFunSuite {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
       assert(ccLabels(edges) == unionFindLabels(edges), s"trial $trial n=$n")
     }
+  }
+
+  test("small-graph tier equals the star loop on both crafted and random graphs") {
+    // The r13 size gate must be a cost change only: below the gate the
+    // driver union-find tier, above it (forced via gate=0) the star
+    // loop — identical labels on every shape either path sees.
+    val rnd = new scala.util.Random(31)
+    val cases: Seq[Seq[(Long, Long)]] =
+      Seq((1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq,
+        (2L to 8L).map(5L -> _),
+        Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))) ++
+        (0 until 3).map(_ => Seq.fill(80)(
+          (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong)).filter(e => e._1 != e._2))
+    cases.zipWithIndex.foreach { case (edges, i) =>
+      assert(ccLabels(edges, gate = 1L << 20) == ccLabels(edges, gate = 0L),
+        s"case $i: tiers disagree")
+    }
+  }
+
+  test("small-graph gate is plan-pinned: local leaf below, star output above") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("u", "v")
+    val small = Clusters.connectedComponents(spark, edges)
+    assert(small.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "below the gate the labels must come from the driver union-find " +
+        "(LocalTableScan leaf), not the star loop")
+    val star = Clusters.connectedComponents(spark, edges, smallGraphMaxEdges = 0L)
+    assert(!star.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "gate=0 must force the distributed star loop")
+    graft.Caches.release()
   }
 
   test("dedup_clusters agrees with union-find over its own pair input") {
