@@ -153,7 +153,8 @@ object EventStream {
     * out; the finite spec feed doesn't need it.
     */
   def signedExport(events: DataFrame, storeDir: String, checkpointDir: String,
-                   secret: String = graft.etl.EtlQueries.ExportSecret)
+                   secret: String = graft.etl.EtlQueries.ExportSecret,
+                   maxSwapDates: Int = 256)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val daily = graft.etl.Marketing.unionedFeedFrom(events)
       .groupBy(col("date"), col("channel"), col("campaign_id"), col("utm_campaign"))
@@ -169,7 +170,7 @@ object EventStream {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeSignedBatch(batch, storeDir, secret)
+        mergeSignedBatch(batch, storeDir, secret, maxSwapDates)
       }
       .start()
   }
@@ -204,9 +205,18 @@ object EventStream {
     * is nothing a partial overwrite could destroy that a retry can't
     * re-derive. [[MergeStats]] counts the staging share so the I/O
     * price of the durability trade stays measured, not assumed.
+    *
+    * Batches touching MORE than `maxSwapDates` distinct dates (a
+    * historical backfill replayed through the streaming path — steady
+    * streaming under a watermark never gets near it) commit the same
+    * staged tree through ONE dynamic partition-overwrite job instead of
+    * the per-date driver rename loop, and prune kept rows by semi-join
+    * instead of a thousands-literal isin; StreamingSpec forces the tier
+    * with maxSwapDates=1 and asserts store equality with the swap path.
     */
   private[streaming] def mergeSignedBatch(batch: DataFrame, storeDir: String,
-                                          secret: String): Unit = {
+                                          secret: String,
+                                          maxSwapDates: Int = 256): Unit = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     recoverStagedSwap(spark, storeDir)
@@ -215,9 +225,14 @@ object EventStream {
       graft.etl.Consolidate.withDerived(batch), secret).persist()
     try {
       // Driver-side collect is bounded by DISTINCT DATES IN THIS
-      // MICRO-BATCH (a handful under any watermark), never by row
-      // volume — the standard shape for a dynamic-partition upsert.
-      val dates = signed.select(col("date")).distinct().collect().map(_.getString(0)).toSeq
+      // MICRO-BATCH (a handful under any watermark; capped EXPLICITLY
+      // below — a 100 TB historical backfill replayed through this sink
+      // can put thousands of dates in one batch, r12 verdict item 8),
+      // never by row volume — the standard shape for a dynamic-partition
+      // upsert.
+      val dates = signed.select(col("date")).distinct()
+        .limit(maxSwapDates + 1).collect().map(_.getString(0)).toSeq
+      val manyDates = dates.size > maxSwapDates
       if (dates.nonEmpty) {
         MergeStats.recordApplied()
         // Existence is checked EXPLICITLY: a Try around the read would
@@ -234,10 +249,19 @@ object EventStream {
           else {
             // partition-dir inference types `date` as DATE on read-back;
             // normalize to the feed's string form for the key join/union
-            Some(spark.read.parquet(storeDir)
+            val store = spark.read.parquet(storeDir)
               .withColumn("date", col("date").cast("string"))
-              .filter(col("date").isin(dates: _*))
-              .join(signed.select(keyCols.map(col): _*), keyCols, "left_anti"))
+            val touched =
+              if (manyDates)
+                // backfill regime: the literal date list was capped, so
+                // prune by semi-join against the batch's own distinct
+                // dates instead of a thousands-literal isin — partition
+                // pruning is worthless here anyway (most partitions are
+                // touched by construction of the regime).
+                store.join(broadcast(signed.select(col("date")).distinct()),
+                  Seq("date"), "left_semi")
+              else store.filter(col("date").isin(dates: _*))
+            Some(touched.join(signed.select(keyCols.map(col): _*), keyCols, "left_anti"))
           }
         // Cluster on the partition column so each touched date writes
         // from one task (one file per date), not from every task of the
@@ -267,23 +291,46 @@ object EventStream {
               .partitionBy("date")
               .parquet(staging.toString)
             MergeStats.recordStaged(System.nanoTime() - s0)
-            // Per-partition atomic swap: delete target, rename staged
-            // dir in. A crash inside this loop leaves every touched
-            // partition either old, new, or (staged, target-missing) —
-            // the last is rolled forward by recoverStagedSwap on replay.
             val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
-            for (st <- fs.listStatus(staging)
-                 if st.getPath.getName.startsWith("date=")) {
-              val target = new org.apache.hadoop.fs.Path(storeDir, st.getPath.getName)
-              fs.delete(target, true)
-              crashAfterDeleteOf.foreach { d =>
-                if (st.getPath.getName == s"date=$d") throw new IllegalStateException(
-                  s"injected crash: $target deleted, staged copy not yet renamed")
+            if (manyDates) {
+              // Backfill commit (r12 verdict item 8): ONE dynamic
+              // partition-overwrite job re-reading the staged tree,
+              // instead of O(#dates) sequential driver delete+rename
+              // calls — thousands of touched dates pay one distributed
+              // job. Durability is the same staged-tree invariant: the
+              // staging root is deleted only after the overwrite
+              // committed, so a crash mid-commit leaves every staged
+              // partition on disk and [[recoverStagedSwap]] rolls any
+              // deleted-but-not-rewritten target forward on replay. The
+              // price is a second distributed write of the touched
+              // partitions — paid only in the regime where the per-date
+              // swap loop would be the bottleneck.
+              MergeStats.recordBulk()
+              spark.read.parquet(staging.toString)
+                .withColumn("date", col("date").cast("string"))
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("date")
+                .parquet(storeDir)
+              fs.delete(staging, true)
+            } else {
+              // Per-partition atomic swap: delete target, rename staged
+              // dir in. A crash inside this loop leaves every touched
+              // partition either old, new, or (staged, target-missing) —
+              // the last is rolled forward by recoverStagedSwap on replay.
+              for (st <- fs.listStatus(staging)
+                   if st.getPath.getName.startsWith("date=")) {
+                val target = new org.apache.hadoop.fs.Path(storeDir, st.getPath.getName)
+                fs.delete(target, true)
+                crashAfterDeleteOf.foreach { d =>
+                  if (st.getPath.getName == s"date=$d") throw new IllegalStateException(
+                    s"injected crash: $target deleted, staged copy not yet renamed")
+                }
+                if (!fs.rename(st.getPath, target))
+                  throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
               }
-              if (!fs.rename(st.getPath, target))
-                throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
+              fs.delete(staging, true)
             }
-            fs.delete(staging, true)
         }
       }
     } finally {
@@ -343,14 +390,16 @@ object EventStream {
     // queries ever merge concurrently). appliedMerges counts merges
     // whose batch actually touched dates — a zero-row micro-batch
     // increments merges but neither applies nor stages.
-    private val _merges, _appliedMerges, _stagedMerges = new AtomicLong
+    private val _merges, _appliedMerges, _stagedMerges, _bulkMerges = new AtomicLong
     private val _mergeNanos, _stagingNanos = new AtomicLong
     def merges: Long = _merges.get
     def appliedMerges: Long = _appliedMerges.get
     def stagedMerges: Long = _stagedMerges.get
+    def bulkMerges: Long = _bulkMerges.get
     def mergeNanos: Long = _mergeNanos.get
     def stagingNanos: Long = _stagingNanos.get
     private[streaming] def recordApplied(): Unit = _appliedMerges.incrementAndGet()
+    private[streaming] def recordBulk(): Unit = _bulkMerges.incrementAndGet()
     private[streaming] def recordStaged(nanos: Long): Unit = {
       _stagedMerges.incrementAndGet(); _stagingNanos.addAndGet(nanos)
     }
@@ -358,8 +407,8 @@ object EventStream {
       _merges.incrementAndGet(); _mergeNanos.addAndGet(nanos)
     }
     def reset(): Unit =
-      Seq(_merges, _appliedMerges, _stagedMerges, _mergeNanos, _stagingNanos)
-        .foreach(_.set(0L))
+      Seq(_merges, _appliedMerges, _stagedMerges, _bulkMerges,
+        _mergeNanos, _stagingNanos).foreach(_.set(0L))
   }
 
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")

@@ -178,6 +178,38 @@ class StreamingSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("many-dates batches commit through the bulk overwrite tier, same store") {
+    // r12 verdict item 8: a backfill batch with thousands of dates must
+    // not pay a per-date driver rename loop. Force the tier with
+    // maxSwapDates=1 (every multi-date batch routes bulk) and assert the
+    // final store is row-identical to the per-date swap path's.
+    val ev = Tables.events(spark, dir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bulk_src").toString
+    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    def runTo(storeDir: String, cap: Int): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bulk_ckpt").toString
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EventStream.signedExport(src, storeDir, ckpt, maxSwapDates = cap)
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    def snapshot(storeDir: String) = spark.read.parquet(storeDir)
+      .withColumn("date", col("date").cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    val swapStore = java.nio.file.Files.createTempDirectory("graft_bulk_a").toString + "/store"
+    val bulkStore = java.nio.file.Files.createTempDirectory("graft_bulk_b").toString + "/store"
+    EventStream.MergeStats.reset()
+    runTo(swapStore, cap = 10000)
+    assert(EventStream.MergeStats.bulkMerges == 0L,
+      "high cap must never route a test-sized batch through the bulk tier")
+    EventStream.MergeStats.reset()
+    runTo(bulkStore, cap = 1)
+    assert(EventStream.MergeStats.bulkMerges > 0L,
+      "cap=1 must route multi-date batches through the bulk tier")
+    assert(snapshot(bulkStore) == snapshot(swapStore),
+      "bulk-overwrite tier diverged from the per-date swap store")
+  }
+
   test("staged-commit swap survives a crash between delete and rename (injected)") {
     // r8 documented the delete-to-rewrite window honestly; r9 closes it
     // at the file-layout level. This spec KILLS the merge in that exact
