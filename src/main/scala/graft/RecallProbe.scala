@@ -68,6 +68,32 @@ object RecallProbe {
       recalls.sum / recalls.size
     }
     println(f"[recall] MEAN ivf default knobs: ${ivfRecall(None)}%.3f")
+
+    // IVF-PQ serve vs IVF-flat serve at identical knobs (r13): same
+    // probe set by construction, so any recall delta is PQ ordering
+    // error the k+margin re-rank window failed to recover — the
+    // compression tier's acceptance gate is pq ≥ flat − 0.05.
+    def serveRecall(label: String, rows: Array[org.apache.spark.sql.Row]): Double = {
+      val ann = rows.filter(!_.isNullAt(2))
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val recalls = exact.toSeq.sortBy(_._1).map { case (q, bs) =>
+        val got = ann.getOrElse(q, Set.empty[Long])
+        val missed = (bs -- got).toSeq.sorted
+          .map(id => f"$id@${exactCos((q, id))}%.3f").mkString(" ")
+        val r = got.intersect(bs).size.toDouble / bs.size
+        println(f"[recall] q=$q $label recall@10 $r%.2f" +
+          (if (missed.nonEmpty) s" missed: $missed" else ""))
+        r
+      }
+      recalls.sum / recalls.size
+    }
+    val flatServe = serveRecall("ivf-flat-serve",
+      operators.Ivf.annIvfServe(spark, dir).collect())
+    val pqServe = serveRecall("ivf-pq-serve",
+      operators.IvfPq.annIvfPqServe(spark, dir).collect())
+    println(f"[recall] MEAN serve: ivf-flat $flatServe%.3f ivf-pq $pqServe%.3f " +
+      f"(delta ${flatServe - pqServe}%.3f; gate 0.05)")
     if (sys.env.get("SPARK_GRAFT_RECALL_SWEEP").contains("1"))
       for (np <- Seq(16, 32, 64))
         println(f"[recall] MEAN ivf nprobe=$np: ${ivfRecall(Some(np))}%.3f")

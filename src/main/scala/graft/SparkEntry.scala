@@ -73,6 +73,7 @@ object SparkEntry {
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf"     -> ((s, d) => Ivf.annIvf(s, d)),
     "sim_ann_ivf_serve" -> ((s, d) => Ivf.annIvfServe(s, d)),
+    "sim_ann_ivfpq_serve" -> ((s, d) => IvfPq.annIvfPqServe(s, d)),
     "sim_knn_join"    -> ((s, d) => Ivf.knnSelfJoin(s, d)),
     "sim_knn_exact"   -> ((s, d) => Similarity.knnExact(s, d)),
 
@@ -158,7 +159,7 @@ object SparkEntry {
     "etl_consolidate", "etl_metrics", "etl_export_daily",
     "q1_agg", "corpus_stats",
     "dedup_exact", "corpus_pack_shards",
-    "sim_ann_ivf", "sim_ann_ivf_serve")
+    "sim_ann_ivf", "sim_ann_ivf_serve", "sim_ann_ivfpq_serve")
 
   /** Second AQE-gains-nothing class (r9-final): queries whose every
     * JOIN strategy is already hint-pinned (`shuffle_hash` on the

@@ -1,0 +1,304 @@
+package graft.operators
+
+import graft.functions.{IvfCells, PqCodes, VecSumF32}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the compressed-candidate tier of the ANN family (SURVEY
+  * §2.4; r12 verdict item 5). [[Ivf]] is IVF-FLAT — every probed cell
+  * ships full float32 vectors (256 B each at dim=64), so at 10^11
+  * vectors a full-probe sweep reads tens of TB of candidate I/O. This
+  * tier stores an 8-byte product-quantization code per vector next to
+  * the cells and serves in the standard two-stage FAISS shape:
+  *
+  *   1. SCAN the probed cells reading only (vec_id, nf, code) — the
+  *      parquet column prune skips the embedding bytes entirely, so the
+  *      candidate scan pays ~3-6% of the flat tier's I/O — and score
+  *      every candidate with ADC ([[graft.functions.PqAdc]]): the
+  *      query's dot against each possible centroid is precomputed into
+  *      an m·256 lookup table and a candidate costs m table lookups.
+  *   2. RE-RANK the top k+margin survivors per query decimal-exactly
+  *      from the FULL vectors — a second, id-restricted read of the
+  *      probed cells whose row volume is ≤ |Q|·(k+margin); the final
+  *      top-k therefore carries the same bit-exact cosine the flat
+  *      serve emits, and PQ error can only cost RECALL (a true
+  *      neighbor missing from the margin), never precision of the
+  *      reported scores.
+  *
+  * Training (the [[Ivf.train]] conventions exactly): deterministic hash
+  * sample bounded at 64·256 rows, per-subspace Lloyd iterations as ONE
+  * distributed aggregation each (sample exploded m ways, grouped on
+  * (subspace, code), sums fixed-point via [[VecSumF32]]), no RNG
+  * anywhere — codes, LUTs and results are bit-deterministic. Codebooks
+  * are m·256·dsub floats (64 KB at defaults) — driver/executor state of
+  * the centroid-matrix class, the documented SURVEY §5 exception.
+  *
+  * Quantization is on RAW vectors (FAISS by_residual=false): simpler,
+  * and the recall the margin+re-rank recovers is measured by the spec
+  * and the RecallCorpus harness rather than assumed. Residual encoding
+  * is the known next notch if a corpus ever needs it.
+  */
+object IvfPq {
+
+  /** m=8 subspaces × 256 centroids: 8 B/vector codes at dim=64 (dsub=8)
+    * — the standard FAISS operating point for 64-dim embeddings.
+    */
+  val M = 8
+
+  /** Training-sample target: 64 points per centroid × 256 centroids,
+    * the same per-centroid budget as [[Ivf.TrainPerCell]].
+    */
+  private val TrainTarget = 64L * 256L
+
+  /** Train the PQ codebooks: per-subspace 256-centroid Lloyd k-means on
+    * a deterministic hash sample. Returns flattened codebooks
+    * cb[((j·256 + c)·dsub) + i]. Each iteration is ONE distributed job:
+    * the sample exploded into (subspace, subvector) rows, assigned with
+    * [[graft.functions.PqNearest]], grouped on (subspace, code) with
+    * fixed-point sums — the driver only ever holds the ≤ m·256 stat
+    * rows (the codebook itself).
+    */
+  private[graft] def trainPq(base: DataFrame, n: Long, dim: Int,
+                             m: Int, iters: Int): Array[Float] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val every = math.max(1L, n / TrainTarget)
+    val sample = graft.Caches.scoped(
+      base.filter(pmod(xxhash64(col("vec_id")), lit(every)) === 0)
+        .select(col("vec_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${m - 1}), j -> slice(embedding, j*$dsub + 1, $dsub))"))
+            .as(Seq("j", "sv"))))
+    val cb = new Array[Float](m * 256 * dsub)
+    // Init: the first 256 sample vectors in hash order (offset +2 so the
+    // init hash differs from both the sample filter and Ivf.train's
+    // init), each contributing its subvector to every subspace.
+    val initRows = sample.filter(col("j") === 0)
+      .select(col("vec_id")).orderBy(xxhash64(col("vec_id") + 2), col("vec_id"))
+      .limit(256)
+      .join(sample, Seq("vec_id"))
+      .select(col("vec_id"), col("j"), col("sv"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    initRows.take(256).zipWithIndex.foreach { case ((_, rows), c) =>
+      rows.foreach { r =>
+        val j = r.getInt(1)
+        val v = r.getSeq[Float](2)
+        var i = 0
+        while (i < math.min(dsub, v.length)) {
+          cb((j * 256 + c) * dsub + i) = v(i); i += 1
+        }
+      }
+    }
+    // Fewer sample rows than 256: remaining centroids stay zero — they
+    // win only subvectors nearer to 0 than any trained centroid, which
+    // is a valid (if coarse) code; the re-rank stage is exact anyway.
+    var iter = 0
+    while (iter < iters) {
+      val snapshot = java.util.Arrays.copyOf(cb, cb.length)
+      val stats = sample
+        .select(col("j"), col("sv"),
+          PqCodes.pq_nearest(col("j"), col("sv"), snapshot, dsub).as("code"))
+        .groupBy(col("j"), col("code"))
+        .agg(VecSumF32.vec_sum_f32(col("sv")).as("s"), count(lit(1)).as("cnt"))
+        .collect() // ≤ m·256 rows — the codebook itself
+      stats.foreach { r =>
+        val j = r.getInt(0)
+        val code = r.getInt(1)
+        val s = r.getSeq[Double](2)
+        val cnt = r.getLong(3).toDouble
+        val off = (j * 256 + code) * dsub
+        var i = 0
+        while (i < math.min(dsub, s.length)) {
+          cb(off + i) = (s(i) / cnt).toFloat; i += 1
+        }
+      }
+      // codes no sample subvector chose keep their previous centroid
+      iter += 1
+    }
+    cb
+  }
+
+  /** Same mtime-keyed immutable-store convention as [[Ivf.buildIndex]];
+    * the PQ tree adds `codebooks/` and a `code` column in `cells/`.
+    */
+  private def indexPath(dir: String, nlist: Int): String =
+    System.getProperty("java.io.tmpdir") + "/graft_ivfpq_index_" +
+      Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(Tables.sourceStamp(dir, "embeddings")) +
+      "_" + nlist + "_" + M
+
+  def buildPqIndex(spark: SparkSession, dir: String,
+                   nlistOverride: Option[Int] = None, iters: Int = 4): String = {
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val nlist = nlistOverride.getOrElse(Ivf.autoNlist(n))
+    val path = indexPath(dir, nlist)
+    val done = Seq("cells", "centroids", "codebooks").forall(sub =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, sub, "_SUCCESS")))
+    if (!done) {
+      val base = graft.Caches.scoped(Similarity.fastNormBase(spark, dir))
+      val dim = base.select(size(col("embedding"))).head.getInt(0)
+      val dsub = dim / M
+      val cents = Ivf.train(base, n, nlist, dim, iters)
+      val cb = trainPq(base, n, dim, M, iters)
+      val assigned = base.select(col("vec_id"), col("embedding"), col("nf"),
+        PqCodes.pq_encode(col("embedding"), cb, M, dsub).as("code"),
+        element_at(IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1).as("cell"))
+      val aqeOn = spark.conf.get("spark.sql.adaptive.enabled", "false").toBoolean
+      val clustered =
+        if (aqeOn) assigned.hint("rebalance", col("cell"))
+        else assigned.repartition(col("cell"))
+      clustered.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/cells")
+      import spark.implicits._
+      (0 until nlist).map { c =>
+        (c, (0 until dim).map(i => cents(c * dim + i)))
+      }.toDF("cell", "centroid").repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      (for (j <- 0 until M; c <- 0 until 256) yield
+        (j, c, (0 until dsub).map(i => cb((j * 256 + c) * dsub + i))))
+        .toDF("j", "c", "centroid").repartition(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+    path
+  }
+
+  /** Serving-process state keyed by the immutable index path — the
+    * FAISS-server RAM residency, exactly [[Ivf.annIvfServe]]'s memo.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  private val queryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
+  /** `sim_ann_ivfpq_serve`: the compressed serve. Contract matches
+    * [[Ivf.annIvfServe]] — (query_id, rank, vec_id, cosine), reported
+    * cosines decimal-exact — with the candidate scan reading 8-byte
+    * codes instead of 256-byte vectors. `margin` defaults wider than
+    * the flat serve's (PQ ordering is approximate; the margin is the
+    * recall knob the spec and the RecallCorpus harness measure).
+    */
+  def annIvfPqServe(spark: SparkSession, dir: String, k: Int = 10,
+                    nlistOverride: Option[Int] = None,
+                    nprobeOverride: Option[Int] = None,
+                    margin: Int = 64): DataFrame = {
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val nlist = nlistOverride.getOrElse(Ivf.autoNlist(n))
+    val nprobe = math.min(nlist, nprobeOverride.getOrElse(math.max(8, nlist / 8)))
+    val path = buildPqIndex(spark, dir, Some(nlist))
+
+    val cents = centroidCache.computeIfAbsent(path, _ => {
+      val rows = spark.read.parquet(s"$path/centroids").collect()
+      val d = rows.head.getSeq[Float](1).length
+      val mtx = new Array[Float](nlist * d)
+      rows.foreach { r =>
+        val c = r.getInt(0); val v = r.getSeq[Float](1)
+        var i = 0
+        while (i < d) { mtx(c * d + i) = v(i); i += 1 }
+      }
+      mtx
+    })
+    val dim = cents.length / nlist
+    val dsub = dim / M
+    val cb = codebookCache.computeIfAbsent(path, _ => {
+      val rows = spark.read.parquet(s"$path/codebooks").collect()
+      val arr = new Array[Float](M * 256 * dsub)
+      rows.foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1); val v = r.getSeq[Float](2)
+        var i = 0
+        while (i < dsub) { arr((j * 256 + c) * dsub + i) = v(i); i += 1 }
+      }
+      arr
+    })
+    val qRows = queryCache.computeIfAbsent(path, _ =>
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect())
+
+    // Probe cells + per-query ADC lookup tables, both driver-computed
+    // from bounded state (|Q|·nlist dots; |Q|·m·256 LUT entries).
+    val probePairs = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      val emb = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v.toArray)
+      val cellsArr = IvfCells.topCells(emb, cents, dim, nprobe)
+      (0 until nprobe).map(i => (qid, cellsArr.getInt(i)))
+    }.toSeq
+    val lutRows = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).toArray
+      val lut = new Array[Float](M * 256)
+      var j = 0
+      while (j < M) {
+        var c = 0
+        while (c < 256) {
+          var s = 0.0
+          var i = 0
+          while (i < dsub) {
+            val x = if (j * dsub + i < q.length) q(j * dsub + i).toDouble else 0.0
+            s += x * cb((j * 256 + c) * dsub + i)
+            i += 1
+          }
+          lut(j * 256 + c) = s.toFloat
+          c += 1
+        }
+        j += 1
+      }
+      var ss = 0.0
+      q.foreach(x => ss += x.toDouble * x.toDouble)
+      (qid, lut.toSeq, math.sqrt(ss))
+    }.toSeq
+    import spark.implicits._
+    val lutDf = lutRows.toDF("query_id", "lut", "qnf")
+      .select(col("query_id"), col("lut").cast("array<float>").as("lut"), col("qnf"))
+    val probes = probePairs.toDF("query_id", "cell")
+    val qDf = qRows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+
+    val probedCells = probePairs.map(_._2).distinct
+    // Stage 1: compressed candidate scan — (vec_id, nf, code) only; the
+    // embedding column never leaves the parquet footer (PlanSpec pins
+    // the pruned ReadSchema and the PartitionFilters cell prune).
+    val scan = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("nf"), col("code"), col("cell"))
+    val winners = scan
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (PqCodes.pq_adc(col("lut"), col("code")) / (col("qnf") * col("nf")))
+          .as("cosine_pq"))
+      .withColumn("rank_pq", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_pq").desc, col("vec_id"))))
+      .filter(col("rank_pq") <= k + margin)
+      .select(col("query_id"), col("vec_id"))
+    // Stage 2: exact re-rank — full vectors fetched ONLY for the
+    // ≤ |Q|·(k+margin) survivors via a broadcast id join against the
+    // same partition-pruned cell scan.
+    val exactNorm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => sqrt(graft.functions.DotDecimal.dot_decimal(c, c))
+    val ranked = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(winners), Seq("vec_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (graft.functions.DotDecimal.dot_decimal(col("qe"), col("embedding")) /
+          (exactNorm(col("qe")) * exactNorm(col("embedding")))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+    qDf.select(col("query_id"))
+      .join(ranked, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -279,6 +279,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ann_ivfpq_serve: cell prune AND the candidate scan never reads embeddings") {
+    val df = graft.operators.IvfPq.annIvfPqServe(spark, dir)
+    val s = planString(df)
+    assert(s.contains("PartitionFilters: [") && s.contains("cell"),
+      "IVF-PQ probe set did not become a partition prune on the cell store")
+    // The compression tier's whole point: the candidate scan reads
+    // (vec_id, nf, code) and the 256 B/vector embedding column stays in
+    // the parquet footer — only the id-restricted re-rank fetch reads
+    // it. Two scans of the cells store must appear: one WITHOUT
+    // embedding in its ReadSchema, one with.
+    val scanSchemas = "ReadSchema: [^\n]*".r.findAllIn(s).toSeq
+      .filter(l => l.contains("vec_id"))
+    assert(scanSchemas.exists(l => l.contains("code") && !l.contains("embedding")),
+      s"candidate scan decodes the embedding column it exists to skip:\n$s")
+    assert(scanSchemas.exists(l => l.contains("embedding") && !l.contains("code")),
+      s"re-rank fetch missing its embedding-only scan:\n$s")
+    assert(df.collect().nonEmpty)
+  }
+
   test("text_keywords broadcast branch: dictionary broadcasts, top-k rank is a Partial WindowGroupLimit") {
     // The registered defaults take the broadcast branch (vocab ≪ 1M):
     // the posting stream must meet the dictionary map-side — a lost

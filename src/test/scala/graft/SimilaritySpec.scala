@@ -158,6 +158,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == inOneGo)
   }
 
+  test("IVF-PQ serve: full probe + corpus-wide margin degenerates to brute force") {
+    // With every cell probed and a margin covering the whole corpus,
+    // every vector reaches the exact re-rank, so PQ quality becomes
+    // irrelevant and the output must EQUAL sim_cosine_topk row for row
+    // — pinning the LUT/ADC/fetch/re-rank plumbing independently of
+    // codebook training (the same degeneration identity the flat tiers
+    // pin).
+    val n = graft.sources.Tables.parquetRowCount(spark, dir, "embeddings")
+    val nlist = graft.operators.Ivf.autoNlist(n)
+    val got = graft.operators.IvfPq.annIvfPqServe(spark, dir,
+        nlistOverride = Some(nlist), nprobeOverride = Some(nlist),
+        margin = n.toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exact = brute.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sorted.toSeq == exact.sorted.toSeq,
+      "full-probe full-margin IVF-PQ differs from brute force")
+  }
+
+  test("IVF-PQ serve at defaults: recall tracks the flat serve, bit-deterministic") {
+    val bruteSets = brute.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val sets = rows.filter(!_.isNullAt(2)).groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rs = bruteSets.map { case (q, bs) =>
+        sets.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+      }
+      rs.sum / rs.size
+    }
+    val first = graft.operators.IvfPq.annIvfPqServe(spark, dir).collect()
+    val pqRecall = recallOf(first)
+    val flatRecall = recallOf(graft.operators.Ivf.annIvfServe(spark, dir).collect())
+    info(f"recall@10 at defaults: ivf-pq $pqRecall%.3f vs ivf-flat $flatRecall%.3f")
+    // Same probe set as the flat serve; the only extra loss is PQ
+    // ordering error the 64-row margin fails to recover. n=500 is the
+    // hardest regime (true neighbors barely above the random tail) —
+    // the planted-corpus recall is measured by the RecallCorpus harness
+    // at n=800k (BASELINE.md); this bar catches a broken codebook.
+    assert(pqRecall >= flatRecall - 0.1,
+      s"PQ recall $pqRecall fell more than 0.1 below flat $flatRecall")
+    val second = graft.operators.IvfPq.annIvfPqServe(spark, dir).collect()
+    assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq,
+      "IVF-PQ serve is not deterministic across runs")
+  }
+
   test("ANN re-ranking is exact cosine (ann scores match brute on shared pairs)") {
     val bruteScores = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val shared = Similarity.annLsh(spark, dir).collect()
