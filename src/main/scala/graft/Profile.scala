@@ -15,11 +15,12 @@ object Profile {
     // SPARK_GRAFT_EXPLAIN=1: print each query's formatted physical plan
     // and exit — the .explain-audit loop the scale rules prescribe, on
     // any sf dir. Caveat (r12 ADVICE): plan CONSTRUCTION is not free for
-    // the Bloom-pushdown tiers — q3's cluster tier and contamination's
-    // bloom tier run their sizing count + filter-build aggregation jobs
-    // while the DataFrame is being built, so "explain" executes those
-    // jobs (seconds at sf10+). That is the tiers' design, not a leak:
-    // the filter must exist before the probe expression can be planned.
+    // the Bloom-pushdown tiers — q3's cluster tier runs its (footer-
+    // sized, r13) filter-build aggregation job and contamination's bloom
+    // tier its sizing-sum + build jobs while the DataFrame is being
+    // built, so "explain" executes those jobs (seconds at sf10+). That
+    // is the tiers' design, not a leak: the filter must exist before the
+    // probe expression can be planned.
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
       for (n <- names) {
         println(s"========== $n ==========")
@@ -67,6 +68,72 @@ object Profile {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DECOMP=q3: stage ladder for q3's cluster tier (r12
+    // verdict item 1 — the 4.13x sf100li flag): bare 3-column lineitem
+    // scan floor → +bloom probe → +partial agg → +join → full. The
+    // qualifying-set count + bloom build are timed as their own stage
+    // (they are eager jobs the registered query pays at construction).
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("q3")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{dsum, BloomFilters}
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      def qual = graft.sources.Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(graft.sources.Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      def best(label: String)(body: () => Unit): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); body(); Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] q3 $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      best("li_scan3cols")(() => noop(li))
+      // footer-sized one-job build vs the registered count-then-build
+      // pair: the r13 sf100li A/B measured the one-job form SLOWER
+      // (7.1/7.8 vs 5.9/6.4 fresh-JVM cells) — the 40%-bigger filter's
+      // per-task agg buffers, shuffle bytes, and probe working set cost
+      // more than the count job saves, so the counted sizing stays.
+      best("qual_bloom_build_1job")(() => {
+        val q = graft.Caches.scoped(qual)
+        BloomFilters.build(q, col("o_orderkey"), math.max(
+          graft.sources.Tables.parquetRowCount(spark, dir, "orders") / 4, 1L))
+        ()
+      })
+      best("qual_count+bloom_build_2job")(() => {
+        val q = graft.Caches.scoped(qual)
+        val n = q.count()
+        BloomFilters.build(q, col("o_orderkey"), math.max(n, 1L))
+        ()
+      })
+      // build once OUTSIDE the probe stages so their deltas isolate the
+      // probe/agg/join costs; persisted OUTSIDE the Caches registry so
+      // the per-stage release() never drops it (the DECOMP=ivf pattern)
+      val qualCached = qual.persist()
+      val bloom = BloomFilters.build(qualCached, col("o_orderkey"),
+        math.max(qualCached.count(), 1L))
+      val probed = li.filter(BloomFilters.bloom_contains(col("l_orderkey"), bloom))
+      best("li+bloom_probe")(() => noop(probed))
+      val agged = probed.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      best("+partial_agg")(() => noop(agged))
+      best("+join_sort(limit10)")(() => noop(
+        agged.join(qualCached.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), graft.functions.dstr(col("o_orderdate")).as("orderdate"),
+            col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)))
+      qualCached.unpersist(true)
+      best("full_registered")(() => noop(SparkEntry.queries("q3_join_agg")(spark, dir)))
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DECOMP=setops: stage decomposition of q21_except —
     // scan, distinct, anti join, and the terminal sort isolated.
     if (sys.env.get("SPARK_GRAFT_DECOMP").contains("setops")) {
@@ -81,6 +148,15 @@ object Profile {
           .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")),
         "anti_nullsafe" -> (() => ord.distinct()
           .join(cust, col("o_custkey") <=> col("c_custkey"), "left_anti")),
+        // PushDownLeftSemiAntiJoin rewrites anti_eq to probe the 45M
+        // RAW rows before the distinct; the LogicalRDD barrier keeps
+        // the anti ABOVE the distinct so it probes only the distinct
+        // keys — r13 A/B for the placement question.
+        "anti_above_distinct" -> (() => {
+          val d = ord.distinct()
+          spark.createDataFrame(d.rdd, d.schema)
+            .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+        }),
         "except_nosort" -> (() => ord.except(cust)),
         "full_registered" -> (() => SparkEntry.queries("q21_except")(spark, dir)))
       for ((label, mk) <- stages) {

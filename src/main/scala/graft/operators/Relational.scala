@@ -110,8 +110,17 @@ object Relational {
     * exchange; the r12 sf100 point measured that form at 15.8 s where
     * this plan runs ~3 s on 180M lineitems × 45M orders). False
     * positives only admit lineitem groups the exact shuffle-hash join
-    * drops. The qualifying frame is scope-cached: it feeds the count
-    * (filter sizing), the build, and the final join.
+    * drops. The qualifying frame is scope-cached: it feeds the build
+    * and the final join.
+    *
+    * Filter sizing stays COUNTED (r13, measured): the count()-then-build
+    * pair costs ~1.8-2.1 s of the sf100li cell (two jobs over qualifying
+    * orders before any lineitem work), so r13 A/B'd a one-job build
+    * sized from the free parquet-footer orders count ÷ 4 — and it was
+    * SLOWER (7.1/7.8 vs 5.9/6.4 s fresh-JVM cells, same session): the
+    * 40%-bigger filter's per-task agg buffers, shuffle bytes, and probe
+    * working set cost more than the count job saves. Profile
+    * SPARK_GRAFT_DECOMP=q3 carries both stages.
     */
   private[graft] def q3AggBelowJoin(spark: SparkSession, dir: String): DataFrame = {
     val (cust, ord) = q3Filtered(spark, dir)
