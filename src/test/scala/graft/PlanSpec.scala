@@ -502,7 +502,6 @@ class PlanSpec extends AnyFunSuite {
     // exists, and nothing degenerates to a cartesian product.
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     for ((name, df) <- Seq(
-        "q20_intersect" -> Relational.q20Intersect(spark, dir),
         "q21_except" -> Relational.q21Except(spark, dir))) {
       val joins = deepNodes(df.queryExecution.executedPlan)
         .collect { case j: BaseJoinExec => j }
@@ -517,6 +516,21 @@ class PlanSpec extends AnyFunSuite {
       assert(!finalPlanOnly(s).contains("CartesianProduct"),
         s"$name has a cartesian product")
     }
+    // q20 is the r13 conditional-aggregation rewrite: ONE scan of the
+    // union window, ONE grouped-flags aggregate, NO join at all — a
+    // join reappearing means the fold regressed to the two-branch
+    // self-join shape.
+    val q20 = Relational.q20Intersect(spark, dir)
+    val q20Joins = deepNodes(q20.queryExecution.executedPlan)
+      .collect { case j: BaseJoinExec => j }
+    assert(q20Joins.isEmpty,
+      "q20_intersect regressed to a self-join plan — the conditional-aggregation fold is gone")
+    val q20Plan = planString(q20)
+    assert(q20Plan.contains("HashAggregate"), "q20 lost its grouped-flags aggregate")
+    val q20Scans = deepNodes(q20.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(q20Scans == 1, s"q20 should scan orders exactly once, found $q20Scans scans")
   }
 
   test("incremental dedup: batch-sized aggregate, shuffle-hash anti join, no broadcast") {
