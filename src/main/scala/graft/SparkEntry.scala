@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_prune"         -> ((s, d) => Clusters.prune(s, d)),
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_incremental_serve" -> ((s, d) => Dedup.incrementalServe(s, d)),
+    "dedup_substring"     -> ((s, d) => Dedup.substringSpans(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
@@ -754,6 +755,36 @@ object SparkEntry {
         |                  WHERE s.bucket < 80 AND s.text = b.text)
         |GROUP BY md5(b.text)
         |ORDER BY doc_id""".stripMargin,
+
+    // Window STRINGS are the oracle's group key where the Spark plan
+    // groups their xxhash64 (the shingledHashed argument — identical
+    // cardinalities at any collision-free hash, and this gate checks it).
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 16
+        |), wins AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos,
+        |    array_to_string(w[i:i+15], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 15)) AS t(i)
+        |), dup AS (
+        |  SELECT s FROM wins GROUP BY s HAVING COUNT(*) >= 2
+        |), dw AS (
+        |  SELECT doc_id, pos FROM wins WHERE s IN (SELECT s FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |         THEN 0 ELSE 1 END AS ni
+        |  FROM dw
+        |), isl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
+        |  COUNT(*) AS n_dup_windows
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_ngram_jaccard" -> (shingleCtes +
       """, prefix AS (

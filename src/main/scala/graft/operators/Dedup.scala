@@ -266,6 +266,59 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** `dedup_substring`: repeated-SPAN detection (r13) — the span-level
+    * half of training-data dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): document-level dedup
+    * misses boilerplate, licenses, and quoted passages duplicated
+    * INSIDE otherwise-unique documents, which LLM training cares about
+    * because the model memorizes repeated spans regardless of their
+    * container. A span is flagged when a `w`-word window occurs ≥2
+    * times corpus-wide (cross- OR intra-document — both are repeats a
+    * curation pass deletes); overlapping flagged windows merge into
+    * maximal spans per document: (doc_id, span_start, span_end,
+    * n_dup_windows) in word offsets, the removal list a cleaning pass
+    * consumes.
+    *
+    * Scale shape (§5, the posting-join class): one pass explodes
+    * Σ(len−w+1) ≈ token-count windows as (xxhash64(window), doc, pos) —
+    * 8-byte hashes shuffle, never window text (the [[shingledHashed]]
+    * argument: 2^64 collisions negligible; the DuckDB oracle groups the
+    * window STRINGS, so agreement is checked, not assumed); the repeat
+    * filter is one count aggregate over window hashes (map-side partial
+    * — duplicated windows are exactly where partials reduce); survivors
+    * flow back through a hint-pinned shuffle-hash semi join; the
+    * per-document island merge is one doc-keyed window pass. No
+    * all-pairs anywhere; every stage is bounded by corpus token count.
+    */
+  def substringSpans(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $w), " +
+          s"i -> xxhash64(array_join(slice(w, i + 1, $w), ' ')))")).as(Seq("pos", "h")))
+      .transform(graft.Caches.scoped(_)) // feeds the count AND the join back
+    val dup = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("h"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      // windows at pos p and q overlap iff q − p ≤ w−1; a larger gap
+      // starts a new maximal span
+      .withColumn("ni",
+        when(col("prev").isNull || col("pos") - col("prev") > w - 1, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(w - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_dup_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** `dedup_ngram_jaccard`: EXACT 3-gram Jaccard ≥ tau — every
     * qualifying pair in the corpus, with prefix-filtered candidate
     * generation (see [[ngramJaccardFrom]]). Because the prefix filter

@@ -124,6 +124,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substring spans equal a from-scratch repeated-window reimplementation") {
+    // Independent oracle: plain Scala maps — w-word windows as STRINGS
+    // (no shared hashing with the operator), count >= 2 corpus-wide,
+    // overlapping flagged windows merged into maximal spans.
+    val w = 16
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= w)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ws) <- docs; win <- ws.sliding(w)) {
+      val s = win.mkString(" ")
+      counts(s) = counts.getOrElse(s, 0) + 1
+    }
+    val expect = (for ((id, ws) <- docs) yield {
+      val dupPos = ws.sliding(w).zipWithIndex
+        .collect { case (win, p) if counts(win.mkString(" ")) >= 2 => p }.toSeq
+      // merge: gap > w-1 starts a new span
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start, prev, n = -1
+      def flush(): Unit = if (start >= 0)
+        spans += ((id, start.toLong, (prev + w - 1).toLong, n.toLong))
+      for (p <- dupPos) {
+        if (start < 0 || p - prev > w - 1) { flush(); start = p; n = 0 }
+        prev = p; n += 1
+      }
+      flush()
+      spans
+    }).flatten.toSet
+    assert(expect.nonEmpty, "testdata should contain repeated spans")
+    val got = graft.operators.Dedup.substringSpans(spark, dir, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.Caches.release()
+    assert(got == expect, s"missed=${expect -- got} extra=${got -- expect}")
+  }
+
   test("ngram Jaccard equals brute-force all-pairs exactly (prefix filter is complete)") {
     // The operator's contract since the prefix-filter rewrite: EVERY
     // pair with Jaccard >= tau, not a heuristic subset. Verified against
