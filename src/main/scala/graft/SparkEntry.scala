@@ -160,7 +160,14 @@ object SparkEntry {
     "etl_consolidate", "etl_metrics", "etl_export_daily",
     "q1_agg", "corpus_stats",
     "dedup_exact", "corpus_pack_shards",
-    "sim_ann_ivf", "sim_ann_ivf_serve", "sim_ann_ivfpq_serve")
+    "sim_ann_ivf", "sim_ann_ivf_serve", "sim_ann_ivfpq_serve",
+    // the set-op pair: their only exchanges are the key-domain-bounded
+    // distinct / grouped-flags aggregate (map-side partials on ≤4.5M
+    // custkeys) + the output sort; the joins broadcast. AQE's re-plan
+    // barrier after the big exchange measured ~1.9 s on q21 and ~0.7 s
+    // on q20 at sf100li (Profile A/B, two rounds each way, r13) —
+    // q21 4.65/4.83 on → 2.70/2.80 off; q20 2.26/2.71 → 1.56/1.68.
+    "q20_intersect", "q21_except")
 
   /** Second AQE-gains-nothing class (r9-final): queries whose every
     * JOIN strategy is already hint-pinned (`shuffle_hash` on the
