@@ -71,8 +71,10 @@ object RecallProbe {
 
     // IVF-PQ serve vs IVF-flat serve at identical knobs (r13): same
     // probe set by construction, so any recall delta is PQ ordering
-    // error the k+margin re-rank window failed to recover — the
-    // compression tier's acceptance gate is pq ≥ flat − 0.05.
+    // error the k+margin re-rank window failed to recover. Acceptance:
+    // this probe ENFORCES pq ≥ flat − 0.05 (require below); the
+    // every-round SimilaritySpec gate is deliberately looser (0.1) so
+    // CI tolerates planted-corpus regeneration noise.
     def serveRecall(label: String, rows: Array[org.apache.spark.sql.Row]): Double = {
       val ann = rows.filter(!_.isNullAt(2))
         .groupBy(_.getLong(0))
@@ -94,6 +96,8 @@ object RecallProbe {
       operators.IvfPq.annIvfPqServe(spark, dir).collect())
     println(f"[recall] MEAN serve: ivf-flat $flatServe%.3f ivf-pq $pqServe%.3f " +
       f"(delta ${flatServe - pqServe}%.3f; gate 0.05)")
+    require(pqServe >= flatServe - 0.05,
+      f"PQ serve recall $pqServe%.3f fell more than 0.05 below flat $flatServe%.3f")
     if (sys.env.get("SPARK_GRAFT_RECALL_SWEEP").contains("1"))
       for (np <- Seq(16, 32, 64))
         println(f"[recall] MEAN ivf nprobe=$np: ${ivfRecall(Some(np))}%.3f")

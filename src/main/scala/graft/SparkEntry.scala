@@ -56,8 +56,10 @@ object SparkEntry {
     "etl_debug_crm"     -> EtlQueries.debugCrm _,
     "etl_ingest_ads"    -> EtlQueries.ingestAds _,
     "etl_ingest_crm"    -> EtlQueries.ingestCrm _,
+    "etl_store_build"   -> EtlQueries.storeBuild _,
 
     "dedup_exact"         -> Dedup.exact _,
+    "dedup_exact_normalized" -> Dedup.exactNormalized _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
@@ -69,6 +71,8 @@ object SparkEntry {
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_incremental_serve" -> ((s, d) => Dedup.incrementalServe(s, d)),
     "dedup_substring"     -> ((s, d) => Dedup.substringSpans(s, d)),
+    "dedup_substring_apply" -> ((s, d) => Dedup.substringApply(s, d)),
+    "dedup_clusters_incremental" -> ((s, d) => Clusters.clustersIncremental(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
@@ -102,6 +106,7 @@ object SparkEntry {
     // pushdown path oracle-gated and benchmarked every round.
     "corpus_contamination_bloom" ->
       ((s, d) => Curation.contamination(s, d, minContain = 0.05, pushdown = "bloom")),
+    "corpus_contamination_spans" -> ((s, d) => Curation.contaminationSpans(s, d)),
 
     "mm_meta"     -> Multimodal.meta _,
     "mm_chunks"   -> ((s, d) => Multimodal.chunks(s, d)),
@@ -159,7 +164,7 @@ object SparkEntry {
   val boundedShuffleQueries: Set[String] = Set(
     "etl_consolidate", "etl_metrics", "etl_export_daily",
     "q1_agg", "corpus_stats",
-    "dedup_exact", "corpus_pack_shards",
+    "dedup_exact", "dedup_exact_normalized", "corpus_pack_shards",
     "sim_ann_ivf", "sim_ann_ivf_serve", "sim_ann_ivfpq_serve",
     // the set-op pair: their only exchanges are the key-domain-bounded
     // distinct / grouped-flags aggregate (map-side partials on ≤4.5M
@@ -195,6 +200,9 @@ object SparkEntry {
     // minhash banding + verify + CC: every join hint-pinned, same
     // family as dedup_minhash_lsh + dedup_clusters above
     "dedup_clusters_sketch",
+    // same ngram pair graph + CC class, plus the merge's hint-pinned
+    // label semi/anti joins
+    "dedup_clusters_incremental",
     // embed-cosine pairs (hint-pinned blocked LSH self-join) + CC —
     // the same composition class as dedup_clusters
     "dedup_semantic",
@@ -314,6 +322,19 @@ object SparkEntry {
       |), lab AS (
       |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
       |)""".stripMargin
+
+  /** The exact-closure cluster oracle — shared verbatim by
+    * `dedup_clusters` and `dedup_clusters_incremental` (the merge's
+    * output contract IS "equal to the full recompute").
+    */
+  private val clustersOracleSql: String =
+    recursiveShingleCtes + ngramPairCtes + componentLabelCtes +
+      """
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  doc_id = cluster_id AS is_keeper
+        |FROM lab
+        |ORDER BY doc_id""".stripMargin
 
   /** The corpus_contamination oracle — shared verbatim by
     * `corpus_contamination_bloom` (the Bloom-filter vocabulary-pushdown
@@ -712,6 +733,13 @@ object SparkEntry {
         |  channel, utm_campaign, utm_source, utm_medium
         |FROM crm WHERE date = '2024-01-10' ORDER BY event_id""".stripMargin),
 
+    // The store WRITE's own identity: per-date row counts read back
+    // from the written partitions must equal the consolidated metrics
+    // grouped by date — what landed on disk, not what was submitted.
+    "etl_store_build" -> (feedCtes +
+      """SELECT date, COUNT(*) AS n_rows FROM metrics
+        |GROUP BY date ORDER BY date""".stripMargin),
+
     "etl_matches" -> (feedCtes +
       """SELECT side, n, total_value FROM (
         |  SELECT 'ads' AS side, COUNT(*) AS n,
@@ -727,6 +755,15 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // The identical normalization rule (lower → punct-to-space →
+    // collapse → trim) expressed in DuckDB — the whole pipeline is
+    // hash-gated, not just asserted equivalent.
+    "dedup_exact_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS text_hash,
+        |  COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH buck AS (
@@ -793,6 +830,108 @@ object SparkEntry {
         |FROM isl2 GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
 
+    // The span list APPLIED: DuckDB re-derives the same spans (window
+    // strings, not hashes), cuts them from the word sequence, and
+    // hash-compares the CLEANED TEXT itself — the strongest gate a
+    // materialization operator can get. COALESCE to '' on clean_text:
+    // a fully-covered document (e.g. an exact duplicate ≥ w words)
+    // keeps zero words, which Spark renders as the empty string while
+    // string_agg over zero rows yields NULL.
+    "dedup_substring_apply" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 16
+        |), wins AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos,
+        |    array_to_string(w[i:i+15], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 15)) AS t(i)
+        |), dup AS (
+        |  SELECT s FROM wins GROUP BY s HAVING COUNT(*) >= 2
+        |), dw AS (
+        |  SELECT doc_id, pos FROM wins WHERE s IN (SELECT s FROM dup)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |         THEN 0 ELSE 1 END AS ni
+        |  FROM dw
+        |), isl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 15 AS e
+        |  FROM isl2 GROUP BY doc_id, island
+        |), allw AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), words AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos, w[i] AS word
+        |  FROM allw, UNNEST(generate_series(1, len(w))) AS t(i)
+        |), kept AS (
+        |  SELECT wd.doc_id, wd.pos, wd.word
+        |  FROM words wd
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                    WHERE sp.doc_id = wd.doc_id AND wd.pos BETWEEN sp.s AND sp.e)
+        |), cleaned AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        |    COUNT(*) AS n_tokens_clean
+        |  FROM kept GROUP BY doc_id
+        |), removal AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(c.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(c.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
+        |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans_removed,
+        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_tokens_removed
+        |FROM documents d
+        |LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+        |LEFT JOIN removal r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Span-level test-set decontamination: same window-string grouping
+    // convention as dedup_substring, with the contamination oracle's
+    // content-addressed split CTE deciding sides.
+    "corpus_contamination_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 16
+        |), wins AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos,
+        |    array_to_string(w[i:i+15], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 15)) AS t(i)
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS b
+        |    FROM documents)
+        |), trainw AS (
+        |  SELECT DISTINCT wins.s
+        |  FROM wins JOIN sp ON sp.doc_id = wins.doc_id AND sp.split = 'train'
+        |), dw AS (
+        |  SELECT wins.doc_id, pos FROM wins
+        |  JOIN sp ON sp.doc_id = wins.doc_id AND sp.split = 'test'
+        |  WHERE s IN (SELECT s FROM trainw)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |         THEN 0 ELSE 1 END AS ni
+        |  FROM dw
+        |), isl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
+        |  COUNT(*) AS n_contaminated_windows
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     "dedup_ngram_jaccard" -> (shingleCtes +
       """, prefix AS (
         |  -- AllPairs prefix filter: complete for Jaccard >= 0.8 under
@@ -828,13 +967,13 @@ object SparkEntry {
     // DuckDB re-evaluates a multiply-referenced CTE that sits on a
     // recursive chain, and `lab` carries the whole closure — the
     // two-reference formulation measured 40 s vs 12 s at sf0.1
-    "dedup_clusters" -> (recursiveShingleCtes + ngramPairCtes + componentLabelCtes +
-      """
-        |SELECT doc_id, cluster_id,
-        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-        |  doc_id = cluster_id AS is_keeper
-        |FROM lab
-        |ORDER BY doc_id""".stripMargin),
+    "dedup_clusters" -> clustersOracleSql,
+
+    // The incremental merge must equal a FULL recompute (standing store
+    // labels + batch-touching pairs absorbed = CC over the whole pair
+    // graph), so the same exact-closure oracle gates the merge algebra
+    // end to end — the strongest possible check for a delta operator.
+    "dedup_clusters_incremental" -> clustersOracleSql,
 
     // Same exact-closure oracle as dedup_clusters, at the sketch path's
     // tau=0.9: the Spark side generates candidates by MinHash banding

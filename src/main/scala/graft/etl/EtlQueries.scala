@@ -104,16 +104,33 @@ object EtlQueries {
     serveChannelFromStore(spark, store)
   }
 
-  /** Max mtime (ms) under dir/events.parquet — file or directory of parts. */
-  private def sourceStamp(dir: String): Long = {
-    val root = java.nio.file.Paths.get(dir, "events.parquet")
-    if (!java.nio.file.Files.exists(root)) 0L
-    else {
-      val s = java.nio.file.Files.walk(root)
-      try s.mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max.orElse(0L)
-      finally s.close()
-    }
+  /** `etl_store_build` (r14, the symmetric-identity fix for the
+    * round-trip row): the store WRITE as its own registered query, so
+    * the ladder prices ingest and serve separately instead of timing a
+    * full write against a query-only oracle (the r13 identity-mismatch
+    * flag on etl_channel_query_store — that round-trip row remains
+    * registered as the composition of this build and the serve twin).
+    * Every invocation performs the write (overwrite — idempotent per
+    * the reference's re-ingest contract), then returns the store's
+    * per-date row counts READ BACK from the written partitions, which
+    * equal `SELECT date, COUNT(*) FROM metrics GROUP BY date` — a full
+    * DuckDB hash gate over what actually landed on disk, not a stub
+    * row count.
+    */
+  def storeBuild(spark: SparkSession, dir: String): DataFrame = {
+    val store = System.getProperty("java.io.tmpdir") + "/graft_metrics_store_" +
+      Integer.toHexString(dir.hashCode)
+    graft.sources.MetricsStore.write(MetricsQueries.metrics(spark, dir), store)
+    graft.sources.MetricsStore.read(spark, store)
+      .groupBy(col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("date"))
   }
+
+  /** Listing digest of dir/events.parquet (names + sizes + mtimes — see
+    * [[Tables.sourceStamp]] for why max-mtime alone is not enough).
+    */
+  private def sourceStamp(dir: String): Long = Tables.sourceStamp(dir, "events")
 
   /** The channel query served from a date-partitioned store: the date
     * range lands in the scan's PartitionFilters (PlanSpec-asserted), so

@@ -101,15 +101,20 @@ object Clusters {
     * driver union-find on the collected edges instead of the star loop —
     * the loop pays ~6 scheduling rounds per iteration × O(log n)
     * iterations, which dominated dedup_semantic's sweep cell (3.39 s for
-    * a 262-edge graph at sf0.1). Driver memory is bounded BY the gate
-    * (≤ 2^20 edges ≈ 16 MB of ids — the same bounded-by-construction
-    * class as the IVF centroid matrix); outputs are identical by the
-    * min-label convention (ClustersSpec gates both branches against the
-    * same reference), and above the gate nothing changes.
+    * a 262-edge graph at sf0.1). Driver memory is bounded BY the gate:
+    * at the 2^17 default that is ~131k collected Rows plus the LongMap
+    * state — tens of MB of boxed heap, not the raw 16 B/edge (boxed
+    * Rows/tuples cost ~10× the primitive payload, which is why the gate
+    * sits at 2^17 rather than the 2^20 an id-bytes estimate would
+    * suggest). The labels go back out through an RDD (no LocalRelation:
+    * a collected result embedded in the plan would ship the whole label
+    * set inside every downstream task closure). Outputs are identical
+    * by the min-label convention (ClustersSpec gates both branches
+    * against the same reference), and above the gate nothing changes.
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
                           maxIter: Int = 40,
-                          smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
+                          smallGraphMaxEdges: Long = 1L << 17): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"pair graph needs 2 columns, got ${cols.mkString(",")}")
     // Integral ids only: a lossy cast (string keys, decimals) would null
@@ -168,9 +173,21 @@ object Clusters {
         if (a != b) parent(math.max(a, b)) = math.min(a, b)
       }
       lap(s"small-graph union-find nodes=${nodes.size}")
-      import spark.implicits._
-      return nodes.keysIterator.map(x => (x, find(x))).toSeq
-        .toDF("doc_id", "cluster_id")
+      // Parallelize instead of LocalRelation: toDF on a driver Seq
+      // embeds every label in the logical plan, which downstream
+      // consumers re-serialize into each task closure; an RDD ships the
+      // labels once as partition data.
+      val labelRows = nodes.keysIterator
+        .map(x => org.apache.spark.sql.Row(x, find(x))).toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(labelRows,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            labelRows.size / 4096 + 1))), schema)
     }
     val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
     val shufPrior = spark.conf.get("spark.sql.shuffle.partitions")
@@ -289,19 +306,107 @@ object Clusters {
     * (feed it minhash/simhash/embed candidates to cluster a 100 TB
     * corpus where exact Jaccard is only run on survivors).
     */
-  def clustersFrom(spark: SparkSession, pairs: DataFrame): DataFrame = {
-    val labels = connectedComponents(spark, pairs)
-    // Component size as a count-over-window: ONE shuffle on cluster_id
-    // (vs groupBy + join back = two label shuffles + a join). Key
-    // cardinality = component count, sizes bounded by component sizes —
-    // no skew a duplicate-cluster graph can produce beats the upstream
-    // pair generator's own worst case.
+  def clustersFrom(spark: SparkSession, pairs: DataFrame): DataFrame =
+    decorate(connectedComponents(spark, pairs))
+
+  /** (doc_id, cluster_id) labels → the registered cluster-report shape.
+    * Component size as a count-over-window: ONE shuffle on cluster_id
+    * (vs groupBy + join back = two label shuffles + a join). Key
+    * cardinality = component count, sizes bounded by component sizes —
+    * no skew a duplicate-cluster graph can produce beats the upstream
+    * pair generator's own worst case.
+    */
+  private def decorate(labels: DataFrame): DataFrame = {
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     labels
       .select(col("doc_id"), col("cluster_id"),
         count(lit(1)).over(byCluster).as("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental cluster maintenance (r14): absorb a batch's new pairs
+    * into a STANDING label table without re-running CC over the full
+    * pair graph. A standing corpus's component labels are exactly a
+    * star edge set (member → component min), so the merge is:
+    *
+    *   1. components TOUCHED by the batch = cluster ids of any new
+    *      pair's endpoints (one semi join against the labels);
+    *   2. re-solve CC only over (touched components' star edges ∪ new
+    *      pairs) — correct because components are disjoint: an edge
+    *      can only fuse/extend/relabel components it touches;
+    *   3. untouched labels pass through verbatim (anti join).
+    *
+    * The CC WORK is bounded by the batch-touched subgraph (new pairs +
+    * the affected components' star edges — at the default small-graph
+    * gate that is usually one driver union-find, no star loop); the
+    * standing table contributes only two narrow 16-byte-row semi/anti
+    * joins, the unavoidable cost of emitting the full merged table
+    * (a production pipeline keeping labels as a store would write only
+    * the re-solved delta — `subLabels` here — plus a tombstone for the
+    * touched components).
+    *
+    * Inputs: `labels` any (doc_id, cluster_id)-shaped frame under the
+    * min-label convention (center rows (c, c) included, as
+    * [[clustersFrom]] emits); `newPairs` any two-column pair frame.
+    * Output: merged (doc_id, cluster_id), same convention —
+    * ClustersSpec gates identity with a full [[connectedComponents]]
+    * recompute over arrival sequences.
+    */
+  def mergeIncrementalLabels(spark: SparkSession, labels: DataFrame,
+                             newPairs: DataFrame): DataFrame = {
+    val lc = labels.columns
+    require(lc.length == 2, s"label table needs 2 columns, got ${lc.mkString(",")}")
+    val pc = newPairs.columns
+    val lab = labels.select(col(lc(0)).as("doc_id"), col(lc(1)).as("cluster_id"))
+      .transform(graft.Caches.scoped(_)) // read by both joins below
+    val pairs = newPairs.select(col(pc(0)).as("u"), col(pc(1)).as("v"))
+      .transform(graft.Caches.scoped(_)) // endpoints + subgraph union
+    val touched = pairs.select(col("u").as("doc_id"))
+      .unionByName(pairs.select(col("v").as("doc_id"))).distinct()
+    val touchedClusters = lab
+      .join(touched.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+      .transform(graft.Caches.scoped(_)) // semi + anti below
+    val affectedStar = lab
+      .join(touchedClusters.hint("shuffle_hash"), Seq("cluster_id"), "left_semi")
+    val subLabels = connectedComponents(spark,
+      affectedStar.select(col("doc_id").as("u"), col("cluster_id").as("v"))
+        .unionByName(pairs))
+    // re-select: a using-column join moves cluster_id first, and the
+    // contract (like connectedComponents') is (doc_id, cluster_id)
+    lab.join(touchedClusters.hint("shuffle_hash"), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(subLabels)
+  }
+
+  /** `dedup_clusters_incremental`: the arrival-shaped cluster query —
+    * standing labels from the store side (content-addressed split,
+    * same batchBucket convention as [[Dedup.incremental]]), then
+    * [[mergeIncrementalLabels]] absorbs every pair the arriving batch
+    * touches. The merged output must equal a full recompute, so the
+    * registered query is gated by the SAME recursive-CTE DuckDB oracle
+    * as `dedup_clusters` — the merge algebra is oracle-checked end to
+    * end every round, not just spec-sampled.
+    *
+    * The pair graph is computed once and split by bucket (testdata
+    * ships no materialized label store — the same honesty note as
+    * [[Dedup.incremental]]: a production pipeline reads `labels` from
+    * the standing store and computes only the batch-touching pairs,
+    * which is O(batch postings) under the prefix-filter join).
+    */
+  def clustersIncremental(spark: SparkSession, dir: String, tau: Double = 0.8,
+                          batchBucket: Int = 80): DataFrame = {
+    val pairs = graft.Caches.scoped(
+      Dedup.ngramJaccard(spark, dir, tau).select(col("doc_a"), col("doc_b")))
+    val storePairs = pairs.filter(
+      Curation.splitBucket(col("doc_a")) < batchBucket &&
+        Curation.splitBucket(col("doc_b")) < batchBucket)
+    val batchPairs = pairs.filter(
+      Curation.splitBucket(col("doc_a")) >= batchBucket ||
+        Curation.splitBucket(col("doc_b")) >= batchBucket)
+    decorate(mergeIncrementalLabels(spark,
+      connectedComponents(spark, storePairs), batchPairs))
   }
 
   /** `dedup_prune`: the end-to-end corpus deduplication — documents

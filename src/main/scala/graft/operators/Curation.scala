@@ -210,6 +210,38 @@ object Curation {
       Tables.parquetRowCount(spark, dir, "documents"),
       minContain, ngram, fanout, vocabMax, pushdown)
 
+  /** `corpus_contamination_spans` (r14): SPAN-level test-set
+    * decontamination — the exact-substring use case Lee et al. 2021
+    * runs span dedup for. [[contamination]] scores whole test documents
+    * by n-gram containment; this flags the exact REGIONS of each test
+    * doc that appear verbatim (as `w`-word windows) anywhere in train,
+    * merged into maximal spans — the list an eval-set curation pass
+    * cuts (or a train-side pass removes) before the score is trusted.
+    *
+    * Reuses the window-posting machinery wholesale
+    * ([[Dedup.windowPostings]] — one O(tokens) pass, 8-byte hashes,
+    * never window text): the train side contributes only its DISTINCT
+    * window hashes (narrow, one aggregate), the test side (5% of the
+    * corpus by the content-addressed split) flows through one
+    * hint-pinned shuffle-hash semi join, and the island merge is
+    * [[Dedup.mergeIslands]]'s one doc-keyed window pass. The DuckDB
+    * oracle groups window STRINGS (same surrogate-checking convention
+    * as dedup_substring).
+    */
+  def contaminationSpans(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    val posted = Dedup.windowPostings(spark, dir, w)
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .transform(graft.Caches.scoped(_)) // train + test sides, one pass
+    // No distinct on the train hashes: semi-join semantics tolerate
+    // duplicate build rows, and most windows are unique — a pre-
+    // aggregate would pay a full extra shuffle to remove almost nothing.
+    val trainH = posted.filter(col("bucket") < 90).select(col("h"))
+    Dedup.mergeIslands(
+        posted.filter(col("bucket") >= 95).select(col("doc_id"), col("pos"), col("h"))
+          .join(trainH.hint("shuffle_hash"), Seq("h"), "left_semi"), w)
+      .withColumnRenamed("n_dup_windows", "n_contaminated_windows")
+  }
+
   /** [[contamination]] over any (doc_id, text) frame — the reusable
     * core, so the Zipfian-skew stress spec can drive it with a crafted
     * corpus (a hot shingle in ~30% of documents) and pin both gate

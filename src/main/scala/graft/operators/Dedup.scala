@@ -53,12 +53,20 @@ object Dedup {
 
   /** (doc_id, words) — documents with <3 words carry no 3-shingles and
     * are excluded from near-dup detection (none exist in testdata; the
-    * exclusion is mirrored in the DuckDB oracle).
+    * exclusion is mirrored in the DuckDB oracle). `normalize` threads
+    * [[TextAnalysis.normalizeText]] ahead of the split (r14) — the
+    * recall knob for corpora with case/punctuation variants; DedupSpec
+    * proves the lift on a crafted corpus, and the normalized exact
+    * entry (`dedup_exact_normalized`) keeps the rule oracle-gated.
     */
-  private[operators] def tokenized(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def tokenized(spark: SparkSession, dir: String,
+                                   normalize: Boolean = false): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), split(textCol(normalize), " ").as("w"))
       .filter(size(col("w")) >= 3)
+
+  private def textCol(normalize: Boolean): Column =
+    if (normalize) TextAnalysis.normalizeText(col("text")) else col("text")
 
   /** Shingle sets as sorted distinct 64-bit hashes of each word triple
     * (words contain no spaces, so triple ↔ joined-string is a
@@ -71,8 +79,9 @@ object Dedup {
     * codegen'd pass; the declarative transform/distinct/sort chain it
     * replaces ran interpreted).
     */
-  private[operators] def shingledHashed(spark: SparkSession, dir: String): DataFrame =
-    tokenized(spark, dir)
+  private[operators] def shingledHashed(spark: SparkSession, dir: String,
+                                        normalize: Boolean = false): DataFrame =
+    tokenized(spark, dir, normalize)
       .select(col("doc_id"), HashedShingles.hashed_shingles(col("w"), 3).as("sh"))
 
   /** `dedup_exact`: duplicate groups via md5(text) hash-groupBy with a
@@ -82,6 +91,21 @@ object Dedup {
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+
+  /** `dedup_exact_normalized` (r14): [[exact]] under the canonical
+    * [[TextAnalysis.normalizeText]] rule — groups case/punctuation
+    * variants of the same content that byte-exact hashing treats as
+    * distinct. Same plan shape (the normalization is three codegen'd
+    * string ops fused into the scan stage; only (hash, doc_id) ever
+    * shuffles); DuckDB runs the identical rule, so the whole
+    * normalization pipeline is hash-oracle-gated.
+    */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(TextAnalysis.normalizeText(col("text")).cast("binary"))
+        .as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
 
@@ -280,8 +304,8 @@ object Dedup {
     * consumes.
     *
     * Scale shape (§5, the posting-join class): one pass explodes
-    * Σ(len−w+1) ≈ token-count windows as (xxhash64(window), doc, pos) —
-    * 8-byte hashes shuffle, never window text (the [[shingledHashed]]
+    * Σ(len−w+1) ≈ token-count windows as (hash, doc, pos) — 8-byte
+    * hashes shuffle, never window text (the [[shingledHashed]]
     * argument: 2^64 collisions negligible; the DuckDB oracle groups the
     * window STRINGS, so agreement is checked, not assumed); the repeat
     * filter is one count aggregate over window hashes (map-side partial
@@ -289,23 +313,42 @@ object Dedup {
     * flow back through a hint-pinned shuffle-hash semi join; the
     * per-document island merge is one doc-keyed window pass. No
     * all-pairs anywhere; every stage is bounded by corpus token count.
+    * Window hashing is the O(tokens) [[WindowHashes]] roll (r14) — the
+    * r13 array_join form paid O(tokens·w) string materialization.
     */
   def substringSpans(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
-    val wins = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $w), " +
-          s"i -> xxhash64(array_join(slice(w, i + 1, $w), ' ')))")).as(Seq("pos", "h")))
+    val wins = windowPostings(spark, dir, w)
       .transform(graft.Caches.scoped(_)) // feeds the count AND the join back
     val dup = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("h"))
+    mergeIslands(wins.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi"), w)
+  }
+
+  /** (doc_id, pos, h) for every w-word window of every document with
+    * ≥ w words — ONE O(tokens) pass ([[WindowHashes]] hashes each token
+    * once and rolls). The posting table both span operators
+    * ([[substringSpans]], [[Curation.contaminationSpans]]) fan out from.
+    */
+  private[operators] def windowPostings(spark: SparkSession, dir: String,
+                                        w: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= w)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHashes.window_hashes(col("w"), w))
+          .as(Seq("pos", "h")))
+
+  /** Merge a frame of flagged (doc_id, pos) windows into maximal
+    * per-document spans: windows at p and q overlap iff q − p ≤ w−1, a
+    * larger gap starts a new span. One doc-keyed window pass; output
+    * (doc_id, span_start, span_end, n_dup_windows) in word offsets —
+    * the removal list [[substringApply]] consumes.
+    */
+  private[operators] def mergeIslands(flagged: DataFrame, w: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    wins.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
+    flagged
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
-      // windows at pos p and q overlap iff q − p ≤ w−1; a larger gap
-      // starts a new maximal span
       .withColumn("ni",
         when(col("prev").isNull || col("pos") - col("prev") > w - 1, 1).otherwise(0))
       .withColumn("island", sum(col("ni")).over(
@@ -319,6 +362,47 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** `dedup_substring_apply`: the span removal list APPLIED (r14) —
+    * cut every flagged span out of its document and re-emit the
+    * CLEANED corpus with its post-cut token stats. This is the frame a
+    * training pipeline actually tokenizes; [[substringSpans]] is its
+    * audit view (r13 shipped the list with no consumer — the
+    * end-to-end corpus still contained every repeated span).
+    *
+    * Scale shape: [[substringSpans]]'s posting-join stages, then ONE
+    * doc-keyed aggregate packs each doc's spans into a sorted array
+    * (bounded: maximal spans are disjoint, so ≤ len/w + 1 structs per
+    * doc — smaller than the word array that rides the same row), one
+    * hint-pinned shuffle-hash left join puts spans beside their
+    * documents (most docs have none and pass through), and the cut is
+    * the O(tokens + spans) [[graft.functions.CutSpans]] merge-scan.
+    * The output carries the cleaned TEXT — it IS the materialization —
+    * so the oracle hash-compares the cleaned strings themselves, not a
+    * summary.
+    */
+  def substringApply(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    val perDoc = substringSpans(spark, dir, w)
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+    val emptyLongs = array().cast("array<bigint>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.CutSpans.cut_spans(col("w"),
+          coalesce(transform(col("sp"), _.getField("span_start")), emptyLongs),
+          coalesce(transform(col("sp"), _.getField("span_end")), emptyLongs))
+          .as("clean_text"),
+        (size(col("w")).cast("long") - coalesce(col("n_removed"), lit(0L)))
+          .as("n_tokens_clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("n_removed"), lit(0L)).as("n_tokens_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `dedup_ngram_jaccard`: EXACT 3-gram Jaccard ≥ tau — every
     * qualifying pair in the corpus, with prefix-filtered candidate
     * generation (see [[ngramJaccardFrom]]). Because the prefix filter
@@ -327,8 +411,8 @@ object Dedup {
     * outputs agree structurally, not just on current testdata.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   tau: Double = 0.8): DataFrame =
-    ngramJaccardFrom(shingledHashed(spark, dir), tau)
+                   tau: Double = 0.8, normalize: Boolean = false): DataFrame =
+    ngramJaccardFrom(shingledHashed(spark, dir, normalize), tau)
 
   /** [[ngramJaccard]] over any (doc_id, sh) pre-shingled frame — lets
     * [[Pipeline.corpusClean]] feed the shared single-scan projection

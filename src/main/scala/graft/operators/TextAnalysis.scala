@@ -41,6 +41,23 @@ object TextAnalysis {
   /** The fused per-row statistics struct (see [[TextStats.Schema]]). */
   private[operators] def statsCol: Column = TextStats.text_stats(col("text"))
 
+  /** Canonical text normalization for dedup recall (r14): lowercase,
+    * punctuation → space, whitespace collapsed, trimmed. Real corpora
+    * carry case/punctuation variants of the same content that raw
+    * `split(text, ' ')` tokenization treats as distinct — Lee et al.
+    * 2021 §4 normalize before matching for exactly this reason. NFKC
+    * folding is deliberately NOT applied: Spark's `lower` and DuckDB's
+    * `lower` agree on ASCII, but Unicode normalization differs between
+    * engines (DuckDB ships NFC only), so the rule is restricted to the
+    * oracle-checkable subset — on the ASCII corpora this library's
+    * gates run against (the fingerprint oracle asserts ASCII), that IS
+    * the full rule. The same three-step pipeline is expressible
+    * verbatim in DuckDB (`lower` + two `regexp_replace` + `trim`), so
+    * every normalized variant stays hash-oracle-gated.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   /** `text_tokens`: whitespace token count, regex (BPE-ish) token
     * count, and mean token length (non-space chars / tokens).
     */

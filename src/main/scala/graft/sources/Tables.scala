@@ -95,20 +95,34 @@ object Tables {
     countCache.computeIfAbsent(s"$sfDir/$name.parquet",
       _ => parquetRowCountUncached(spark, sfDir, name))
 
-  /** Max last-modified time (ms) across a table's files — the
-    * immutability key for on-disk derived stores ([[graft.operators.Ivf]]'s
-    * index, [[graft.operators.Dedup]]'s standing dedup store): a
-    * regenerated source gets a NEW stamp, so a derived-store path that
-    * embeds the stamp never serves stale state and never needs
-    * invalidation logic.
+  /** Change-detection key for on-disk derived stores
+    * ([[graft.operators.Ivf]]'s index, [[graft.operators.Dedup]]'s
+    * standing dedup store): a 64-bit digest over the table's file
+    * LISTING — each file's relative name, size, and mtime — so a
+    * regenerated source gets a new stamp even when timestamps are
+    * preserved (cp -p, rsync -a, tar extraction defeat a max-mtime-only
+    * key whenever the rewrite changes bytes or layout but not times).
+    * Unchanged-content rewrites with preserved names+sizes+mtimes still
+    * collide, which is the correct fixpoint: identical listing ⇒ the
+    * derived store is still valid.
     */
   def sourceStamp(sfDir: String, name: String): Long = {
     val root = java.nio.file.Paths.get(sfDir, s"$name.parquet")
     if (!java.nio.file.Files.exists(root)) 0L
     else {
       val s = java.nio.file.Files.walk(root)
-      try s.mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max.orElse(0L)
-      finally s.close()
+      try {
+        var acc = 0L
+        val it = s.sorted().iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          acc = acc * 1000003L + root.relativize(p).toString.hashCode
+          acc = acc * 1000003L + java.nio.file.Files.getLastModifiedTime(p).toMillis
+          if (java.nio.file.Files.isRegularFile(p))
+            acc = acc * 1000003L + java.nio.file.Files.size(p)
+        }
+        acc
+      } finally s.close()
     }
   }
 

@@ -101,13 +101,18 @@ class ClustersSpec extends AnyFunSuite {
   test("small-graph gate is plan-pinned: local leaf below, star output above") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("u", "v")
+    // The small tier's leaf is Scan ExistingRDD (r14: parallelize, NOT
+    // a LocalTableScan — a LocalRelation would embed every label in the
+    // plan and re-ship them inside each downstream task closure).
     val small = Clusters.connectedComponents(spark, edges)
-    assert(small.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("Scan ExistingRDD") && !smallPlan.contains("LocalTableScan"),
       "below the gate the labels must come from the driver union-find " +
-        "(LocalTableScan leaf), not the star loop")
+        "(parallelized RDD leaf), not the star loop or a LocalRelation")
     val star = Clusters.connectedComponents(spark, edges, smallGraphMaxEdges = 0L)
-    assert(!star.queryExecution.executedPlan.toString.contains("LocalTableScan"),
-      "gate=0 must force the distributed star loop")
+    val starPlan = star.queryExecution.executedPlan.toString
+    assert(starPlan.contains("Union"),
+      "gate=0 must force the distributed star loop (member∪center union plan)")
     graft.Caches.release()
   }
 
@@ -204,5 +209,77 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == Set(
       (100L, 100L, 3L, true), (200L, 100L, 3L, false), (300L, 100L, 3L, false),
       (7L, 7L, 2L, true), (9L, 7L, 2L, false)))
+  }
+
+  /** Run [[Clusters.mergeIncrementalLabels]] over an arrival sequence:
+    * standing labels start from the first batch's CC, then every later
+    * batch is absorbed through the merge; returns the final label map.
+    */
+  private def mergeSequence(batches: Seq[Seq[(Long, Long)]]): Map[Long, Long] = {
+    import spark.implicits._
+    var labels = Clusters.connectedComponents(spark, batches.head.toDF("u", "v"))
+    for (b <- batches.tail)
+      labels = Clusters.mergeIncrementalLabels(spark, labels, b.toDF("u", "v"))
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    out
+  }
+
+  test("incremental merge equals full recompute on crafted arrival shapes") {
+    val shapes = Seq(
+      // new pair FUSES two standing components (min label must win)
+      "fuse" -> Seq(Seq((1L, 2L), (10L, 11L)), Seq((2L, 10L))),
+      // arriving node with a SMALLER id relabels the whole component
+      "new min" -> Seq(Seq((5L, 6L), (6L, 7L)), Seq((0L, 7L))),
+      // edge inside an existing component — a no-op that must not
+      // disturb the labels
+      "interior" -> Seq(Seq((1L, 2L), (2L, 3L)), Seq((1L, 3L))),
+      // brand-new component, disjoint from everything standing
+      "fresh" -> Seq(Seq((1L, 2L)), Seq((100L, 200L))),
+      // chain built one edge per arrival — min must propagate across
+      // every merge round
+      "chain arrivals" -> (1L to 6L).sliding(2).map(s => Seq((s(1), s(0)))).toSeq)
+    for ((name, batches) <- shapes) {
+      val got = mergeSequence(batches)
+      val want = unionFindLabels(batches.flatten)
+      assert(got == want, s"$name: got $got want $want")
+    }
+  }
+
+  test("incremental merge equals full recompute on seeded random arrival sequences") {
+    val rnd = new scala.util.Random(14)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val batches = edges.grouped(edges.size / 3 + 1).toSeq
+      val got = mergeSequence(batches)
+      val want = unionFindLabels(edges)
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
+  test("dedup_clusters_incremental equals the full dedup_clusters recompute") {
+    val full = Clusters.clusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    graft.Caches.release()
+    val inc = Clusters.clustersIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    graft.Caches.release()
+    assert(inc == full,
+      s"missed=${(full -- inc).size} extra=${(inc -- full).size}")
+    // the split must actually exercise the merge: some pairs on each side
+    val pairs = graft.operators.Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.release()
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.map("%02x".format(_)).mkString
+      (hex(0).toLong * 65536 + hex(1).toLong * 256 + hex(2).toLong) % 100
+    }
+    val store = pairs.count { case (a, b) => bucket(a) < 80 && bucket(b) < 80 }
+    assert(store > 0 && store < pairs.length,
+      s"split degenerate: $store of ${pairs.length} pairs store-side")
   }
 }

@@ -204,4 +204,77 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getDouble(5) == r.getLong(2).toDouble / r.getLong(1).toDouble)
     }
   }
+
+  /** From-scratch contamination spans: window STRINGS (no shared
+    * hashing), split from the registered assignment, island merge in
+    * plain Scala.
+    */
+  private def bruteContaminationSpans(d: String, w: Int): Set[(Long, Long, Long, Long)] = {
+    val split = Curation.splitAssign(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val docs = graft.sources.Tables.documents(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= w)
+    val trainWins = docs.filter(x => split(x._1) == "train")
+      .flatMap(_._2.sliding(w).map(_.mkString(" "))).toSet
+    (for ((id, ws) <- docs if split(id) == "test") yield {
+      val hits = ws.sliding(w).zipWithIndex
+        .collect { case (win, p) if trainWins(win.mkString(" ")) => p }.toSeq
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start, prev, n = -1
+      def flush(): Unit = if (start >= 0)
+        spans += ((id, start.toLong, (prev + w - 1).toLong, n.toLong))
+      for (p <- hits) {
+        if (start < 0 || p - prev > w - 1) { flush(); start = p; n = 0 }
+        prev = p; n += 1
+      }
+      flush()
+      spans
+    }).flatten.toSet
+  }
+
+  test("contamination spans equal a from-scratch reimplementation") {
+    val w = 16
+    val got = Curation.contaminationSpans(spark, dir, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.Caches.release()
+    val want = bruteContaminationSpans(dir, w)
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
+  test("contamination spans flag exactly the planted test↔train passage") {
+    // Build a corpus where the split is KNOWN (content-addressed on
+    // doc_id, so learn it first), then plant one ≥w-word passage shared
+    // between a train doc and the middle of a test doc. The operator
+    // must flag exactly that span of the test doc — filler is unique
+    // per doc, so nothing else may fire.
+    import spark.implicits._
+    val w = 16
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cspan_spec").toString
+    def filler(id: Long, n: Int): Seq[String] = (0 until n).map(i => s"f${id}x$i")
+    val probe = (0L until 200L).map(id => (id, filler(id, 40).mkString(" ")))
+    // two directories: Spark's file-status cache may serve a stale
+    // listing if the same path were overwritten between reads
+    probe.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/probe/documents.parquet")
+    val split = Curation.splitAssign(spark, s"$tmp/probe").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = split.collect { case (id, "train") => id }.min
+    val testId = split.collect { case (id, "test") => id }.min
+    val passage = (0 until w).map(i => s"shared$i")
+    val planted = probe.map { case (id, text) =>
+      if (id == trainId) (id, (filler(id, 5) ++ passage ++ filler(id + 1000, 5)).mkString(" "))
+      else if (id == testId) (id, (filler(id, 7) ++ passage ++ filler(id + 2000, 9)).mkString(" "))
+      else (id, text)
+    }
+    planted.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/final/documents.parquet")
+    val got = Curation.contaminationSpans(spark, s"$tmp/final", w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.Caches.release()
+    // the test doc's passage occupies word offsets 7 .. 7+w-1
+    assert(got == Set((testId, 7L, (7 + w - 1).toLong, 1L)),
+      s"expected exactly the planted span of doc $testId, got $got")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }

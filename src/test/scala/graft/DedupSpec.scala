@@ -77,7 +77,7 @@ class DedupSpec extends AnyFunSuite {
     val checked = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").iterator
       .map { d =>
         val docs = graft.sources.Tables.documents(spark, d)
-          .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+          .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
           .filter(_._2.length >= 3)
         val sh = docs.map { case (id, w) =>
           id -> w.sliding(3).map(_.mkString(" ")).toSet
@@ -130,7 +130,7 @@ class DedupSpec extends AnyFunSuite {
     // overlapping flagged windows merged into maximal spans.
     val w = 16
     val docs = graft.sources.Tables.documents(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
       .filter(_._2.length >= w)
     val counts = scala.collection.mutable.Map.empty[String, Int]
     for ((_, ws) <- docs; win <- ws.sliding(w)) {
@@ -159,13 +159,83 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect, s"missed=${expect -- got} extra=${got -- expect}")
   }
 
+  test("substring apply cuts exactly the flagged spans (from-scratch reimplementation)") {
+    // Same independent window-string counting as the spans test, then
+    // the cut applied in plain Scala — clean text, token accounting,
+    // span accounting, all compared per document.
+    val w = 16
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ws) <- docs if ws.length >= w; win <- ws.sliding(w)) {
+      val s = win.mkString(" ")
+      counts(s) = counts.getOrElse(s, 0) + 1
+    }
+    val expect = docs.map { case (id, ws) =>
+      val covered = new Array[Boolean](ws.length)
+      val dupPos = if (ws.length >= w)
+        ws.sliding(w).zipWithIndex
+          .collect { case (win, p) if counts(win.mkString(" ")) >= 2 => p }.toSeq
+      else Seq.empty
+      dupPos.foreach(p => (p until p + w).foreach(covered(_) = true))
+      // span count = maximal islands of flagged windows (gap > w-1)
+      val nSpans = dupPos.foldLeft((0L, -w.toLong)) { case ((n, prev), p) =>
+        (if (p - prev > w - 1) n + 1 else n, p.toLong)
+      }._1
+      val kept = ws.indices.filter(!covered(_)).map(ws)
+      id -> (kept.mkString(" "), kept.size.toLong, nSpans,
+        covered.count(identity).toLong)
+    }.toMap
+    val got = graft.operators.Dedup.substringApply(spark, dir, w).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.release()
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)} expected $e")
+    }
+    assert(expect.values.exists(_._3 > 0), "testdata should contain cut documents")
+  }
+
+  test("normalization lifts dedup recall on case/punctuation variants (crafted corpus)") {
+    // Two documents with identical content under the canonical rule but
+    // different bytes — plus distinct filler so nothing else pairs.
+    // Written as a real documents.parquet so the registered dir-based
+    // operators (exact, exactNormalized, ngramJaccard raw + normalized)
+    // run exactly as registered.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_norm_spec").toString
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (0L, base),
+      (1L, base.capitalize.replace(" fox ", " Fox, ") + "!"),
+      (2L, "completely different filler content with no overlap at all here now"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val exactRaw = Dedup.exact(spark, tmp).count()
+    val exactNorm = Dedup.exactNormalized(spark, tmp).count()
+    assert(exactRaw == 3L, s"raw exact must see 3 distinct texts, got $exactRaw")
+    assert(exactNorm == 2L, s"normalized exact must merge the variants, got $exactNorm")
+    val rawPairs = Dedup.ngramJaccard(spark, tmp, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.release()
+    val normPairs = Dedup.ngramJaccard(spark, tmp, 0.8, normalize = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    graft.Caches.release()
+    assert(rawPairs.isEmpty, s"raw shingles must miss the variant pair, got $rawPairs")
+    assert(normPairs.map(p => (p._1, p._2)) == Set((0L, 1L)),
+      s"normalized shingles must find exactly the variant pair, got $normPairs")
+    assert(normPairs.head._3 == 1.0, "normalized variants are shingle-identical")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("ngram Jaccard equals brute-force all-pairs exactly (prefix filter is complete)") {
     // The operator's contract since the prefix-filter rewrite: EVERY
     // pair with Jaccard >= tau, not a heuristic subset. Verified against
     // a from-scratch O(n^2) reimplementation (plain Scala sets, no
     // shared code with the operator's shingle hashing).
     val docs = graft.sources.Tables.documents(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
       .filter(_._2.length >= 3)
     val shingles = docs.map { case (id, w) =>
       id -> w.sliding(3).map(_.mkString(" ")).toSet

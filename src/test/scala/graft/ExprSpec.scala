@@ -532,4 +532,86 @@ class ExprSpec extends AnyFunSuite {
       assert(back(0) == 0x5aL && back(back.length - 1) == -1L && back.length == buf.length)
     }
   }
+
+  test("WindowHashes roll matches a direct polynomial recomputation, window-injective") {
+    // Direct O(n·w) reference: token XXH64 once, then each window's
+    // polynomial evaluated independently (no rolling — an arithmetic
+    // slip in the roll's subtract/multiply would desynchronize the two
+    // after the first window).
+    def direct(words: Array[String], w: Int): Array[Long] = {
+      val t = words.map(s => XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L))
+      if (t.length < w) Array.emptyLongArray
+      else (0 to t.length - w).map { i =>
+        var h = 0L
+        for (j <- i until i + w) h = h * WindowHashes.Base + t(j)
+        h
+      }.toArray
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    for (w <- Seq(1, 2, 16)) {
+      val got = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          WindowHashes.window_hashes(split(col("text"), " "), w).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      docs.foreach { case (id, ws) =>
+        assert(java.util.Arrays.equals(got(id), direct(ws, w)),
+          s"doc $id w=$w roll != direct")
+      }
+      // Injectivity on the corpus: window string ↔ hash must be a
+      // bijection (the surrogate argument the span operators rest on).
+      val byString = scala.collection.mutable.Map.empty[String, Long]
+      val byHash = scala.collection.mutable.Map.empty[Long, String]
+      for ((id, ws) <- docs if ws.length >= w; (win, i) <- ws.sliding(w).zipWithIndex) {
+        val s = win.mkString(" ")
+        val h = got(id)(i)
+        assert(byString.getOrElseUpdate(s, h) == h, s"same window, two hashes: $s")
+        assert(byHash.getOrElseUpdate(h, s) == s, s"hash collision at w=$w: '$s' vs '${byHash(h)}'")
+      }
+    }
+  }
+
+  test("CutSpans equals the declarative filter/exists cut, incl. edge coverage") {
+    import spark.implicits._
+    // (words, span starts, span ends) — sorted disjoint spans, the
+    // operator's contract: none, at-start, at-end, interior, adjacent
+    // islands, full coverage, single-word doc, empty-token survivors.
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq.empty[Long], Seq.empty[Long]),
+      (Seq("a", "b", "c", "d"), Seq(0L), Seq(1L)),
+      (Seq("a", "b", "c", "d"), Seq(2L), Seq(3L)),
+      (Seq("a", "b", "c", "d", "e"), Seq(1L), Seq(3L)),
+      (Seq("a", "b", "c", "d", "e", "f"), Seq(0L, 4L), Seq(1L, 5L)),
+      (Seq("a", "b"), Seq(0L), Seq(1L)),
+      (Seq("x"), Seq.empty[Long], Seq.empty[Long]),
+      (Seq("a", "", "b", ""), Seq(1L), Seq(2L))).toDF("w", "ss", "ee")
+    val df = cases.select(
+      graft.functions.CutSpans.cut_spans(col("w"), col("ss"), col("ee")).as("fused"),
+      concat_ws(" ", filter(col("w"), (x, i) =>
+        !exists(arrays_zip(col("ss"), col("ee")),
+          s => i.cast("long").between(s.getField("ss"), s.getField("ee"))))
+        ).as("declarative"))
+    assert(df.filter(col("fused") =!= col("declarative")).isEmpty)
+    // And on the corpus at w=16 against the registered span list.
+    val spans = graft.operators.Dedup.substringSpans(spark, dir, 16)
+    val perDoc = spans.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
+    val emptyLongs = array().cast("array<bigint>")
+    val corpus = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        graft.functions.CutSpans.cut_spans(col("w"),
+          coalesce(transform(col("sp"), _.getField("span_start")), emptyLongs),
+          coalesce(transform(col("sp"), _.getField("span_end")), emptyLongs)).as("fused"),
+        concat_ws(" ", filter(col("w"), (x, i) =>
+          !exists(coalesce(col("sp"),
+              array().cast("array<struct<span_start:bigint,span_end:bigint>>")),
+            s => i.cast("long").between(
+              s.getField("span_start"), s.getField("span_end"))))).as("declarative"))
+    assert(corpus.filter(col("fused") =!= col("declarative")).isEmpty)
+    graft.Caches.release()
+  }
 }
