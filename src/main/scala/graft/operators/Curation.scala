@@ -51,7 +51,7 @@ object Curation {
     * task retry) or row_number (global sort, and every append reshuffles
     * the assignment).
     */
-  private[operators] def splitBucket(key: Column): Column = {
+  private[graft] def splitBucket(key: Column): Column = {
     val h = md5(key.cast("string"))
     (ascii(substring(h, 1, 1)) * 65536 +
       ascii(substring(h, 2, 1)) * 256 +

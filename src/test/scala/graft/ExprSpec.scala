@@ -533,6 +533,28 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("NormalizeText kernel is bit-identical to the regex chain it replaces") {
+    import spark.implicits._
+    def chain(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    // crafted edges: leading/trailing punct, multi-space runs, digits,
+    // all-punct, empty, uppercase runs, embedded tabs (non-space
+    // whitespace is NOT in [a-z0-9 ] → token break in both forms)
+    val crafted = Seq("Hello, World!", "  padded  ", "A--B__C", "123 abc XYZ",
+      "!!!", "", "THE Quick    brown\tfox", "a", "trailing dot.", ".lead")
+      .toDF("text")
+    val bad = crafted.select(
+        graft.functions.NormalizeText.normalize_text(col("text")).as("k"),
+        chain(col("text")).as("r"))
+      .filter(col("k") =!= col("r"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    val corpus = graft.sources.Tables.documents(spark, dir).select(
+        graft.functions.NormalizeText.normalize_text(col("text")).as("k"),
+        chain(col("text")).as("r"))
+      .filter(col("k") =!= col("r"))
+    assert(corpus.isEmpty)
+  }
+
   test("WindowHashes roll matches a direct polynomial recomputation, window-injective") {
     // Direct O(n·w) reference: token XXH64 once, then each window's
     // polynomial evaluated independently (no rolling — an arithmetic
