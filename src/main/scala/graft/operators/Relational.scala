@@ -257,12 +257,21 @@ object Relational {
     * feed has tens of thousands of (hour, type) groups and climbing, so
     * the output keeps the parallel range sort (r8, ADVICE).
     */
+  /** q13_hourly_agg. Group on the TRUNCATED TIMESTAMP (an 8-byte
+    * long), not its formatted string: the r14 1B-event decomposition
+    * measured the string-keyed aggregate at ~16 s of the 19.6 s cell —
+    * a per-row formatter call plus string hash keys — while formatting
+    * AFTER the aggregate touches only |hours·types| rows. Ordering by
+    * the formatted string equals ordering by the timestamp (the
+    * "yyyy-MM-dd HH:mm" form is lexicographically chronological), so
+    * the result is bit-identical.
+    */
   def q13HourlyAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
-        col("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(date_format(col("hour_ts"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** q14_having — post-aggregation filter on an exact decimal sum. */

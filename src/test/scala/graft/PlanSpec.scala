@@ -549,6 +549,32 @@ class PlanSpec extends AnyFunSuite {
         "aggregate means the store side is being re-aggregated")
   }
 
+  test("span operators: hash-posting joins stay shuffle-hash, no text in the shuffle") {
+    // dedup_substring_apply: the span semi join AND the doc-side left
+    // join are hint-pinned shuffle-hash (the span table can reach O(n)
+    // rows — Catalyst's tiny-side broadcast estimate at test scale
+    // would flip to a broadcast that cannot exist at 100 TB).
+    val apply = Dedup.substringApply(spark, dir)
+    val applyExec = finalPlanOnly(apply.queryExecution.executedPlan.toString)
+    assert(applyExec.contains("LeftSemi"), "dup-window semi join lost")
+    assert(!applyExec.contains("BroadcastHashJoin"),
+      "span-family joins must not broadcast (hint dropped?)")
+    graft.Caches.release()
+    // corpus_contamination_spans: test-side windows semi-join the
+    // UN-AGGREGATED train hashes — exactly one aggregate pair in the
+    // plan (the island groupBy), none on the train side.
+    val spans = graft.operators.Curation.contaminationSpans(spark, dir)
+    val spansExec = finalPlanOnly(spans.queryExecution.executedPlan.toString)
+    assert(spansExec.contains("LeftSemi") && spansExec.contains("ShuffledHashJoin"),
+      "train-hash semi join must stay shuffle-hash")
+    assert(!spansExec.contains("BroadcastExchange"),
+      "train posting side must not broadcast")
+    assert(spansExec.split("HashAggregate").length - 1 == 2,
+      "exactly one partial+final aggregate pair (the island merge) — more " +
+        "means the train side is being aggregated before the semi join")
+    graft.Caches.release()
+  }
+
   test("windows keyed by low-cardinality columns never run over a raw scan") {
     // A window PARTITION BY a handful-of-distinct-values key over the full
     // table is an unpartitioned window in disguise: every row shuffles into
