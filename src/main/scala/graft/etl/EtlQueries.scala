@@ -79,7 +79,7 @@ object EtlQueries {
     */
   def channelQueryStore(spark: SparkSession, dir: String): DataFrame = {
     val store = System.getProperty("java.io.tmpdir") + "/graft_metrics_store_" +
-      Integer.toHexString(dir.hashCode)
+      Tables.pathSlug(dir)
     graft.sources.MetricsStore.write(MetricsQueries.metrics(spark, dir), store)
     serveChannelFromStore(spark, store)
   }
@@ -97,7 +97,7 @@ object EtlQueries {
     */
   def channelQueryStoreServe(spark: SparkSession, dir: String): DataFrame = {
     val store = System.getProperty("java.io.tmpdir") + "/graft_metrics_store_" +
-      Integer.toHexString(dir.hashCode) + "_" +
+      Tables.pathSlug(dir) + "_" +
       java.lang.Long.toHexString(sourceStamp(dir))
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(store, "_SUCCESS")))
       graft.sources.MetricsStore.write(MetricsQueries.metrics(spark, dir), store)
@@ -119,7 +119,7 @@ object EtlQueries {
     */
   def storeBuild(spark: SparkSession, dir: String): DataFrame = {
     val store = System.getProperty("java.io.tmpdir") + "/graft_metrics_store_" +
-      Integer.toHexString(dir.hashCode)
+      Tables.pathSlug(dir)
     graft.sources.MetricsStore.write(MetricsQueries.metrics(spark, dir), store)
     graft.sources.MetricsStore.read(spark, store)
       .groupBy(col("date").cast("string").as("date"))

@@ -165,7 +165,7 @@ object Dedup {
                             batchBucket: Int = 80, k: Int = 64,
                             bands: Int = 16): String = {
     val path = System.getProperty("java.io.tmpdir") + "/graft_dedup_store_" +
-      Integer.toHexString(dir.hashCode) + "_" +
+      Tables.pathSlug(dir) + "_" +
       java.lang.Long.toHexString(Tables.sourceStamp(dir, "documents")) +
       "_" + batchBucket + "_" + k + "_" + bands
     val done = Seq("hashes", "bands").forall(sub =>

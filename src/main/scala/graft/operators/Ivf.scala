@@ -361,7 +361,7 @@ object Ivf {
     */
   private def indexPath(dir: String, nlist: Int): String =
     System.getProperty("java.io.tmpdir") + "/graft_ivf_index_" +
-      Integer.toHexString(dir.hashCode) + "_" +
+      graft.sources.Tables.pathSlug(dir) + "_" +
       java.lang.Long.toHexString(sourceStamp(dir)) + "_" + nlist
 
   private def sourceStamp(dir: String): Long = {

@@ -126,7 +126,7 @@ object IvfPq {
     */
   private def indexPath(dir: String, nlist: Int): String =
     System.getProperty("java.io.tmpdir") + "/graft_ivfpq_index_" +
-      Integer.toHexString(dir.hashCode) + "_" +
+      Tables.pathSlug(dir) + "_" +
       java.lang.Long.toHexString(Tables.sourceStamp(dir, "embeddings")) +
       "_" + nlist + "_" + M
 

@@ -106,6 +106,23 @@ object Tables {
     * collide, which is the correct fixpoint: identical listing ⇒ the
     * derived store is still valid.
     */
+  /** Filesystem-safe unique slug of a source directory for derived-
+    * store tmp paths (r14, closes the hashCode-collision nit: two
+    * distinct dirs with colliding String.hashCode would share a
+    * `_SUCCESS`-guarded tree and race). The canonical path is made
+    * injective by keeping its sanitized tail (the discriminating part)
+    * plus a hex digest of the full path.
+    */
+  def pathSlug(dir: String): String = {
+    val canon = new java.io.File(dir).getAbsolutePath
+    val tail = canon.takeRight(40).map(c =>
+      if (c.isLetterOrDigit) c else '_')
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    s"${tail}_$digest"
+  }
+
   def sourceStamp(sfDir: String, name: String): Long = {
     val root = java.nio.file.Paths.get(sfDir, s"$name.parquet")
     if (!java.nio.file.Files.exists(root)) 0L
