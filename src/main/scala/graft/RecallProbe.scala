@@ -94,10 +94,33 @@ object RecallProbe {
       operators.Ivf.annIvfServe(spark, dir).collect())
     val pqServe = serveRecall("ivf-pq-serve",
       operators.IvfPq.annIvfPqServe(spark, dir).collect())
+    val pqResServe = serveRecall("ivf-pq-res-serve",
+      operators.IvfPq.annIvfPqServe(spark, dir, residual = true).collect())
     println(f"[recall] MEAN serve: ivf-flat $flatServe%.3f ivf-pq $pqServe%.3f " +
-      f"(delta ${flatServe - pqServe}%.3f; gate 0.05)")
+      f"ivf-pq-res $pqResServe%.3f " +
+      f"(raw delta ${flatServe - pqServe}%.3f, res delta " +
+      f"${flatServe - pqResServe}%.3f; gate 0.05 each)")
     require(pqServe >= flatServe - 0.05,
       f"PQ serve recall $pqServe%.3f fell more than 0.05 below flat $flatServe%.3f")
+    require(pqResServe >= flatServe - 0.05,
+      f"residual PQ serve recall $pqResServe%.3f fell more than 0.05 below " +
+        f"flat $flatServe%.3f")
+    // Pure-ADC ordering quality (margin = 0, default probes): with the
+    // re-rank margin removed, the emitted top-k IS the ADC ranking, so
+    // this pair isolates raw-vs-residual quantization error at a scale
+    // where the codebooks are genuinely stressed (16k training samples
+    // against n=800k). This is where the residual tier must show its
+    // worth — the SimilaritySpec margin-0 band at n=500 only catches
+    // mis-wiring (no cluster structure there for residuals to exploit).
+    val pqAdc = serveRecall("ivf-pq-adc0",
+      operators.IvfPq.annIvfPqServe(spark, dir, margin = 0).collect())
+    val pqResAdc = serveRecall("ivf-pq-res-adc0",
+      operators.IvfPq.annIvfPqServe(spark, dir, margin = 0, residual = true)
+        .collect())
+    println(f"[recall] MEAN pure-ADC (margin=0): raw $pqAdc%.3f " +
+      f"residual $pqResAdc%.3f (residual − raw = ${pqResAdc - pqAdc}%+.3f)")
+    require(pqResAdc >= pqAdc - 0.05,
+      f"residual pure-ADC recall $pqResAdc%.3f fell below raw $pqAdc%.3f")
     if (sys.env.get("SPARK_GRAFT_RECALL_SWEEP").contains("1"))
       for (np <- Seq(16, 32, 64))
         println(f"[recall] MEAN ivf nprobe=$np: ${ivfRecall(Some(np))}%.3f")

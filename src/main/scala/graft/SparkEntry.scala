@@ -79,6 +79,8 @@ object SparkEntry {
     "sim_ann_ivf"     -> ((s, d) => Ivf.annIvf(s, d)),
     "sim_ann_ivf_serve" -> ((s, d) => Ivf.annIvfServe(s, d)),
     "sim_ann_ivfpq_serve" -> ((s, d) => IvfPq.annIvfPqServe(s, d)),
+    "sim_ann_ivfpq_res_serve" ->
+      ((s, d) => IvfPq.annIvfPqServe(s, d, residual = true)),
     "sim_knn_join"    -> ((s, d) => Ivf.knnSelfJoin(s, d)),
     "sim_knn_exact"   -> ((s, d) => Similarity.knnExact(s, d)),
 
@@ -166,6 +168,7 @@ object SparkEntry {
     "q1_agg", "corpus_stats",
     "dedup_exact", "dedup_exact_normalized", "corpus_pack_shards",
     "sim_ann_ivf", "sim_ann_ivf_serve", "sim_ann_ivfpq_serve",
+    "sim_ann_ivfpq_res_serve",
     // the set-op pair: their only exchanges are the key-domain-bounded
     // distinct / grouped-flags aggregate (map-side partials on ≤4.5M
     // custkeys) + the output sort; the joins broadcast. AQE's re-plan

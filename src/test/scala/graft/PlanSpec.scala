@@ -296,6 +296,18 @@ class PlanSpec extends AnyFunSuite {
     assert(scanSchemas.exists(l => l.contains("embedding") && !l.contains("code")),
       s"re-rank fetch missing its embedding-only scan:\n$s")
     assert(df.collect().nonEmpty)
+    // The residual tier shares every stage, so the same dual-ReadSchema
+    // + cell-prune contract must hold over its _res index tree.
+    val sr = planString(
+      graft.operators.IvfPq.annIvfPqServe(spark, dir, residual = true))
+    assert(sr.contains("PartitionFilters: [") && sr.contains("cell"),
+      "residual IVF-PQ probe set did not become a cell partition prune")
+    val resSchemas = "ReadSchema: [^\n]*".r.findAllIn(sr).toSeq
+      .filter(l => l.contains("vec_id"))
+    assert(resSchemas.exists(l => l.contains("code") && !l.contains("embedding")),
+      s"residual candidate scan decodes the embedding column:\n$sr")
+    assert(resSchemas.exists(l => l.contains("embedding") && !l.contains("code")),
+      s"residual re-rank fetch missing its embedding-only scan:\n$sr")
   }
 
   test("text_keywords broadcast branch: dictionary broadcasts, top-k rank is a Partial WindowGroupLimit") {

@@ -203,6 +203,69 @@ class SimilaritySpec extends AnyFunSuite {
       "IVF-PQ serve is not deterministic across runs")
   }
 
+  test("IVF-PQ residual serve: degeneration, recall, determinism, and the " +
+    "coarse-term correction ordered ahead of raw at pure-ADC knobs") {
+    // (a) Full probe + corpus-wide margin: every vector reaches the
+    // exact re-rank, so residual-mode output must EQUAL brute force —
+    // pinning the residual build/LUT/qdotc/fetch plumbing end to end.
+    val n = graft.sources.Tables.parquetRowCount(spark, dir, "embeddings")
+    val nlist = graft.operators.Ivf.autoNlist(n)
+    val full = graft.operators.IvfPq.annIvfPqServe(spark, dir,
+        nlistOverride = Some(nlist), nprobeOverride = Some(nlist),
+        margin = n.toInt, residual = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exact = brute.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sorted.toSeq == exact.sorted.toSeq,
+      "full-probe full-margin residual IVF-PQ differs from brute force")
+    // (b) Pure ADC ordering (margin = 0, every cell probed): the
+    // emitted top-k is exactly the ADC-ordered candidates, so this is
+    // the sharpest available pin on the q·c(v) + LUT(code) scoring — a
+    // sign/offset error in the coarse term makes residual scores
+    // nonsense (ordering by q·c − q·r mixes two unrelated rankings)
+    // and recall collapses toward the random tail. On THIS corpus (500
+    // random vectors, no cluster structure, true neighbors ~3.5σ into
+    // the random-pair tail) residuals have the same spread as the raw
+    // vectors, so the two modes' ADC error is statistically equal and
+    // tie noise dominates which of the ~equal candidates crack the
+    // top-10 — the band below catches mis-wiring, not quality. The
+    // quality claim (residual ≥ raw when quantization is actually
+    // stressed) is measured where it is meaningful: the n=800k planted
+    // RecallProbe run enforces both serve gates and prints the
+    // margin=0 ADC pair (BASELINE r14 records it).
+    val bruteSets = brute.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val sets = rows.filter(!_.isNullAt(2)).groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rs = bruteSets.map { case (q, bs) =>
+        sets.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+      }
+      rs.sum / rs.size
+    }
+    def adcOnly(res: Boolean): Double = recallOf(
+      graft.operators.IvfPq.annIvfPqServe(spark, dir,
+        nlistOverride = Some(nlist), nprobeOverride = Some(nlist),
+        margin = 0, residual = res).collect())
+    val (rawAdc, resAdc) = (adcOnly(false), adcOnly(true))
+    info(f"pure-ADC recall@10: raw $rawAdc%.3f residual $resAdc%.3f")
+    assert(resAdc >= rawAdc - 0.2,
+      s"residual ADC ordering ($resAdc) collapsed vs raw ($rawAdc) — " +
+        "coarse-term correction likely mis-wired")
+    // (c) Defaults: same recall bar as the raw tier, and deterministic
+    // (the second call also exercises index reuse via the _res tree).
+    val first = graft.operators.IvfPq.annIvfPqServe(spark, dir, residual = true)
+      .collect()
+    val resRecall = recallOf(first)
+    val flatRecall = recallOf(graft.operators.Ivf.annIvfServe(spark, dir).collect())
+    info(f"recall@10 at defaults: ivf-pq-res $resRecall%.3f vs ivf-flat $flatRecall%.3f")
+    assert(resRecall >= flatRecall - 0.1,
+      s"residual PQ recall $resRecall fell more than 0.1 below flat $flatRecall")
+    val second = graft.operators.IvfPq.annIvfPqServe(spark, dir, residual = true)
+      .collect()
+    assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq,
+      "residual IVF-PQ serve is not deterministic across runs")
+  }
+
   test("ANN re-ranking is exact cosine (ann scores match brute on shared pairs)") {
     val bruteScores = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val shared = Similarity.annLsh(spark, dir).collect()
