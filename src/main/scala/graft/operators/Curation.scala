@@ -242,6 +242,54 @@ object Curation {
       .withColumnRenamed("n_dup_windows", "n_contaminated_windows")
   }
 
+  /** `corpus_decontaminate`: [[contaminationSpans]]'s TRAIN-side apply
+    * — the decontamination a pipeline actually ships. The span
+    * direction flips (train windows semi-joined against the TEST
+    * window hashes: the spans to CUT are the train regions that leak
+    * test content — GPT-3-appendix-C / Lee-et-al practice removes
+    * contaminated TRAIN text, never the benchmark), then the flagged
+    * islands are cut out of each train document with the O(tokens +
+    * spans) [[graft.functions.CutSpans]] merge-scan and the cleaned
+    * train corpus is re-emitted with post-cut token stats —
+    * [[Dedup.substringApply]]'s materialization tail over
+    * [[contaminationSpans]]'s mirrored flag stage. Scale shape is the
+    * sum of its two parents': 8-byte window hashes shuffle (never
+    * text), one hint-pinned shuffle-hash semi join, one doc-keyed
+    * island window, one shuffle-hash span join into the cut. DuckDB
+    * oracle groups window STRINGS and hash-compares the cleaned text
+    * itself (the dedup_substring_apply convention).
+    */
+  def decontaminate(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    val posted = Dedup.windowPostings(spark, dir, w)
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .transform(graft.Caches.scoped(_)) // train + test sides, one pass
+    val testH = posted.filter(col("bucket") >= 95).select(col("h"))
+    val spans = Dedup.mergeIslands(
+      posted.filter(col("bucket") < 90).select(col("doc_id"), col("pos"), col("h"))
+        .join(testH.hint("shuffle_hash"), Seq("h"), "left_semi"), w)
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+    val emptyLongs = array().cast("array<bigint>")
+    Tables.documents(spark, dir)
+      .filter(splitBucket(col("doc_id")) < 90)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.CutSpans.cut_spans(col("w"),
+          coalesce(transform(col("sp"), _.getField("span_start")), emptyLongs),
+          coalesce(transform(col("sp"), _.getField("span_end")), emptyLongs))
+          .as("clean_text"),
+        (size(col("w")).cast("long") - coalesce(col("n_removed"), lit(0L)))
+          .as("n_tokens_clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("n_removed"), lit(0L)).as("n_tokens_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[contamination]] over any (doc_id, text) frame — the reusable
     * core, so the Zipfian-skew stress spec can drive it with a crafted
     * corpus (a hot shingle in ~30% of documents) and pin both gate

@@ -275,6 +275,24 @@ class CurationSpec extends AnyFunSuite {
     // the test doc's passage occupies word offsets 7 .. 7+w-1
     assert(got == Set((testId, 7L, (7 + w - 1).toLong, 1L)),
       s"expected exactly the planted span of doc $testId, got $got")
+    // The APPLY flips the direction: corpus_decontaminate must cut the
+    // passage from the TRAIN doc (offsets 5 .. 5+w-1), leave every
+    // other train doc byte-identical, and emit no val/test docs at all.
+    val cleaned = Curation.decontaminate(spark, s"$tmp/final", w).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.release()
+    val trainIds = split.collect { case (id, "train") => id }.toSet
+    assert(cleaned.keySet == trainIds,
+      s"decontaminate must emit exactly the train split, got ${cleaned.keySet.size}")
+    val expectClean = (filler(trainId, 5) ++ filler(trainId + 1000, 5)).mkString(" ")
+    assert(cleaned(trainId) == ((expectClean, 10L, 1L, w.toLong)),
+      s"train doc not cut as planted: ${cleaned(trainId)}")
+    val untouched = planted.toMap
+    (trainIds - trainId).foreach { id =>
+      assert(cleaned(id) == ((untouched(id), 40L, 0L, 0L)),
+        s"clean train doc $id was modified: ${cleaned(id)}")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 }
