@@ -75,6 +75,83 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of `dedup_incremental_serve` (r14): unbounded
+    * document arrivals exact-deduped against a STANDING content store
+    * that grows with every accepted micro-batch — the crawl-ingest
+    * loop a training corpus actually runs, where watermark-bounded
+    * `dropDuplicates` state cannot work (content recurs YEARS apart;
+    * the dedup horizon is the whole corpus, so the state must live in
+    * storage, not the state store).
+    *
+    * Per micro-batch ([[dedupArrivalBatch]]): the batch is aggregated
+    * on its 16-byte md5 (min doc_id wins within the batch, copy count
+    * kept for audit), anti-joined against the standing hash store, and
+    * the survivors land in TWO batchId-keyed partition directories —
+    * `accepted/batch=<id>` (the corpus delta downstream tokenization
+    * consumes) and `hashes/batch=<id>` (the 16 B/doc standing store the
+    * NEXT batch probes). Identical join shape and per-arrival O(batch)
+    * cost to the batch serve twin (Dedup.incrementalServe).
+    *
+    * Exactly-once without a transactional store: each attempt reads
+    * standing state as `hashes` partitions with **batch < batchId** —
+    * a retried batch therefore never sees its own crashed attempt's
+    * partial hash write (which its overwrite then replaces), so replays
+    * are deterministic and the accepted set is append-exactly-once.
+    * Semantics are FIRST ARRIVAL WINS across batches (the only causal
+    * choice on an unbounded stream) and min-id within a batch; the spec
+    * pins both against a from-scratch fold. At production scale the
+    * per-batch hash directories get periodically compacted (their
+    * union, not their layout, is the contract — same note as the
+    * signed-export store's table-format caveat).
+    */
+  def arrivalDedup(docs: DataFrame, storeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupArrivalBatch(batch, storeDir, batchId)
+      }
+      .start()
+
+  /** One arrival batch against the standing store; see [[arrivalDedup]].
+    * Public-in-package so the crash-injection spec can drive a retried
+    * batchId directly.
+    */
+  private[graft] def dedupArrivalBatch(batch: DataFrame, storeDir: String,
+                                       batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val winners = batch
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
+    val hashesRoot = new java.io.File(s"$storeDir/hashes")
+    val standingDirs = Option(hashesRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+      .map(_.getPath)
+    val accepted = (
+      if (standingDirs.isEmpty) winners
+      else winners.join(
+        spark.read.parquet(standingDirs: _*).hint("shuffle_hash"),
+        Seq("text_hash"), "left_anti"))
+      .select(col("doc_id"), col("text_hash"), col("batch_copies"))
+      .persist() // read twice below; both writes see one computation
+    try {
+      accepted.write.mode("overwrite")
+        .parquet(s"$storeDir/accepted/batch=$batchId")
+      accepted.select(col("text_hash")).write.mode("overwrite")
+        .parquet(s"$storeDir/hashes/batch=$batchId")
+    } finally accepted.unpersist()
+  }
+
+  /** The standing accepted corpus across every committed arrival batch
+    * (reader side of [[arrivalDedup]]'s store). */
+  def arrivalAccepted(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("basePath", s"$storeDir/accepted")
+      .parquet(s"$storeDir/accepted")
+      .select(col("doc_id"), col("text_hash"), col("batch_copies"),
+        col("batch").cast("long").as("batch"))
+
   /** Stream-stream event-time INTERVAL join (r12): every click joined
     * to the views of the same user in its trailing `lookback` window —
     * the bounded-window streaming form of click→view attribution

@@ -355,6 +355,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("arrival dedup: standing store grows, first arrival wins, retry is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrival_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrival_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.arrivalDedup(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt)
+    // Crafted arrivals: "aaa" recurs across batches (including with a
+    // SMALLER id later — first arrival must still win), "ccc" duplicates
+    // within one batch (min id wins), "ddd" arrives clean.
+    val chunks = Seq(
+      Seq((10L, "aaa"), (11L, "bbb"), (12L, "aaa")),
+      Seq((5L, "aaa"), (14L, "ccc"), (13L, "ccc")),
+      Seq((20L, "bbb"), (21L, "ddd")))
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def acceptedSet() = EventStream.arrivalAccepted(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val got = acceptedSet()
+    assert(got == Set((10L, 2L, 0L), (11L, 1L, 0L), (13L, 2L, 1L), (21L, 1L, 2L)),
+      s"arrival dedup accepted set wrong: $got")
+    // From-scratch fold of the same semantics (first-arrival by chunk,
+    // min-id within a chunk) — the crafted assert above is a reading of
+    // this fold, not an independent convention.
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = chunks.zipWithIndex.flatMap { case (c, b) =>
+      val winners = c.groupBy(_._2).filter(g => !seen.contains(g._1))
+        .map { case (_, rows) => (rows.map(_._1).min, rows.size.toLong, b.toLong) }
+      c.foreach(r => seen += r._2)
+      winners
+    }.toSet
+    assert(got == expect, s"fold disagrees: got $got expect $expect")
+    // Retried batch (a sink crash AFTER the hash write committed): the
+    // same batchId re-runs against a store that already contains its
+    // own hashes. batch < batchId standing-state filtering must keep
+    // the replay deterministic — store unchanged, no self-rejection.
+    EventStream.dedupArrivalBatch(chunks(1).toDF("doc_id", "text"), store, 1L)
+    assert(acceptedSet() == got, "retried batch changed the store")
+    // And the NEXT batch's standing state includes every prior hash:
+    // a full replay of all three payloads as later batches accepts
+    // nothing new.
+    EventStream.dedupArrivalBatch(
+      chunks.flatten.toDF("doc_id", "text"), store, 7L)
+    assert(EventStream.arrivalAccepted(spark, store)
+        .filter(col("batch") === 7L).count() == 0L,
+      "replayed content was re-accepted against the standing store")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("left-outer interval join: matches emit eagerly, unmatched clicks after the watermark") {
     // The unattributed-click audit stream: a click with no same-user
     // view in its lookback must emit ONCE — with null view columns —
