@@ -497,8 +497,8 @@ object Dedup {
     * the terminal distinct collapses them on the ~1000× smaller
     * survivor set).
     */
-  private[operators] def verifyJaccard(docsSh: DataFrame, cand: DataFrame,
-                                       tau: Double): DataFrame =
+  private[graft] def verifyJaccard(docsSh: DataFrame, cand: DataFrame,
+                                   tau: Double): DataFrame =
     cand
       .join(docsSh.as("da").hint("shuffle_hash"), col("doc_a") === col("da.doc_id"))
       .join(docsSh.as("db").hint("shuffle_hash"), col("doc_b") === col("db.doc_id"))

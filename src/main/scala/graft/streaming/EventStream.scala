@@ -114,6 +114,17 @@ object EventStream {
       }
       .start()
 
+  /** Standing-state partition directories committed STRICTLY BEFORE
+    * `batchId` — the read side of the exactly-once contract both
+    * arrival loops share (a retried batch never sees its own crashed
+    * attempt's partial write).
+    */
+  private def standingDirs(root: String, batchId: Long): Seq[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+      .map(_.getPath)
+
   /** One arrival batch against the standing store; see [[arrivalDedup]].
     * Public-in-package so the crash-injection spec can drive a retried
     * batchId directly.
@@ -124,15 +135,11 @@ object EventStream {
     val winners = batch
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
-    val hashesRoot = new java.io.File(s"$storeDir/hashes")
-    val standingDirs = Option(hashesRoot.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-      .map(_.getPath)
+    val standing = standingDirs(s"$storeDir/hashes", batchId)
     val accepted = (
-      if (standingDirs.isEmpty) winners
+      if (standing.isEmpty) winners
       else winners.join(
-        spark.read.parquet(standingDirs: _*).hint("shuffle_hash"),
+        spark.read.parquet(standing: _*).hint("shuffle_hash"),
         Seq("text_hash"), "left_anti"))
       .select(col("doc_id"), col("text_hash"), col("batch_copies"))
       .persist() // read twice below; both writes see one computation
@@ -151,6 +158,144 @@ object EventStream {
       .parquet(s"$storeDir/accepted")
       .select(col("doc_id"), col("text_hash"), col("batch_copies"),
         col("batch").cast("long").as("batch"))
+
+  /** [[arrivalDedup]] upgraded to NEAR-duplicate arrivals — the
+    * streaming twin of `Dedup.incrementalNearDupServe` composed into
+    * the full arrival loop the batch scaladoc leaves to the caller.
+    * Per micro-batch ([[nearDupArrivalBatch]]), three reject tiers:
+    *
+    *   1. EXACT — within-batch md5 aggregate (min-id wins), then the
+    *      standing-hash anti join ([[dedupArrivalBatch]]'s stage
+    *      verbatim). The standing `hashes/` store records every
+    *      distinct content the stream has SEEN (accepted or rejected),
+    *      so recurring near-dup content is re-rejected at exact-hash
+    *      cost, never re-verified.
+    *   2. CROSS near-dup — survivors' MinHash band keys collide
+    *      against the standing `bands/` index (accepted docs only: a
+    *      keeper represents its cluster); colliding STORE docs' text is
+    *      fetched by semi join from `accepted/` (O(collisions), the
+    *      incrementalNearDupServe prune) and candidates verify at
+    *      exact shingle Jaccard ≥ tau.
+    *   3. WITHIN-batch near-dup — remaining survivors band against
+    *      THEMSELVES, verified pairs resolve through
+    *      [[graft.operators.Clusters.clustersFrom]] (micro-batches sit
+    *      under its small-graph gate), min-id per cluster kept — the
+    *      same pairs→CC→keeper semantics as the batch dedup_prune.
+    *
+    * Accepted docs land WITH their text (`accepted/` IS the growing
+    * clean corpus), plus their hash and band keys into the standing
+    * indexes — all three writes batchId-keyed partition dirs under the
+    * same `batch < batchId` replay contract as the exact loop. Docs
+    * under 3 words have no shingles and skip tiers 2-3 (exact-only),
+    * matching the batch family's tokenized floor.
+    */
+  def arrivalNearDup(docs: DataFrame, storeDir: String, checkpointDir: String,
+                     tau: Double = 0.9, k: Int = 64, bands: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupArrivalBatch(batch, storeDir, batchId, tau, k, bands)
+      }
+      .start()
+
+  /** One near-dup arrival batch; see [[arrivalNearDup]]. */
+  private[graft] def nearDupArrivalBatch(batch: DataFrame, storeDir: String,
+                                         batchId: Long, tau: Double,
+                                         k: Int, bands: Int): Unit = {
+    val spark = batch.sparkSession
+    val r = k / bands
+    def bandKeys(sigDf: DataFrame): DataFrame = sigDf.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
+    // Tier 1: exact — copies of one content share its text byte-exactly,
+    // so any(text) is deterministic in value under the md5 group.
+    val winners = batch
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"),
+        first(col("text")).as("text"))
+    val seenDirs = standingDirs(s"$storeDir/hashes", batchId)
+    val exactOk = (
+      if (seenDirs.isEmpty) winners
+      else winners.join(
+        spark.read.parquet(seenDirs: _*).hint("shuffle_hash"),
+        Seq("text_hash"), "left_anti"))
+      .persist() // hash write + shingle pass + accepted assembly
+    try {
+      val shingled = exactOk
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.HashedShingles.hashed_shingles(col("w"), 3).as("sh"),
+          graft.functions.MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
+        .persist() // cross tier + self tier + band write
+      try {
+        // Tier 2: cross near-dup against the standing band index.
+        val bandDirs = standingDirs(s"$storeDir/bands", batchId)
+        val crossRejected =
+          if (bandDirs.isEmpty) shingled.select(col("doc_id")).limit(0)
+          else {
+            val cand = bandKeys(shingled).as("a")
+              .join(spark.read.parquet(bandDirs: _*).as("b").hint("shuffle_hash"),
+                col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+              .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+              .distinct()
+              .transform(graft.Caches.scoped(_)) // store fetch + verification
+            val storeSh = spark.read
+              .option("basePath", s"$storeDir/accepted")
+              .parquet(standingDirs(s"$storeDir/accepted", batchId): _*)
+              .join(cand.select(col("doc_b").as("doc_id")).hint("shuffle_hash"),
+                Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), split(col("text"), " ").as("w"))
+              .filter(size(col("w")) >= 3)
+              .select(col("doc_id"),
+                graft.functions.HashedShingles.hashed_shingles(col("w"), 3).as("sh"))
+            graft.operators.Dedup.verifyJaccard(
+                shingled.select(col("doc_id"), col("sh")).unionByName(storeSh),
+                cand, tau)
+              .select(col("doc_a").as("doc_id")).distinct()
+          }
+        // Tier 3: within-batch near-dup among the remaining survivors.
+        val selfSh = shingled
+          .join(crossRejected.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .transform(graft.Caches.scoped(_))
+        val selfCand = bandKeys(selfSh).as("a")
+          .join(bandKeys(selfSh).as("b").hint("shuffle_hash"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val selfPairs = graft.operators.Dedup.verifyJaccard(
+          selfSh.select(col("doc_id"), col("sh")), selfCand, tau)
+        val selfDropped = graft.operators.Clusters
+          .clustersFrom(spark, selfPairs.select(col("doc_a"), col("doc_b")))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        val rejected = crossRejected.unionByName(selfDropped)
+        val accepted = exactOk
+          .join(rejected.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text_hash"), col("batch_copies"),
+            col("text"))
+          .persist() // corpus write + band-key write
+        try {
+          accepted.write.mode("overwrite")
+            .parquet(s"$storeDir/accepted/batch=$batchId")
+          // Every SEEN content's hash (tier-1 note above), not just
+          // the accepted ones.
+          exactOk.select(col("text_hash")).write.mode("overwrite")
+            .parquet(s"$storeDir/hashes/batch=$batchId")
+          bandKeys(shingled
+              .join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/bands/batch=$batchId")
+        } finally accepted.unpersist()
+      } finally shingled.unpersist()
+    } finally {
+      exactOk.unpersist()
+      graft.Caches.release()
+    }
+  }
 
   /** Stream-stream event-time INTERVAL join (r12): every click joined
     * to the views of the same user in its trailing `lookback` window —

@@ -408,6 +408,53 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("arrival near-dup: three reject tiers against the growing store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrnd_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrnd_ckpt").toString
+    // Distinct vocabularies so unrelated docs share NO 3-gram shingle;
+    // an appended word keeps J = (n-2)/(n+1) ≈ 0.95 ≥ 0.9 on 40-word
+    // bases (a near-dup the exact hash can't see).
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val baseA = words("alpha", 40)
+    val baseB = words("beta", 40)
+    val baseC = words("gamma", 40)
+    val baseD = words("delta", 40)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.arrivalNearDup(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt)
+    val chunks = Seq(
+      // batch 0: two unrelated docs, both accepted
+      Seq((10L, baseA), (11L, baseB)),
+      // batch 1: near-dup of A (cross tier: J = 38/39 ≈ 0.97), exact
+      // dup of A (tier 1), and a clean arrival
+      Seq((20L, baseA + " alphaX"), (21L, baseA), (22L, baseC)),
+      // batch 2: the SAME near-dup content again — tier 1 must reject
+      // it now (its hash was recorded as seen even though rejected) —
+      // plus a fresh-vocabulary within-batch near-dup pair (tier 3:
+      // no store relative, min id keeps)
+      Seq((30L, baseA + " alphaX"), (32L, baseD + " deltaX"), (31L, baseD)))
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def accepted() = spark.read.option("basePath", s"$store/accepted")
+      .parquet(s"$store/accepted")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("batch").toLong))
+      .toSet
+    val got = accepted()
+    assert(got == Set((10L, 0L), (11L, 0L), (22L, 1L), (31L, 2L)),
+      s"arrival near-dup accepted set wrong: $got")
+    // Retried batch 1 (same batchId, store already contains its
+    // writes): deterministic, store unchanged.
+    EventStream.nearDupArrivalBatch(
+      chunks(1).toDF("doc_id", "text"), store, 1L, 0.9, 64, 16)
+    assert(accepted() == got, "retried near-dup batch changed the store")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("left-outer interval join: matches emit eagerly, unmatched clicks after the watermark") {
     // The unattributed-click audit stream: a click with no same-user
     // view in its lookback must emit ONCE — with null view columns —
