@@ -355,6 +355,31 @@ object Clusters {
     */
   def mergeIncrementalLabels(spark: SparkSession, labels: DataFrame,
                              newPairs: DataFrame): DataFrame = {
+    val (lab, touchedClusters, subLabels) = mergeParts(spark, labels, newPairs)
+    // re-select: a using-column join moves cluster_id first, and the
+    // contract (like connectedComponents') is (doc_id, cluster_id)
+    lab.join(touchedClusters.hint("shuffle_hash"), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(subLabels)
+  }
+
+  /** The DELTA of [[mergeIncrementalLabels]] — only the re-solved
+    * labels of batch-touched components (the scaladoc's "a production
+    * pipeline keeping labels as a store would write only the re-solved
+    * delta"): every member of every touched component re-stated with
+    * its merged label, nothing for untouched components. The streaming
+    * label store ([[graft.streaming.EventStream.clusterArrivalBatch]])
+    * writes exactly this per micro-batch under latest-batch-wins read
+    * semantics — no tombstones needed, because a fused component's
+    * every member appears in the delta.
+    */
+  def mergeIncrementalDelta(spark: SparkSession, labels: DataFrame,
+                            newPairs: DataFrame): DataFrame =
+    mergeParts(spark, labels, newPairs)._3
+
+  private def mergeParts(spark: SparkSession, labels: DataFrame,
+                         newPairs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val lc = labels.columns
     require(lc.length == 2, s"label table needs 2 columns, got ${lc.mkString(",")}")
     val pc = newPairs.columns
@@ -373,11 +398,7 @@ object Clusters {
     val subLabels = connectedComponents(spark,
       affectedStar.select(col("doc_id").as("u"), col("cluster_id").as("v"))
         .unionByName(pairs))
-    // re-select: a using-column join moves cluster_id first, and the
-    // contract (like connectedComponents') is (doc_id, cluster_id)
-    lab.join(touchedClusters.hint("shuffle_hash"), Seq("cluster_id"), "left_anti")
-      .select(col("doc_id"), col("cluster_id"))
-      .unionByName(subLabels)
+    (lab, touchedClusters, subLabels)
   }
 
   /** `dedup_clusters_incremental`: the arrival-shaped cluster query —

@@ -200,6 +200,149 @@ object EventStream {
       }
       .start()
 
+  /** The third arrival loop (r14): streaming CLUSTER-LABEL maintenance
+    * — every arriving doc is KEPT (this loop curates labels for a
+    * later prune, the dedup_clusters/dedup_prune split of concerns,
+    * where [[arrivalNearDup]] rejects at ingest) and the standing
+    * (doc_id, cluster_id) table absorbs each batch's near-dup pairs
+    * through [[graft.operators.Clusters.mergeIncrementalDelta]] —
+    * `mergeIncrementalLabels`' production shape: per micro-batch the
+    * store gains ONLY the re-solved labels of batch-touched components
+    * plus self-labels for untouched new docs, never a full label
+    * rewrite.
+    *
+    * Per batch ([[clusterArrivalBatch]]): batch text lands in
+    * `corpus/batch=<id>`; its MinHash band keys collide against the
+    * standing `bands/` index AND themselves, candidates verify at
+    * exact shingle Jaccard ≥ tau (colliding store text fetched by semi
+    * join from `corpus/` — O(collisions)); the verified pairs drive
+    * the delta merge against the standing labels; `labels/batch=<id>`
+    * gets delta ∪ new-doc self-labels and `bands/batch=<id>` the
+    * batch's keys. Standing state is always read as `batch < batchId`
+    * partitions — same replay contract as the other two loops.
+    *
+    * [[arrivalClusterLabels]] reads the store LATEST-BATCH-WINS per
+    * doc: a fused component's every member is re-stated in the fusing
+    * batch's delta, so no tombstones are needed. The per-batch
+    * latest-wins window over the label log is the no-compaction price
+    * (production compacts the log periodically, same note as the
+    * signed-export store); the MERGE work itself is bounded by the
+    * batch-touched subgraph, which is the point.
+    */
+  def arrivalClusters(docs: DataFrame, storeDir: String, checkpointDir: String,
+                      tau: Double = 0.9, k: Int = 64, bands: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        clusterArrivalBatch(batch, storeDir, batchId, tau, k, bands)
+      }
+      .start()
+
+  /** One label-maintenance arrival batch; see [[arrivalClusters]]. */
+  private[graft] def clusterArrivalBatch(batch: DataFrame, storeDir: String,
+                                         batchId: Long, tau: Double,
+                                         k: Int, bands: Int): Unit = {
+    val spark = batch.sparkSession
+    val r = k / bands
+    def bandKeys(sigDf: DataFrame): DataFrame = sigDf.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sig, b*$r + 1, $r), b))")).as(Seq("band", "bh")))
+    val rows = batch.select(col("doc_id"), col("text")).persist()
+    try {
+      val shingled = rows
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.HashedShingles.hashed_shingles(col("w"), 3).as("sh"),
+          graft.functions.MinHashShingled.minhash_shingled(col("w"), 3, k).as("sig"))
+        .persist() // cross cand + self cand + band write
+      try {
+        val batchKeys = bandKeys(shingled)
+          .transform(graft.Caches.scoped(_)) // cross + self joins
+        val bandDirs = standingDirs(s"$storeDir/bands", batchId)
+        val crossPairs =
+          if (bandDirs.isEmpty)
+            shingled.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+              .limit(0)
+          else {
+            val cand = batchKeys.as("a")
+              .join(spark.read.parquet(bandDirs: _*).as("b").hint("shuffle_hash"),
+                col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+              .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+              .distinct()
+              .transform(graft.Caches.scoped(_)) // store fetch + verification
+            val storeSh = spark.read
+              .parquet(standingDirs(s"$storeDir/corpus", batchId): _*)
+              .join(cand.select(col("doc_b").as("doc_id")).hint("shuffle_hash"),
+                Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), split(col("text"), " ").as("w"))
+              .filter(size(col("w")) >= 3)
+              .select(col("doc_id"),
+                graft.functions.HashedShingles.hashed_shingles(col("w"), 3).as("sh"))
+            graft.operators.Dedup.verifyJaccard(
+                shingled.select(col("doc_id"), col("sh")).unionByName(storeSh),
+                cand, tau)
+              .select(col("doc_a"), col("doc_b"))
+          }
+        val selfCand = batchKeys.as("a")
+          .join(batchKeys.as("b").hint("shuffle_hash"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val selfPairs = graft.operators.Dedup.verifyJaccard(
+            shingled.select(col("doc_id"), col("sh")), selfCand, tau)
+          .select(col("doc_a"), col("doc_b"))
+        val newPairs = crossPairs.unionByName(selfPairs)
+          .transform(graft.Caches.scoped(_)) // merge endpoints + delta CC
+        val labelDirs = standingDirs(s"$storeDir/labels", batchId)
+        val standing =
+          if (labelDirs.isEmpty)
+            rows.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
+          else arrivalClusterLabelsFrom(spark, s"$storeDir/labels", labelDirs)
+        val delta = graft.operators.Clusters
+          .mergeIncrementalDelta(spark, standing, newPairs)
+        val selfLabels = rows.select(col("doc_id"))
+          .join(delta.select(col("doc_id")).hint("shuffle_hash"),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        val labelsOut = delta.unionByName(selfLabels).persist()
+        try {
+          labelsOut.write.mode("overwrite")
+            .parquet(s"$storeDir/labels/batch=$batchId")
+          rows.write.mode("overwrite")
+            .parquet(s"$storeDir/corpus/batch=$batchId")
+          batchKeys.write.mode("overwrite")
+            .parquet(s"$storeDir/bands/batch=$batchId")
+        } finally labelsOut.unpersist()
+      } finally shingled.unpersist()
+    } finally {
+      rows.unpersist()
+      graft.Caches.release()
+    }
+  }
+
+  /** Latest-batch-wins label read over the delta log (reader side of
+    * [[arrivalClusters]]). */
+  def arrivalClusterLabels(spark: SparkSession, storeDir: String): DataFrame = {
+    val root = s"$storeDir/labels"
+    arrivalClusterLabelsFrom(spark, root,
+      standingDirs(root, Long.MaxValue))
+  }
+
+  private def arrivalClusterLabelsFrom(spark: SparkSession, basePath: String,
+                                       dirs: Seq[String]): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("batch").cast("long").desc)
+    spark.read.option("basePath", basePath).parquet(dirs: _*)
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
   /** One near-dup arrival batch; see [[arrivalNearDup]]. */
   private[graft] def nearDupArrivalBatch(batch: DataFrame, storeDir: String,
                                          batchId: Long, tau: Double,

@@ -455,6 +455,60 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("arrival clusters: delta-log labels equal a full batch recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrcl_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrcl_ckpt").toString
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, d) = (words("alpha", 40), words("beta", 40),
+      words("gamma", 40), words("delta", 40))
+    val chunks = Seq(
+      // within-batch pair {10,12}; 11 alone
+      Seq((10L, a), (11L, b), (12L, a + " alphaX")),
+      // 20 fuses into the standing {10,12} component via the band
+      // store; 21 alone
+      Seq((20L, a + " alphaX alphaY"), (21L, c)),
+      // 30 fuses with standing 11; 31 alone
+      Seq((30L, b + " betaX"), (31L, d)))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.arrivalClusters(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt)
+    try {
+      chunks.foreach { ch => mem.addData(ch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def labels() = EventStream.arrivalClusterLabels(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = labels()
+    // Ground truth: the BATCH pipeline over the whole corpus at once
+    // (minhashVerifiedPairs -> clustersFrom), self-labels for docs no
+    // pair touches — the incremental delta log must land exactly there.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrcl_full").toString
+    chunks.flatten.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val full = graft.operators.Clusters.clustersFrom(spark,
+        graft.operators.Dedup.minhashVerifiedPairs(spark, tmp, 0.9)
+          .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    val expect = chunks.flatten.map(_._1)
+      .map(id => id -> full.getOrElse(id, id)).toSet
+    assert(got == expect, s"streaming labels $got != full recompute $expect")
+    // And the crafted reading of that truth, so a broken fixture can't
+    // silently weaken the gate: {10,12,20} fused on 10, {11,30} on 11.
+    assert(expect == Set(10L -> 10L, 12L -> 10L, 20L -> 10L,
+      11L -> 11L, 30L -> 11L, 21L -> 21L, 31L -> 31L))
+    // Retried batch 1 (same batchId over a store already containing its
+    // writes): the batch < batchId standing read keeps it deterministic.
+    EventStream.clusterArrivalBatch(
+      chunks(1).toDF("doc_id", "text"), store, 1L, 0.9, 64, 16)
+    assert(labels() == got, "retried cluster batch changed the labels")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("left-outer interval join: matches emit eagerly, unmatched clicks after the watermark") {
     // The unattributed-click audit stream: a click with no same-user
     // view in its lookback must emit ONCE — with null view columns —
