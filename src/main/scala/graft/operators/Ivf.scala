@@ -526,4 +526,133 @@ object Ivf {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** ARRIVAL-INDEX maintenance (r14): the standing ANN index as a
+    * store unbounded vector arrivals grow — FAISS's add-after-train
+    * cost model ([[buildIndex]] is the immutable once-per-source shape;
+    * this is the shape a live embedding pipeline needs). The FIRST
+    * batch with data trains the coarse quantizer (deterministic —
+    * [[train]]'s hash-sampled Lloyd — so a crashed first attempt
+    * retrains to identical centroids) and writes `centroids/`; EVERY
+    * batch assigns its vectors to their nearest cell with the frozen
+    * centroids and appends ONE batchId-keyed cell-partitioned directory
+    * (`cells/batch=<id>/cell=N/`). Writes are idempotent per batchId
+    * (mode overwrite of that batch's own dir), the same replay contract
+    * as the other arrival stores. Quantizer drift under a shifting
+    * distribution is the documented operational knob (FAISS's too):
+    * retrain = build a new store, cut over, not mutate this one.
+    */
+  def vectorArrivalBatch(batch: DataFrame, storeDir: String, batchId: Long,
+                         nlist: Int, iters: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val base = Similarity.withFastNorm(
+      batch.select(col("vec_id"), col("embedding"))).persist()
+    try {
+      if (base.isEmpty) return
+      val dim = base.select(size(col("embedding"))).head.getInt(0)
+      val centPath = s"$storeDir/centroids"
+      val cents =
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(centPath, "_SUCCESS")))
+          readCentroidMatrix(spark, centPath)
+        else {
+          val c = train(base, base.count(), nlist, dim, iters)
+          import spark.implicits._
+          (0 until nlist).map { i =>
+            (i, (0 until dim).map(j => c(i * dim + j)))
+          }.toDF("cell", "centroid").repartition(1)
+            .write.mode("overwrite").parquet(centPath)
+          c
+        }
+      base.select(col("vec_id"), col("embedding"), col("nf"),
+          element_at(IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1)
+            .as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$storeDir/cells/batch=$batchId")
+    } finally base.unpersist()
+  }
+
+  private def readCentroidMatrix(spark: SparkSession, path: String): Array[Float] = {
+    val rows = spark.read.parquet(path).collect()
+    val d = rows.head.getSeq[Float](1).length
+    val m = new Array[Float](rows.length * d)
+    rows.foreach { r =>
+      val c = r.getInt(0); val v = r.getSeq[Float](1)
+      var i = 0
+      while (i < d) { m(c * d + i) = v(i); i += 1 }
+    }
+    m
+  }
+
+  /** Serve over the arrival-grown index: [[annIvfServe]]'s probe shape
+    * — driver-computed probe cells from the resident centroid matrix,
+    * ONE cell-pruned scan of the probed directories, fast-cosine
+    * k+margin prune, decimal-exact re-rank from store-resident rows —
+    * against the union of every COMMITTED arrival directory (dirs with
+    * `_SUCCESS` only, so a crashed in-flight batch is never served; the
+    * `cell=` partition prune applies inside each batch dir). `queries`
+    * is the caller's bounded (query_id, embedding) API input, exactly
+    * [[annIvfFrom]]'s convention.
+    */
+  def arrivalAnnServe(spark: SparkSession, storeDir: String, queries: DataFrame,
+                      k: Int = 10, nprobeOverride: Option[Int] = None,
+                      margin: Int = 16): DataFrame = {
+    val cents = centroidCache.computeIfAbsent(s"$storeDir/centroids",
+      p => readCentroidMatrix(spark, p))
+    val nlistRows = spark.read.parquet(s"$storeDir/centroids").count().toInt
+    val dim = cents.length / nlistRows
+    val nprobe = math.min(nlistRows,
+      nprobeOverride.getOrElse(math.max(8, nlistRows / 8)))
+    val qRows = queries.select(col("query_id"), col("embedding")).collect()
+    val probePairs = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val emb = org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(r.getSeq[Float](1).toArray)
+      val cellsArr = IvfCells.topCells(emb, cents, dim, nprobe)
+      (0 until nprobe).map(i => (qid, cellsArr.getInt(i)))
+    }.toSeq
+    import spark.implicits._
+    val qDf = qRows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+    val probes = probePairs.toDF("query_id", "cell")
+    val probedCells = probePairs.map(_._2).distinct
+    val committed = Option(
+        new java.io.File(s"$storeDir/cells").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getPath)
+    require(committed.nonEmpty, s"no committed arrival batches under $storeDir")
+    val store = spark.read.option("basePath", s"$storeDir/cells")
+      .parquet(committed: _*)
+      .filter(col("cell").isin(probedCells: _*))
+    val qFast = qDf.select(col("query_id"), col("qe"),
+      sqrt(graft.functions.DotF32.dot_f32(col("qe"), col("qe"))).as("qnf"))
+    val exactNorm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => sqrt(graft.functions.DotDecimal.dot_decimal(c, c))
+    val winners = store
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qFast), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"),
+        Similarity.fastCosine(col("qe"), col("qnf"), col("embedding"), col("nf")))
+      .withColumn("rank_f", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_fast").desc, col("vec_id"))))
+      .filter(col("rank_f") <= k + margin)
+    val ranked = winners
+      .select(col("query_id"), col("vec_id"),
+        (graft.functions.DotDecimal.dot_decimal(col("qe"), col("embedding")) /
+          (exactNorm(col("qe")) * exactNorm(col("embedding")))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+    qDf.select(col("query_id"))
+      .join(ranked, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

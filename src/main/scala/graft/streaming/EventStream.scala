@@ -343,6 +343,26 @@ object EventStream {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** The fourth arrival loop (r14): the standing ANN index grown by
+    * unbounded vector arrivals — a thin streaming shell over
+    * [[graft.operators.Ivf.vectorArrivalBatch]] (train-once coarse
+    * quantizer, per-batch assign-and-append into batchId-keyed
+    * cell-partitioned dirs; serve via
+    * [[graft.operators.Ivf.arrivalAnnServe]]). Same foreachBatch +
+    * batchId-keyed replay contract as the other loops.
+    */
+  def arrivalVectors(vectors: DataFrame, storeDir: String,
+                     checkpointDir: String, nlist: Int, iters: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Ivf.vectorArrivalBatch(batch, storeDir, batchId,
+          nlist, iters)
+      }
+      .start()
+
   /** One near-dup arrival batch; see [[arrivalNearDup]]. */
   private[graft] def nearDupArrivalBatch(batch: DataFrame, storeDir: String,
                                          batchId: Long, tau: Double,

@@ -509,6 +509,51 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("arrival vectors: the streamed index serves exactly (full-probe degeneration)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrvec_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrvec_ckpt").toString
+    val all = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val n = all.length
+    val nlist = graft.operators.Ivf.autoNlist(n.toLong)
+    // three arrival chunks; the quantizer trains on chunk 0 ONLY — the
+    // full-probe + corpus-margin serve must still equal brute force
+    // over the WHOLE streamed corpus (training quality cannot matter
+    // when every cell is probed and everything reaches the exact
+    // re-rank), which pins assignment, store layout, probe plumbing
+    // and the re-rank end to end.
+    val chunks = all.grouped((n + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.arrivalVectors(
+      mem.toDF().toDF("vec_id", "embedding"), store, ckpt, nlist)
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val queries = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serveAll() = graft.operators.Ivf.arrivalAnnServe(spark, store, queries,
+        nprobeOverride = Some(nlist), margin = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val got = serveAll()
+    val exact = graft.operators.Similarity.cosineTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(got == exact, "arrival-index full-probe serve differs from brute force")
+    // Retried batch 1 (same batchId): idempotent overwrite of its own
+    // dir — the served result must not change.
+    graft.operators.Ivf.vectorArrivalBatch(
+      chunks(1).toSeq.toDF("vec_id", "embedding"), store, 1L, nlist)
+    assert(serveAll() == exact, "retried vector batch changed the served index")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("left-outer interval join: matches emit eagerly, unmatched clicks after the watermark") {
     // The unattributed-click audit stream: a click with no same-user
     // view in its lookback must emit ONCE — with null view columns —
