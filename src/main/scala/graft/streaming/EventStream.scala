@@ -332,6 +332,86 @@ object EventStream {
       standingDirs(root, Long.MaxValue))
   }
 
+  /** OFFLINE compaction of an arrival store (every scaladoc above says
+    * "production compacts the log periodically" — this is that code).
+    * Each subtree's per-batch directories collapse into ONE directory
+    * at the HIGHEST existing batch id, so the `batch < batchId` replay
+    * contract is undisturbed: the stream's next id (checkpoint-issued,
+    * strictly greater) still sees the compacted dir as standing state.
+    * Set-semantics subtrees (hashes/bands/corpus/accepted) compact to
+    * their plain union; `labels/` resolves latest-batch-wins FIRST, so
+    * the compacted dir is the exact resolved table re-stated (the
+    * per-row `batch` audit attribution collapses to the compaction id
+    * — the standing-state contract is the union, not the layout).
+    *
+    * MUST run with the stream STOPPED (readers race the swap
+    * otherwise). Crash-safe by the staged-commit discipline the
+    * signed-export store established: the resolved state is written to
+    * an `_staging_compact` tree (leading underscore — invisible to
+    * parquet readers) and the commit point is a `_target` marker
+    * written AFTER the staged `_SUCCESS`; only then are the source
+    * dirs deleted and the staging renamed into place. An interruption
+    * before `_target` leaves the store untouched (staging discarded on
+    * re-run); after it, re-running [[compactArrivalStore]] completes
+    * the delete+rename from the staged copy. So the recovery protocol
+    * is simply "run it again before restarting the stream".
+    */
+  def compactArrivalStore(spark: SparkSession, storeDir: String): Unit = {
+    Seq("hashes", "bands", "corpus", "accepted").foreach { sub =>
+      compactSub(spark, s"$storeDir/$sub",
+        dirs => spark.read.parquet(dirs: _*))
+    }
+    compactSub(spark, s"$storeDir/labels",
+      dirs => arrivalClusterLabelsFrom(spark, s"$storeDir/labels", dirs))
+  }
+
+  /** Test hook: when set, [[compactSub]] throws AFTER the source-dir
+    * deletes and BEFORE the staging rename — the worst crash window. */
+  private[graft] var compactCrashBeforeRename: Boolean = false
+
+  private def compactSub(spark: SparkSession, root: String,
+                         resolve: Seq[String] => DataFrame): Unit = {
+    val rootF = new java.io.File(root)
+    if (!rootF.exists()) return
+    val staging = new java.io.File(rootF, "_staging_compact")
+    val targetMark = new java.io.File(staging, "_target")
+    val committed = new java.io.File(staging, "_SUCCESS").exists() &&
+      targetMark.exists()
+    val maxId: Long =
+      if (committed) {
+        // recovery: the id was pinned at the commit point — remaining
+        // source dirs may be partially deleted, so it must NOT be
+        // re-derived from them.
+        new String(java.nio.file.Files.readAllBytes(targetMark.toPath),
+          "UTF-8").trim.toLong
+      } else {
+        if (staging.exists()) // interrupted WRITE: sources intact, discard
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        val dirs = standingDirs(root, Long.MaxValue)
+        if (dirs.length <= 1) return
+        val id = dirs
+          .map(d => new java.io.File(d).getName.stripPrefix("batch=").toLong)
+          .max
+        resolve(dirs).write.mode("overwrite").parquet(staging.getPath)
+        java.nio.file.Files.write(targetMark.toPath,
+          id.toString.getBytes("UTF-8")) // commit point
+        id
+      }
+    standingDirs(root, Long.MaxValue).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    if (compactCrashBeforeRename)
+      throw new RuntimeException("injected compaction crash before rename")
+    // The marker rides THROUGH the rename (deleting it first would
+    // reopen the lost-data window it exists to close: sources gone,
+    // staging demoted back to "interrupted write"). Underscore files
+    // are invisible to parquet readers, so it is harmless in the live
+    // dir and removed best-effort after the swap.
+    val target = new java.io.File(rootF, s"batch=$maxId")
+    if (!staging.renameTo(target))
+      throw new java.io.IOException(s"compaction rename failed: $staging -> $target")
+    new java.io.File(target, "_target").delete()
+  }
+
   private def arrivalClusterLabelsFrom(spark: SparkSession, basePath: String,
                                        dirs: Seq[String]): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window

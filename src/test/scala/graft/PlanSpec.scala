@@ -585,6 +585,16 @@ class PlanSpec extends AnyFunSuite {
       "exactly one partial+final aggregate pair (the island merge) — more " +
         "means the train side is being aggregated before the semi join")
     graft.Caches.release()
+    // corpus_decontaminate composes both shapes (mirrored flag stage +
+    // the apply tail): the same no-broadcast discipline must hold — the
+    // TEST-hash semi join and the span/doc joins all shuffle-hash.
+    val decon = graft.operators.Curation.decontaminate(spark, dir)
+    val deconExec = finalPlanOnly(decon.queryExecution.executedPlan.toString)
+    assert(deconExec.contains("LeftSemi") && deconExec.contains("ShuffledHashJoin"),
+      "decontaminate semi join must stay shuffle-hash")
+    assert(!deconExec.contains("BroadcastHashJoin"),
+      "decontaminate joins must not broadcast")
+    graft.Caches.release()
   }
 
   test("windows keyed by low-cardinality columns never run over a raw scan") {

@@ -554,6 +554,63 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("arrival store compaction: one dir per subtree, state identical, crash-recoverable") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_compact_store").toString
+    def feed(rows: Seq[(Long, String)], id: Long): Unit =
+      EventStream.dedupArrivalBatch(rows.toDF("doc_id", "text"), store, id)
+    feed(Seq((10L, "aaa"), (11L, "bbb")), 0L)
+    feed(Seq((12L, "aaa"), (13L, "ccc")), 1L)
+    feed(Seq((14L, "ddd")), 2L)
+    def acceptedRows() = EventStream.arrivalAccepted(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet // (doc_id, copies)
+    def batchDirs(sub: String) =
+      new java.io.File(s"$store/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    val before = acceptedRows()
+    assert(before == Set((10L, 1L), (11L, 1L), (13L, 1L), (14L, 1L)))
+    // Crash in the worst window (sources deleted, staging not yet
+    // renamed), then recover by re-running — the documented protocol.
+    EventStream.compactCrashBeforeRename = true
+    try intercept[RuntimeException] {
+      EventStream.compactArrivalStore(spark, store)
+    } finally EventStream.compactCrashBeforeRename = false
+    EventStream.compactArrivalStore(spark, store)
+    assert(batchDirs("hashes") == Set("batch=2"), s"hashes: ${batchDirs("hashes")}")
+    assert(batchDirs("accepted") == Set("batch=2"))
+    assert(acceptedRows() == before, "compaction changed the accepted corpus")
+    // The stream continues against the compacted standing state: seen
+    // content still rejects, new content still lands.
+    feed(Seq((20L, "aaa"), (21L, "eee")), 3L)
+    assert(acceptedRows() == before + ((21L, 1L)),
+      "post-compaction arrival mis-deduped")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+
+    // Labels store: latest-wins must resolve BEFORE compaction, and a
+    // post-compaction batch must still fuse against it.
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val (a, b) = (words("alpha", 40), words("beta", 40))
+    val cstore = java.nio.file.Files.createTempDirectory("graft_compact_cl").toString
+    def cfeed(rows: Seq[(Long, String)], id: Long): Unit =
+      EventStream.clusterArrivalBatch(rows.toDF("doc_id", "text"), cstore, id,
+        0.9, 64, 16)
+    cfeed(Seq((10L, a), (11L, b)), 0L)
+    cfeed(Seq((12L, a + " alphaX")), 1L) // fuses {10,12} — 10's label re-stated at batch 1
+    def labels() = EventStream.arrivalClusterLabels(spark, cstore).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lbefore = labels()
+    assert(lbefore == Set(10L -> 10L, 11L -> 11L, 12L -> 10L))
+    EventStream.compactArrivalStore(spark, cstore)
+    assert(new java.io.File(s"$cstore/labels").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) == 1)
+    assert(labels() == lbefore, "compaction changed the resolved labels")
+    cfeed(Seq((13L, a + " alphaX alphaY")), 2L) // fuses into {10,12} post-compaction
+    assert(labels() == lbefore + (13L -> 10L),
+      "post-compaction cluster batch failed to fuse")
+    graft.Caches.release()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cstore))
+  }
+
   test("left-outer interval join: matches emit eagerly, unmatched clicks after the watermark") {
     // The unattributed-click audit stream: a click with no same-user
     // view in its lookback must emit ONCE — with null view columns —
