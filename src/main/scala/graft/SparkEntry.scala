@@ -94,6 +94,7 @@ object SparkEntry {
     "split_train_test" -> Curation.splitAssign _,
     "corpus_stats"     -> Curation.corpusStats _,
     "corpus_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
+    "corpus_mix"               -> ((s, d) => Curation.mixCorpus(s, d)),
     "corpus_pack_shards"       -> ((s, d) => Curation.packShards(s, d)),
     // τ=0.05 so the sf0.01 verified output has real mass (7 docs, 4 with
     // multiple contaminators, vs 1 row at 0.3 — r4 verdict item 5). Width
@@ -1320,6 +1321,36 @@ object SparkEntry {
         |FROM bucketed
         |WHERE sample_bucket < CASE WHEN lang_pred = 'en' THEN 50 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    // Mixture resampling: the same integer arithmetic as mixCorpus
+    // (budget = total·50/100; n_s = budget·w_s/ΣW; rate = min(100,
+    // 100·n_s/c_s); accept iff md5 bucket of doc_id||':mix' < rate),
+    // so the output — including the emitted rate_pct — is bit-exact.
+    "corpus_mix" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, c,
+        |    CASE WHEN source = 'src0' THEN 30
+        |         WHEN source = 'src1' THEN 30 ELSE 1 END AS wt
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |    CAST(SUM(wt) AS BIGINT) AS sumw FROM w
+        |), rates AS (
+        |  SELECT source,
+        |    CAST(LEAST(100,
+        |      (100 * (((SELECT total FROM tot) * 50 // 100) * wt
+        |               // (SELECT sumw FROM tot))) // c) AS BIGINT) AS rate_pct
+        |  FROM w
+        |)
+        |SELECT d.doc_id, d.source, r.rate_pct
+        |FROM documents d JOIN rates r ON r.source = d.source
+        |WHERE CAST((ascii(substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 1)) * 65536
+        |          + ascii(substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 2, 1)) * 256
+        |          + ascii(substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 3, 1))) % 100 AS BIGINT)
+        |      < r.rate_pct
+        |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_contamination" -> contaminationOracleSql,
 

@@ -94,6 +94,57 @@ object Curation {
     docs.filter(col("sample_bucket") < rate).orderBy(col("doc_id"))
   }
 
+  /** `corpus_mix`: deterministic mixture resampling — re-weight the
+    * corpus's SOURCE composition to target weights under a total
+    * budget, the data-mixing step of pretraining curation (upsample
+    * curated sources, downsample crawl). Exact integer arithmetic end
+    * to end so the DuckDB oracle reproduces the output bit-for-bit:
+    * budget = total·budgetPct/100; per-source target
+    * n_s = budget·w_s/ΣW (ΣW over sources PRESENT); acceptance
+    * rate_s = min(100, 100·n_s/c_s); accept iff the content-addressed
+    * mix bucket (md5 of doc_id||":mix" — [[splitBucket]]'s rule under
+    * a salt that decorrelates it from the split and sample buckets)
+    * falls below rate_s. A source whose count falls short of its
+    * target SATURATES at 100% (take everything) rather than inventing
+    * mass — the standard mixture-shortfall behavior, visible to the
+    * caller through the emitted rate_pct column. Sampling without
+    * replacement only: upsampling-by-repetition is the trainer's
+    * epoch-weighting knob, not a corpus materialization.
+    *
+    * Scale shape: ONE bounded aggregate (per-source counts — source-
+    * cardinality rows, the IvfCells centroid-state class of driver
+    * state), broadcast back as a tiny rate table into a map-side
+    * hash-bucket filter. No corpus-sized shuffle anywhere; the filter
+    * is a pure map, stable under reprocessing and appends.
+    */
+  def mixCorpus(spark: SparkSession, dir: String,
+                weights: Map[String, Int] = Map("src0" -> 30, "src1" -> 30),
+                defaultWeight: Int = 1, budgetPct: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val wcol = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .withColumn("wt", wcol.cast("long"))
+      .collect() // bounded by source cardinality
+    val total = counts.map(_.getLong(1)).sum
+    val sumW = counts.map(_.getLong(2)).sum
+    val budget = total * budgetPct / 100
+    import spark.implicits._
+    val rates = counts.map { r =>
+      val (s, c, w) = (r.getString(0), r.getLong(1), r.getLong(2))
+      (s, math.min(100L, 100L * (budget * w / sumW) / c))
+    }.toSeq.toDF("source", "rate_pct")
+    docs
+      .withColumn("mix_bucket",
+        splitBucket(concat(col("doc_id").cast("string"), lit(":mix")))
+          .cast("long"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("mix_bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("rate_pct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `corpus_pack_shards`: assign documents to fixed-token-budget
     * training shards by global running token count — the distributed
     * prefix-sum, done the way it must be at 100 TB: a GLOBAL

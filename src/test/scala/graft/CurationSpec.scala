@@ -233,6 +233,39 @@ class CurationSpec extends AnyFunSuite {
     }).flatten.toSet
   }
 
+  test("corpus_mix: rates follow the integer mixture formula, saturation takes all") {
+    // Crafted corpus: source "big" 200 docs, "small" 10 docs. Weights
+    // big=1, small=10, budget 50%: total=210, budget=105, ΣW=11;
+    // n_big = 105·1/11 = 9 → rate 100·9/200 = 4; n_small = 105·10/11
+    // = 95 > 10 → rate min(100, 950) = 100 (saturation: every small
+    // doc survives, the formula never invents mass).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix_spec").toString
+    ((0L until 200L).map(i => (i, s"text $i", "en", "big", 10L)) ++
+      (200L until 210L).map(i => (i, s"text $i", "en", "small", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Curation.mixCorpus(spark, tmp,
+        weights = Map("small" -> 10), defaultWeight = 1, budgetPct = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = got.groupBy(_._2)
+    assert(bySource("small").length == 10, "saturated source must keep all docs")
+    assert(bySource("small").forall(_._3 == 100L))
+    assert(bySource("big").forall(_._3 == 4L),
+      s"big-source rate: ${bySource("big").head._3} != 4")
+    // Acceptance = the content-addressed bucket rule, re-derived
+    // from scratch (md5 of doc_id||":mix") — no doc outside it.
+    def bucketOf(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:mix".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (h(0).toInt * 65536 + h(1).toInt * 256 + h(2).toInt) % 100
+    }
+    val expectBig = (0L until 200L).filter(bucketOf(_) < 4).toSet
+    assert(bySource("big").map(_._1).toSet == expectBig,
+      "big-source acceptance diverged from the content-addressed rule")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("contamination spans equal a from-scratch reimplementation") {
     val w = 16
     val got = Curation.contaminationSpans(spark, dir, w).collect()
