@@ -122,7 +122,8 @@ object SparkEntry {
     "asof_attribution"     -> TemporalJoins.asofAttribution _,
     "range_session_events" -> TemporalJoins.rangeSessionEvents _,
 
-    "pipeline_corpus_clean" -> ((s, d) => Pipeline.corpusClean(s, d))
+    "pipeline_corpus_clean" -> ((s, d) => Pipeline.corpusClean(s, d)),
+    "pipeline_corpus_train" -> ((s, d) => Pipeline.corpusTrain(s, d))
   )
 
   /** Queries whose every shuffle is key-domain-bounded and lands AFTER
@@ -1459,6 +1460,105 @@ object SparkEntry {
         |WHERE q.quality_score >= 0.5
         |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY q.doc_id""".stripMargin),
+
+    // The full training-output composition: pipeline_corpus_clean's
+    // survivor CTEs, then the dedup_substring_apply span/cut chain
+    // restricted to the SURVIVOR corpus (spans detected over what
+    // remains, per the operator contract). Hash-compares the cleaned
+    // text itself plus post-cut stats and the quality score.
+    "pipeline_corpus_train" -> (shingleCtes +
+      """, prefix2 AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS pos,
+        |      COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |    FROM sh)
+        |  WHERE pos <= n - CEIL(0.8 * n - 1e-9) + 1
+        |), cand2 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefix2 a JOIN prefix2 b ON b.s = a.s AND a.doc_id < b.doc_id
+        |), inter2 AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand2 c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        |  GROUP BY c.doc_a, c.doc_b
+        |), losers AS (
+        |  SELECT DISTINCT i.doc_b AS doc_id
+        |  FROM inter2 i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= 0.8
+        |), keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), q AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.25
+        |      + CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / CAST(len(text) AS DOUBLE) * 0.5 AS quality_score
+        |  FROM documents
+        |), surv AS (
+        |  SELECT q.doc_id, q.quality_score
+        |  FROM q
+        |  JOIN keepers k ON k.doc_id = q.doc_id
+        |  WHERE q.quality_score >= 0.5
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+        |), stoks AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS w
+        |  FROM documents d JOIN surv ON surv.doc_id = d.doc_id
+        |  WHERE len(string_split(d.text, ' ')) >= 16
+        |), swins AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos,
+        |    array_to_string(w[i:i+15], ' ') AS s
+        |  FROM stoks, UNNEST(generate_series(1, len(w) - 15)) AS t(i)
+        |), sdup AS (
+        |  SELECT s FROM swins GROUP BY s HAVING COUNT(*) >= 2
+        |), sdw AS (
+        |  SELECT doc_id, pos FROM swins WHERE s IN (SELECT s FROM sdup)
+        |), sisl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |         THEN 0 ELSE 1 END AS ni
+        |  FROM sdw
+        |), sisl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM sisl
+        |), sspans AS (
+        |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 15 AS e
+        |  FROM sisl2 GROUP BY doc_id, island
+        |), sallw AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS w
+        |  FROM documents d JOIN surv ON surv.doc_id = d.doc_id
+        |), swords AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos, w[i] AS word
+        |  FROM sallw, UNNEST(generate_series(1, len(w))) AS t(i)
+        |), skept AS (
+        |  SELECT wd.doc_id, wd.pos, wd.word
+        |  FROM swords wd
+        |  WHERE NOT EXISTS (SELECT 1 FROM sspans sp2
+        |                    WHERE sp2.doc_id = wd.doc_id AND wd.pos BETWEEN sp2.s AND sp2.e)
+        |), scleaned AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        |    COUNT(*) AS n_tokens_clean
+        |  FROM skept GROUP BY doc_id
+        |), sremoval AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+        |  FROM sspans GROUP BY doc_id
+        |)
+        |SELECT sv.doc_id,
+        |  COALESCE(c.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(c.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
+        |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans_removed,
+        |  sv.quality_score
+        |FROM surv sv
+        |LEFT JOIN scleaned c ON c.doc_id = sv.doc_id
+        |LEFT JOIN sremoval r ON r.doc_id = sv.doc_id
+        |ORDER BY sv.doc_id""".stripMargin),
 
     "asof_attribution" ->
       """SELECT c.event_id, c.user_id,

@@ -316,8 +316,17 @@ object Dedup {
     * Window hashing is the O(tokens) [[WindowHashes]] roll (r14) — the
     * r13 array_join form paid O(tokens·w) string materialization.
     */
-  def substringSpans(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
-    val wins = windowPostings(spark, dir, w)
+  def substringSpans(spark: SparkSession, dir: String, w: Int = 16): DataFrame =
+    substringSpansFrom(Tables.documents(spark, dir), w)
+
+  /** [[substringSpans]] over ANY (doc_id, text) frame — the library
+    * entry [[Pipeline.corpusTrain]] feeds with the cleaned-survivor
+    * corpus, so repeated spans are detected over the documents that
+    * actually remain (a span repeated only between exact duplicates is
+    * already gone with the duplicates).
+    */
+  def substringSpansFrom(docs: DataFrame, w: Int = 16): DataFrame = {
+    val wins = windowPostingsFrom(docs, w)
       .transform(graft.Caches.scoped(_)) // feeds the count AND the join back
     val dup = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("h"))
@@ -331,7 +340,10 @@ object Dedup {
     */
   private[operators] def windowPostings(spark: SparkSession, dir: String,
                                         w: Int): DataFrame =
-    Tables.documents(spark, dir)
+    windowPostingsFrom(Tables.documents(spark, dir), w)
+
+  private[operators] def windowPostingsFrom(docs: DataFrame, w: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= w)
       .select(col("doc_id"),

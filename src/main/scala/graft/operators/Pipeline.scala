@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   def corpusClean(spark: SparkSession, dir: String,
-                  minQuality: Double = 0.5, tau: Double = 0.8): DataFrame = {
+                  minQuality: Double = 0.5, tau: Double = 0.8): DataFrame =
+    cleanSurvivors(spark, dir, minQuality, tau).orderBy(col("doc_id"))
+
+  /** The three-stage survivor frame (doc_id, n_tokens, quality_score),
+    * unordered — shared by [[corpusClean]] and [[corpusTrain]]. */
+  private def cleanSurvivors(spark: SparkSession, dir: String,
+                             minQuality: Double, tau: Double): DataFrame = {
     val base = graft.sources.Tables.documents(spark, dir)
       .withColumn("ts", TextAnalysis.statsCol)
       .withColumn("w", split(col("text"), " "))
@@ -51,6 +57,61 @@ object Pipeline {
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(nearLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+  }
+
+  /** `pipeline_corpus_train`: the corpus a training run actually
+    * tokenizes — [[corpusClean]]'s three stages COMPOSED with span-level
+    * dedup applied to the survivors:
+    *
+    *   quality gate → exact keeper → near-dup removal →
+    *   repeated-span cut ([[Dedup.substringSpansFrom]] over the
+    *   SURVIVOR corpus + the CutSpans materialization)
+    *
+    * Spans are detected over the documents that actually remain, not
+    * the raw corpus: a window repeated only between removed duplicates
+    * is already gone with them (Lee et al. dedup the kept set), so the
+    * cut list is exactly the residual cross-document repetition
+    * doc-level dedup cannot reach. Output: the CLEANED text itself plus
+    * post-cut token stats and the quality score — hash-gated end to end
+    * by a DuckDB oracle that recomputes all four stages from scratch.
+    *
+    * Scale shape: corpusClean's one stats/hash/shingle scan, plus ONE
+    * survivor-restricted text scan shared by the window pass and the
+    * cut (semi join on survivor ids, cached as the compact survivor
+    * projection); the span machinery itself shuffles 8-byte window
+    * hashes, never text, and every join is hint-pinned shuffle-hash.
+    */
+  def corpusTrain(spark: SparkSession, dir: String,
+                  minQuality: Double = 0.5, tau: Double = 0.8,
+                  w: Int = 16): DataFrame = {
+    val survivors = cleanSurvivors(spark, dir, minQuality, tau)
+      .transform(graft.Caches.scoped(_)) // semi-join prune + quality output
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .join(survivors.select(col("doc_id")).hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Caches.scoped(_)) // window pass + cut, one scan
+    val perDoc = Dedup.substringSpansFrom(docs, w)
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+    val emptyLongs = array().cast("array<bigint>")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(survivors.select(col("doc_id"), col("quality_score"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.CutSpans.cut_spans(col("wd"),
+          coalesce(transform(col("sp"), _.getField("span_start")), emptyLongs),
+          coalesce(transform(col("sp"), _.getField("span_end")), emptyLongs))
+          .as("clean_text"),
+        (size(col("wd")).cast("long") - coalesce(col("n_removed"), lit(0L)))
+          .as("n_tokens_clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
+        col("quality_score"))
       .orderBy(col("doc_id"))
   }
 }

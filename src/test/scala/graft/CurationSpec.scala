@@ -266,6 +266,52 @@ class CurationSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("pipeline_corpus_train cuts survivor-corpus repeated spans the clean stages can't") {
+    // Two NON-duplicate docs (J « 0.8 — only the planted passage's
+    // shingles are shared) that both survive quality/exact/near-dup,
+    // each carrying the same 16-word passage: doc-level dedup keeps
+    // both, and the span stage must cut the passage from BOTH. On the
+    // driver testdata the composed cut is a verified pass-through
+    // (repetition lives between duplicates the earlier stages remove —
+    // the design claim); this corpus pins the firing path.
+    import spark.implicits._
+    val w = 16
+    // Stopword-laced unique filler keeps quality ≥ 0.5 without sharing
+    // any trigram between docs (each trigram contains a unique token).
+    def filler(p: String, n: Int) =
+      (0 until n).flatMap(i => Seq("the", s"$p$i")).mkString(" ")
+    val passage = (0 until w).map(i => s"shared$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_train_spec").toString
+    Seq(
+      (1L, s"${filler("a", 12)} $passage ${filler("b", 12)}"),
+      (2L, s"${filler("c", 12)} $passage ${filler("d", 12)}"),
+      (3L, filler("e", 30)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Pipeline.corpusTrain(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    graft.Caches.release()
+    assert(got.keySet == Set(1L, 2L, 3L),
+      s"all three non-duplicate docs must survive the clean stages: ${got.keySet}")
+    // The passage occupies word offsets 24..39 (12 filler pairs = 24
+    // words ahead of it) — and BOTH docs continue with "the" at offset
+    // 40, so the window at pos 25 (shared1..15 + "the") repeats too
+    // and the maximal span is [24, 40]: 17 words, demonstrating
+    // span growth through shared boundary tokens, exactly the
+    // Lee-et-al maximal-match semantics. 64 − 17 = 47 tokens remain.
+    for (id <- Seq(1L, 2L)) {
+      val (text, nClean, nSpans) = got(id)
+      assert(nSpans == 1L && nClean == 47L,
+        s"doc $id: expected one 17-word maximal span cut of 64 words, got $nSpans/$nClean")
+      assert(!text.contains("shared"), s"doc $id still contains the passage")
+    }
+    assert(got(3L)._3 == 0L && got(3L)._2 == 60L, "clean doc was modified")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("contamination spans equal a from-scratch reimplementation") {
     val w = 16
     val got = Curation.contaminationSpans(spark, dir, w).collect()
