@@ -86,6 +86,15 @@ object Pipeline {
                   w: Int = 16): DataFrame = {
     val survivors = cleanSurvivors(spark, dir, minQuality, tau)
       .transform(graft.Caches.scoped(_)) // semi-join prune + quality output
+    // CACHED survivor text, by measurement: the A/B at sf10 (1M docs)
+    // reads cache 18.25 s vs recompute 21.76 s — the second scan +
+    // semi join costs more than the persist. The scale trade is
+    // acceptable because MEMORY_AND_DISK degrades to a disk-backed
+    // temp copy whose write+read ≈ the re-scan it replaces (never
+    // catastrophically worse, unlike a broadcast), while saving the
+    // duplicated semi join; a deployment that cannot afford local
+    // spill space for its survivor set materializes it to the output
+    // store anyway (clean_text IS the product).
     val docs = graft.sources.Tables.documents(spark, dir)
       .join(survivors.select(col("doc_id")).hint("shuffle_hash"),
         Seq("doc_id"), "left_semi")
