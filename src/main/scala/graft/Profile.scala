@@ -218,6 +218,43 @@ object Profile {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DECOMP=train: cumulative stage ladder for
+    // pipeline_corpus_train (the composed training-corpus output, the
+    // heaviest new r14 cell at sf10): clean survivors alone →
+    // + survivor-restricted text scan → + span detection over the
+    // survivors → full composed query (adds the cut + stats + the
+    // quality join + output sort). Each stage re-derives its prefix
+    // (cumulative-plan idiom, same as DECOMP=q3/q13), so deltas
+    // attribute the marginal stage including its share of re-derived
+    // upstream work exactly as the registered plan pays it.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("train")) {
+      import org.apache.spark.sql.functions._
+      def best(label: String)(body: () => Unit): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); body(); Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] train $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def docsFrame() = graft.sources.Tables.documents(spark, dir)
+        .join(graft.operators.Pipeline.cleanSurvivors(spark, dir)
+            .select(col("doc_id")).hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      best("clean_survivors")(() => noop(
+        graft.operators.Pipeline.cleanSurvivors(spark, dir)))
+      best("+survivor_text_scan")(() => noop(docsFrame()))
+      best("+span_detect")(() => noop(
+        graft.operators.Dedup.substringSpansFrom(
+          graft.Caches.scoped(docsFrame()), 16)))
+      best("full_corpus_train")(() => noop(
+        SparkEntry.queries("pipeline_corpus_train")(spark, dir)))
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DECOMP=setops: stage decomposition of q21_except —
     // scan, distinct, anti join, and the terminal sort isolated.
     if (sys.env.get("SPARK_GRAFT_DECOMP").contains("setops")) {

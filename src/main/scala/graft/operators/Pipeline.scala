@@ -29,9 +29,11 @@ object Pipeline {
     cleanSurvivors(spark, dir, minQuality, tau).orderBy(col("doc_id"))
 
   /** The three-stage survivor frame (doc_id, n_tokens, quality_score),
-    * unordered — shared by [[corpusClean]] and [[corpusTrain]]. */
-  private def cleanSurvivors(spark: SparkSession, dir: String,
-                             minQuality: Double, tau: Double): DataFrame = {
+    * unordered — shared by [[corpusClean]] and [[corpusTrain]] (and
+    * Profile's DECOMP=train stage ladder). */
+  private[graft] def cleanSurvivors(spark: SparkSession, dir: String,
+                                    minQuality: Double = 0.5,
+                                    tau: Double = 0.8): DataFrame = {
     val base = graft.sources.Tables.documents(spark, dir)
       .withColumn("ts", TextAnalysis.statsCol)
       .withColumn("w", split(col("text"), " "))
