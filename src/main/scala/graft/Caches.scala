@@ -24,11 +24,43 @@ object Caches {
 
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
-  /** Persist `ds` and register it for the next [[release]]. */
+  // Nested per-caller scopes (r14 advice): a streaming micro-batch must
+  // release ONLY the caches its own plan construction registered —
+  // calling the global [[release]] from foreachBatch would unpersist
+  // the scoped caches of any concurrently running query or second
+  // arrival stream mid-flight. Plan construction is synchronous on the
+  // calling thread, so a ThreadLocal stack scopes every [[scoped]]
+  // call made inside [[withScope]] (including ones made by operators
+  // it calls, e.g. Clusters.mergeIncrementalDelta) to that caller.
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[Dataset[_]]]] {
+      override def initialValue: List[scala.collection.mutable.ArrayBuffer[Dataset[_]]] = Nil
+    }
+
+  /** Persist `ds` and register it for the enclosing [[withScope]] if
+    * one is active on this thread, else for the next [[release]]. */
   def scoped[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist()
-    live.add(ds)
+    scopes.get() match {
+      case head :: _ => head += ds
+      case Nil       => live.add(ds)
+    }
     ds
+  }
+
+  /** Run `body`, then unpersist exactly the caches [[scoped]] registered
+    * during it on this thread — terminal actions on the scoped frames
+    * must happen inside `body`. Nestable; never touches the global
+    * queue or another thread's scopes.
+    */
+  def withScope[A](body: => A): A = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      buf.foreach(_.unpersist(blocking = true))
+    }
   }
 
   /** Unpersist everything registered since the last release. Blocking

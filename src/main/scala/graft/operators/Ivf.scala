@@ -551,9 +551,10 @@ object Ivf {
       if (base.isEmpty) return
       val dim = base.select(size(col("embedding"))).head.getInt(0)
       val centPath = s"$storeDir/centroids"
+      val centSuccess = new org.apache.hadoop.fs.Path(centPath, "_SUCCESS")
       val cents =
-        if (java.nio.file.Files.exists(
-            java.nio.file.Paths.get(centPath, "_SUCCESS")))
+        if (centSuccess.getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(centSuccess))
           readCentroidMatrix(spark, centPath)
         else {
           val c = train(base, base.count(), nlist, dim, iters)
@@ -618,11 +619,16 @@ object Ivf {
       .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
     val probes = probePairs.toDF("query_id", "cell")
     val probedCells = probePairs.map(_._2).distinct
-    val committed = Option(
-        new java.io.File(s"$storeDir/cells").listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getPath)
+    // Hadoop FS listing, not java.io.File — the arrival store lives on
+    // whatever storage the cluster sees (r14 advice).
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$storeDir/cells")
+    val cellsFs = cellsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed =
+      if (!cellsFs.exists(cellsRoot)) Seq.empty[String]
+      else cellsFs.listStatus(cellsRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          cellsFs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
     require(committed.nonEmpty, s"no committed arrival batches under $storeDir")
     val store = spark.read.option("basePath", s"$storeDir/cells")
       .parquet(committed: _*)

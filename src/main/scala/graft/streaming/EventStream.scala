@@ -114,16 +114,40 @@ object EventStream {
       }
       .start()
 
-  /** Standing-state partition directories committed STRICTLY BEFORE
-    * `batchId` — the read side of the exactly-once contract both
-    * arrival loops share (a retried batch never sees its own crashed
-    * attempt's partial write).
+  /** Hadoop FileSystem + qualified Path for `root`, resolved from the
+    * active session's config — arrival stores live on whatever storage
+    * the cluster sees (hdfs://, s3a://, file://), not only the
+    * driver-local disk a `java.io.File` listing would silently require
+    * (r14 advice: a non-local store must not read as empty standing
+    * state and re-accept every duplicate).
     */
-  private def standingDirs(root: String, batchId: Long): Seq[String] =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-      .map(_.getPath)
+  private def fsFor(root: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()), p)
+  }
+
+  /** Standing-state partition directories committed STRICTLY BEFORE
+    * `batchId` — the read side of the exactly-once contract the
+    * arrival loops share (a retried batch never sees its own crashed
+    * attempt's partial write: its own id is excluded, and any EARLIER
+    * id was fully committed before the checkpoint let a later batch
+    * run). `committedOnly` additionally requires a `_SUCCESS` marker —
+    * the compactor's stricter contract, where a crashed in-flight dir
+    * must be invisible rather than merely later-overwritten.
+    */
+  private def standingDirs(root: String, batchId: Long,
+                           committedOnly: Boolean = false): Seq[String] = {
+    val (fs, p) = fsFor(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => !committedOnly || fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .filter(_.getPath.getName.stripPrefix("batch=").toLong < batchId)
+      .map(_.getPath.toString)
+  }
 
   /** One arrival batch against the standing store; see [[arrivalDedup]].
     * Public-in-package so the crash-injection spec can drive a retried
@@ -152,9 +176,15 @@ object EventStream {
   }
 
   /** The standing accepted corpus across every committed arrival batch
-    * (reader side of [[arrivalDedup]]'s store). */
+    * (reader side of [[arrivalDedup]]'s store). Probing a store before
+    * its first batch commits returns an EMPTY frame of the store
+    * schema, not a schema-inference error (r14 advice).
+    */
   def arrivalAccepted(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.option("basePath", s"$storeDir/accepted")
+    if (standingDirs(s"$storeDir/accepted", Long.MaxValue).isEmpty)
+      spark.range(0).select(col("id").as("doc_id"), lit("").as("text_hash"),
+        col("id").as("batch_copies"), col("id").as("batch"))
+    else spark.read.option("basePath", s"$storeDir/accepted")
       .parquet(s"$storeDir/accepted")
       .select(col("doc_id"), col("text_hash"), col("batch_copies"),
         col("batch").cast("long").as("batch"))
@@ -240,10 +270,15 @@ object EventStream {
       }
       .start()
 
-  /** One label-maintenance arrival batch; see [[arrivalClusters]]. */
+  /** One label-maintenance arrival batch; see [[arrivalClusters]].
+    * Scoped caches (its own AND mergeIncrementalDelta's) release via
+    * [[graft.Caches.withScope]], so a concurrently running query or
+    * second arrival stream never loses ITS caches to this batch's
+    * cleanup (r14 advice).
+    */
   private[graft] def clusterArrivalBatch(batch: DataFrame, storeDir: String,
                                          batchId: Long, tau: Double,
-                                         k: Int, bands: Int): Unit = {
+                                         k: Int, bands: Int): Unit = graft.Caches.withScope {
     val spark = batch.sparkSession
     val r = k / bands
     def bandKeys(sigDf: DataFrame): DataFrame = sigDf.select(col("doc_id"),
@@ -318,43 +353,59 @@ object EventStream {
             .parquet(s"$storeDir/bands/batch=$batchId")
         } finally labelsOut.unpersist()
       } finally shingled.unpersist()
-    } finally {
-      rows.unpersist()
-      graft.Caches.release()
-    }
+    } finally rows.unpersist()
   }
 
   /** Latest-batch-wins label read over the delta log (reader side of
-    * [[arrivalClusters]]). */
+    * [[arrivalClusters]]). Empty frame, not a read error, on a store
+    * with no committed batch yet (r14 advice). */
   def arrivalClusterLabels(spark: SparkSession, storeDir: String): DataFrame = {
     val root = s"$storeDir/labels"
-    arrivalClusterLabelsFrom(spark, root,
-      standingDirs(root, Long.MaxValue))
+    val dirs = standingDirs(root, Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    else arrivalClusterLabelsFrom(spark, root, dirs)
   }
 
   /** OFFLINE compaction of an arrival store (every scaladoc above says
     * "production compacts the log periodically" — this is that code).
-    * Each subtree's per-batch directories collapse into ONE directory
-    * at the HIGHEST existing batch id, so the `batch < batchId` replay
-    * contract is undisturbed: the stream's next id (checkpoint-issued,
-    * strictly greater) still sees the compacted dir as standing state.
+    * Each subtree's per-batch directories STRICTLY BELOW the highest
+    * committed id collapse into ONE directory at the SECOND-highest
+    * committed id; the highest dir is never touched. That asymmetry is
+    * the replay-safety contract (r14 advice, high): Structured
+    * Streaming is at-least-once per micro-batch — the highest batch
+    * can be RETRIED after a restart (foreachBatch completed but the
+    * checkpoint offset commit was lost), and a retry whose batchId
+    * equalled the compacted dir's id would read `batch < batchId` as
+    * EMPTY standing state (mass duplicate re-acceptance) and then
+    * overwrite — i.e. destroy — the compacted store. Compacted at the
+    * second-highest id, the retried max batch still sees all prior
+    * state standing, and its overwrite replaces only its own dir.
+    * Batch dirs WITHOUT a `_SUCCESS` marker are crashed in-flight
+    * attempts: they are deleted, never folded in and never allowed to
+    * pin the compaction id (their retry rewrites them wholesale).
+    *
     * Set-semantics subtrees (hashes/bands/corpus/accepted) compact to
-    * their plain union; `labels/` resolves latest-batch-wins FIRST, so
-    * the compacted dir is the exact resolved table re-stated (the
-    * per-row `batch` audit attribution collapses to the compaction id
-    * — the standing-state contract is the union, not the layout).
+    * their plain union; `labels/` resolves latest-batch-wins FIRST
+    * over the source dirs, so the compacted dir is the exact resolved
+    * prefix re-stated — and the untouched max dir still outranks it at
+    * read time (the standing-state contract is the union, not the
+    * layout).
     *
     * MUST run with the stream STOPPED (readers race the swap
     * otherwise). Crash-safe by the staged-commit discipline the
     * signed-export store established: the resolved state is written to
     * an `_staging_compact` tree (leading underscore — invisible to
     * parquet readers) and the commit point is a `_target` marker
-    * written AFTER the staged `_SUCCESS`; only then are the source
-    * dirs deleted and the staging renamed into place. An interruption
+    * (holding the target id) written AFTER the staged `_SUCCESS`; only
+    * then are the source dirs (exactly those with id <= target id)
+    * deleted and the staging renamed into place. An interruption
     * before `_target` leaves the store untouched (staging discarded on
     * re-run); after it, re-running [[compactArrivalStore]] completes
     * the delete+rename from the staged copy. So the recovery protocol
-    * is simply "run it again before restarting the stream".
+    * is simply "run it again before restarting the stream". All I/O
+    * goes through the Hadoop FileSystem of the store path, so the
+    * store may live on any cluster-visible storage.
     */
   def compactArrivalStore(spark: SparkSession, storeDir: String): Unit = {
     Seq("hashes", "bands", "corpus", "accepted").foreach { sub =>
@@ -371,34 +422,50 @@ object EventStream {
 
   private def compactSub(spark: SparkSession, root: String,
                          resolve: Seq[String] => DataFrame): Unit = {
-    val rootF = new java.io.File(root)
-    if (!rootF.exists()) return
-    val staging = new java.io.File(rootF, "_staging_compact")
-    val targetMark = new java.io.File(staging, "_target")
-    val committed = new java.io.File(staging, "_SUCCESS").exists() &&
-      targetMark.exists()
-    val maxId: Long =
+    import org.apache.hadoop.fs.Path
+    val (fs, rootP) = fsFor(root)
+    if (!fs.exists(rootP)) return
+    val staging = new Path(rootP, "_staging_compact")
+    val targetMark = new Path(staging, "_target")
+    val committed = fs.exists(new Path(staging, "_SUCCESS")) &&
+      fs.exists(targetMark)
+    def batchIdOf(d: String): Long =
+      new Path(d).getName.stripPrefix("batch=").toLong
+    val targetId: Long =
       if (committed) {
         // recovery: the id was pinned at the commit point — remaining
         // source dirs may be partially deleted, so it must NOT be
         // re-derived from them.
-        new String(java.nio.file.Files.readAllBytes(targetMark.toPath),
-          "UTF-8").trim.toLong
+        val in = fs.open(targetMark)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
       } else {
-        if (staging.exists()) // interrupted WRITE: sources intact, discard
-          org.apache.commons.io.FileUtils.deleteDirectory(staging)
-        val dirs = standingDirs(root, Long.MaxValue)
-        if (dirs.length <= 1) return
-        val id = dirs
-          .map(d => new java.io.File(d).getName.stripPrefix("batch=").toLong)
-          .max
-        resolve(dirs).write.mode("overwrite").parquet(staging.getPath)
-        java.nio.file.Files.write(targetMark.toPath,
-          id.toString.getBytes("UTF-8")) // commit point
-        id
+        if (fs.exists(staging)) // interrupted WRITE: sources intact, discard
+          fs.delete(staging, true)
+        // Crashed in-flight dirs (no _SUCCESS): fold nothing from them,
+        // delete them so they cannot pin the id — their retry rewrites
+        // them wholesale (r14 advice, medium).
+        val all = standingDirs(root, Long.MaxValue)
+        val dirs = standingDirs(root, Long.MaxValue, committedOnly = true)
+        (all.toSet -- dirs.toSet).foreach(d => fs.delete(new Path(d), true))
+        // Need at least two committed dirs BELOW the (excluded) max for
+        // the collapse to gain anything.
+        if (dirs.length <= 2) return
+        val ids = dirs.map(batchIdOf).sorted
+        val tid = ids(ids.length - 2) // second-highest: replay safety
+        val sources = dirs.filter(batchIdOf(_) <= tid)
+        resolve(sources).write.mode("overwrite").parquet(staging.toString)
+        val outS = fs.create(targetMark, true)
+        try outS.write(tid.toString.getBytes("UTF-8")) // commit point
+        finally outS.close()
+        tid
       }
-    standingDirs(root, Long.MaxValue).foreach(d =>
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    // Sources are exactly the dirs with id <= targetId — matched on id
+    // alone, because recovery may find a source whose _SUCCESS was
+    // already deleted mid-crash. The max dir (id > targetId) is never
+    // touched.
+    standingDirs(root, Long.MaxValue).filter(batchIdOf(_) <= targetId)
+      .foreach(d => fs.delete(new Path(d), true))
     if (compactCrashBeforeRename)
       throw new RuntimeException("injected compaction crash before rename")
     // The marker rides THROUGH the rename (deleting it first would
@@ -406,10 +473,10 @@ object EventStream {
     // staging demoted back to "interrupted write"). Underscore files
     // are invisible to parquet readers, so it is harmless in the live
     // dir and removed best-effort after the swap.
-    val target = new java.io.File(rootF, s"batch=$maxId")
-    if (!staging.renameTo(target))
+    val target = new Path(rootP, s"batch=$targetId")
+    if (!fs.rename(staging, target))
       throw new java.io.IOException(s"compaction rename failed: $staging -> $target")
-    new java.io.File(target, "_target").delete()
+    fs.delete(new Path(target, "_target"), false)
   }
 
   private def arrivalClusterLabelsFrom(spark: SparkSession, basePath: String,
@@ -443,10 +510,12 @@ object EventStream {
       }
       .start()
 
-  /** One near-dup arrival batch; see [[arrivalNearDup]]. */
+  /** One near-dup arrival batch; see [[arrivalNearDup]]. Scoped caches
+    * release per-batch via [[graft.Caches.withScope]] (r14 advice —
+    * never the global queue). */
   private[graft] def nearDupArrivalBatch(batch: DataFrame, storeDir: String,
                                          batchId: Long, tau: Double,
-                                         k: Int, bands: Int): Unit = {
+                                         k: Int, bands: Int): Unit = graft.Caches.withScope {
     val spark = batch.sparkSession
     val r = k / bands
     def bandKeys(sigDf: DataFrame): DataFrame = sigDf.select(col("doc_id"),
@@ -534,10 +603,7 @@ object EventStream {
             .parquet(s"$storeDir/bands/batch=$batchId")
         } finally accepted.unpersist()
       } finally shingled.unpersist()
-    } finally {
-      exactOk.unpersist()
-      graft.Caches.release()
-    }
+    } finally exactOk.unpersist()
   }
 
   /** Stream-stream event-time INTERVAL join (r12): every click joined

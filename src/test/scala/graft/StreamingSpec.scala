@@ -554,9 +554,11 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
-  test("arrival store compaction: one dir per subtree, state identical, crash-recoverable") {
+  test("arrival store compaction: replay-safe collapse, state identical, crash-recoverable") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft_compact_store").toString
+    // Empty-store probe returns an empty frame, not a read error.
+    assert(EventStream.arrivalAccepted(spark, store).isEmpty)
     def feed(rows: Seq[(Long, String)], id: Long): Unit =
       EventStream.dedupArrivalBatch(rows.toDF("doc_id", "text"), store, id)
     feed(Seq((10L, "aaa"), (11L, "bbb")), 0L)
@@ -569,6 +571,12 @@ class StreamingSpec extends AnyFunSuite {
         .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
     val before = acceptedRows()
     assert(before == Set((10L, 1L), (11L, 1L), (13L, 1L), (14L, 1L)))
+    // A crashed in-flight attempt's partial dir (no _SUCCESS) must be
+    // deleted, never folded in, and never allowed to pin the id.
+    val junk = new java.io.File(s"$store/hashes/batch=9")
+    junk.mkdirs()
+    java.nio.file.Files.write(new java.io.File(junk, "part-junk").toPath,
+      "garbage".getBytes("UTF-8"))
     // Crash in the worst window (sources deleted, staging not yet
     // renamed), then recover by re-running — the documented protocol.
     EventStream.compactCrashBeforeRename = true
@@ -576,9 +584,19 @@ class StreamingSpec extends AnyFunSuite {
       EventStream.compactArrivalStore(spark, store)
     } finally EventStream.compactCrashBeforeRename = false
     EventStream.compactArrivalStore(spark, store)
-    assert(batchDirs("hashes") == Set("batch=2"), s"hashes: ${batchDirs("hashes")}")
-    assert(batchDirs("accepted") == Set("batch=2"))
+    // Replay safety: dirs BELOW the max collapse into the SECOND-highest
+    // id; the max batch dir is untouched (it can still be retried).
+    assert(batchDirs("hashes") == Set("batch=1", "batch=2"),
+      s"hashes: ${batchDirs("hashes")}")
+    assert(batchDirs("accepted") == Set("batch=1", "batch=2"))
     assert(acceptedRows() == before, "compaction changed the accepted corpus")
+    // The at-least-once window itself: the HIGHEST batch replays after a
+    // restart (foreachBatch done, checkpoint commit lost). Its standing
+    // read (batch < 2) must still see all prior state in the compacted
+    // dir, and its overwrite must replace only its own dir.
+    feed(Seq((14L, "ddd")), 2L)
+    assert(acceptedRows() == before,
+      "retried max batch after compaction changed the store")
     // The stream continues against the compacted standing state: seen
     // content still rejects, new content still lands.
     feed(Seq((20L, "aaa"), (21L, "eee")), 3L)
@@ -591,23 +609,24 @@ class StreamingSpec extends AnyFunSuite {
     def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
     val (a, b) = (words("alpha", 40), words("beta", 40))
     val cstore = java.nio.file.Files.createTempDirectory("graft_compact_cl").toString
+    assert(EventStream.arrivalClusterLabels(spark, cstore).isEmpty)
     def cfeed(rows: Seq[(Long, String)], id: Long): Unit =
       EventStream.clusterArrivalBatch(rows.toDF("doc_id", "text"), cstore, id,
         0.9, 64, 16)
     cfeed(Seq((10L, a), (11L, b)), 0L)
     cfeed(Seq((12L, a + " alphaX")), 1L) // fuses {10,12} — 10's label re-stated at batch 1
+    cfeed(Seq((13L, words("gamma", 40))), 2L)
     def labels() = EventStream.arrivalClusterLabels(spark, cstore).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lbefore = labels()
-    assert(lbefore == Set(10L -> 10L, 11L -> 11L, 12L -> 10L))
+    assert(lbefore == Set(10L -> 10L, 11L -> 11L, 12L -> 10L, 13L -> 13L))
     EventStream.compactArrivalStore(spark, cstore)
     assert(new java.io.File(s"$cstore/labels").listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("batch=")) == 1)
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) == 2)
     assert(labels() == lbefore, "compaction changed the resolved labels")
-    cfeed(Seq((13L, a + " alphaX alphaY")), 2L) // fuses into {10,12} post-compaction
-    assert(labels() == lbefore + (13L -> 10L),
+    cfeed(Seq((14L, a + " alphaX alphaY")), 3L) // fuses into {10,12} post-compaction
+    assert(labels() == lbefore + (14L -> 10L),
       "post-compaction cluster batch failed to fuse")
-    graft.Caches.release()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cstore))
   }
 
