@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_substring"     -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_substring_apply" -> ((s, d) => Dedup.substringApply(s, d)),
     "dedup_clusters_incremental" -> ((s, d) => Clusters.clustersIncremental(s, d)),
+    "dedup_clusters_incremental_serve" -> ((s, d) => Clusters.clustersIncrementalServe(s, d)),
 
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopk(s, d)),
     "sim_ann_lsh"     -> ((s, d) => Similarity.annLsh(s, d)),
@@ -123,7 +124,8 @@ object SparkEntry {
     "range_session_events" -> TemporalJoins.rangeSessionEvents _,
 
     "pipeline_corpus_clean" -> ((s, d) => Pipeline.corpusClean(s, d)),
-    "pipeline_corpus_train" -> ((s, d) => Pipeline.corpusTrain(s, d))
+    "pipeline_corpus_train" -> ((s, d) => Pipeline.corpusTrain(s, d)),
+    "pipeline_corpus_full"  -> ((s, d) => Pipeline.corpusFull(s, d))
   )
 
   /** Queries whose every shuffle is key-domain-bounded and lands AFTER
@@ -209,10 +211,17 @@ object SparkEntry {
     // same ngram pair graph + CC class, plus the merge's hint-pinned
     // label semi/anti joins
     "dedup_clusters_incremental",
+    // store-resident twin: hint-pinned posting/semi/anti joins against
+    // the materialized store tables, batch-bounded CC
+    "dedup_clusters_incremental_serve",
     // embed-cosine pairs (hint-pinned blocked LSH self-join) + CC —
     // the same composition class as dedup_clusters
     "dedup_semantic",
     "pipeline_corpus_clean",
+    // the full composition adds the span/mix/pack stages: hint-pinned
+    // window-hash semi join + span/doc/text joins, broadcast rate and
+    // block-prefix tables (bounded rows by construction)
+    "pipeline_corpus_full",
     // same class: one hint-pinned cell co-group + a bounded-heap
     // top-k aggregate, candidate volume n·probes·(n/nlist) by
     // construction
@@ -1050,6 +1059,11 @@ object SparkEntry {
     // end to end — the strongest possible check for a delta operator.
     "dedup_clusters_incremental" -> clustersOracleSql,
 
+    // The store-resident serve must produce the SAME merged table from
+    // materialized standing labels + the posting-index batch pairs —
+    // the closure oracle re-checks the store path end to end (r15).
+    "dedup_clusters_incremental_serve" -> clustersOracleSql,
+
     // Same exact-closure oracle as dedup_clusters, at the sketch path's
     // tau=0.9: the Spark side generates candidates by MinHash banding
     // instead of the complete prefix filter, so this gate re-verifies
@@ -1559,6 +1573,143 @@ object SparkEntry {
         |LEFT JOIN scleaned c ON c.doc_id = sv.doc_id
         |LEFT JOIN sremoval r ON r.doc_id = sv.doc_id
         |ORDER BY sv.doc_id""".stripMargin),
+
+    // The FULL training-corpus composition (r15): clean → span-cut ∪
+    // decontaminate (one window pass; flagged = corpus-wide repeats ∪
+    // test-split leakage, train docs only) → source mixture → shard
+    // packing. DuckDB recomputes every stage from scratch and
+    // hash-compares the final cleaned text + shard assignment.
+    "pipeline_corpus_full" -> (shingleCtes +
+      """, prefix2 AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS pos,
+        |      COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |    FROM sh)
+        |  WHERE pos <= n - CEIL(0.8 * n - 1e-9) + 1
+        |), cand2 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefix2 a JOIN prefix2 b ON b.s = a.s AND a.doc_id < b.doc_id
+        |), inter2 AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand2 c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        |  GROUP BY c.doc_a, c.doc_b
+        |), losers AS (
+        |  SELECT DISTINCT i.doc_b AS doc_id
+        |  FROM inter2 i
+        |  JOIN sizes na ON na.doc_id = i.doc_a
+        |  JOIN sizes nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.n_common AS DOUBLE) / CAST(na.n + nb.n - i.n_common AS DOUBLE) >= 0.8
+        |), keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), q AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.25
+        |      + CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / CAST(len(text) AS DOUBLE) * 0.5 AS quality_score
+        |  FROM documents
+        |), surv AS (
+        |  SELECT q.doc_id
+        |  FROM q
+        |  JOIN keepers k ON k.doc_id = q.doc_id
+        |  WHERE q.quality_score >= 0.5
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+        |), bkt AS (
+        |  SELECT doc_id,
+        |    CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS bucket
+        |  FROM surv
+        |), stoks AS (
+        |  SELECT d.doc_id, b.bucket, string_split(d.text, ' ') AS w
+        |  FROM documents d JOIN bkt b ON b.doc_id = d.doc_id
+        |  WHERE (b.bucket < 90 OR b.bucket >= 95)
+        |    AND len(string_split(d.text, ' ')) >= 16
+        |), swins AS (
+        |  SELECT doc_id, bucket, i::BIGINT - 1 AS pos,
+        |    array_to_string(w[i:i+15], ' ') AS s
+        |  FROM stoks, UNNEST(generate_series(1, len(w) - 15)) AS t(i)
+        |), sdup AS (
+        |  SELECT s FROM swins WHERE bucket < 90 GROUP BY s HAVING COUNT(*) >= 2
+        |), testw AS (
+        |  SELECT s FROM swins WHERE bucket >= 95
+        |), sdw AS (
+        |  SELECT doc_id, pos FROM swins
+        |  WHERE bucket < 90
+        |    AND (s IN (SELECT s FROM sdup) OR s IN (SELECT s FROM testw))
+        |), sisl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |         THEN 0 ELSE 1 END AS ni
+        |  FROM sdw
+        |), sisl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM sisl
+        |), sspans AS (
+        |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 15 AS e
+        |  FROM sisl2 GROUP BY doc_id, island
+        |), sallw AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS w
+        |  FROM documents d
+        |  JOIN bkt b ON b.doc_id = d.doc_id
+        |  WHERE b.bucket < 90
+        |), swords AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos, w[i] AS word
+        |  FROM sallw, UNNEST(generate_series(1, len(w))) AS t(i)
+        |), skept AS (
+        |  SELECT wd.doc_id, wd.pos, wd.word
+        |  FROM swords wd
+        |  WHERE NOT EXISTS (SELECT 1 FROM sspans sp2
+        |                    WHERE sp2.doc_id = wd.doc_id AND wd.pos BETWEEN sp2.s AND sp2.e)
+        |), scleaned AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+        |  FROM skept GROUP BY doc_id
+        |), sremoval AS (
+        |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+        |  FROM sspans GROUP BY doc_id
+        |), train AS (
+        |  SELECT d.doc_id, d.source,
+        |    COALESCE(c.clean_text, '') AS clean_text,
+        |    CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_tokens
+        |  FROM documents d
+        |  JOIN bkt b ON b.doc_id = d.doc_id AND b.bucket < 90
+        |  LEFT JOIN scleaned c ON c.doc_id = d.doc_id
+        |  LEFT JOIN sremoval r ON r.doc_id = d.doc_id
+        |), counts2 AS (
+        |  SELECT source, COUNT(*) AS c FROM train GROUP BY source
+        |), w2 AS (
+        |  SELECT source, c,
+        |    CASE WHEN source = 'src0' THEN 30
+        |         WHEN source = 'src1' THEN 30 ELSE 1 END AS wt
+        |  FROM counts2
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |    CAST(SUM(wt) AS BIGINT) AS sumw FROM w2
+        |), rates AS (
+        |  SELECT source,
+        |    CAST(LEAST(100,
+        |      (100 * (((SELECT total FROM tot) * 50 // 100) * wt
+        |               // (SELECT sumw FROM tot))) // c) AS BIGINT) AS rate_pct
+        |  FROM w2
+        |), mixed AS (
+        |  SELECT t.doc_id, t.source, t.clean_text, t.n_tokens
+        |  FROM train t JOIN rates r ON r.source = t.source
+        |  WHERE CAST((ascii(substring(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 1, 1)) * 65536
+        |            + ascii(substring(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 2, 1)) * 256
+        |            + ascii(substring(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 3, 1))) % 100 AS BIGINT)
+        |        < r.rate_pct
+        |)
+        |SELECT doc_id, source, clean_text, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 50000 AS shard_id
+        |FROM mixed
+        |ORDER BY doc_id""".stripMargin),
 
     "asof_attribution" ->
       """SELECT c.event_id, c.user_id,

@@ -430,6 +430,106 @@ object Clusters {
       connectedComponents(spark, storePairs), batchPairs))
   }
 
+  /** On-disk standing label + candidate-index store for the incremental
+    * cluster path (r14 verdict item 1: the [[clustersIncremental]]
+    * registered row re-derived the FULL pair graph and re-ran CC over
+    * the store side on every call — measured 8.68 s at sf10 against
+    * the 3.59 s full recompute it is supposed to undercut). Built once
+    * per source mtime (same keying discipline as
+    * [[Dedup.buildIncrementalStore]]; `_SUCCESS` guards half-written
+    * trees), holding the three tables a production pipeline keeps
+    * between arrivals:
+    *   - `labels/`   — the standing corpus's resolved (doc_id,
+    *     cluster_id) star table: CC over the store-side exact pair
+    *     graph runs at BUILD time, never at serve time;
+    *   - `postings/` — the store docs' prefix-filter postings
+    *     (doc_id, n, p, s) — the exact-candidate index the batch joins
+    *     against, complete for J ≥ tau by the prefix theorem;
+    *   - `shingles/` — the store docs' sorted shingle-hash arrays, the
+    *     verification side fetched O(collisions) by semi join.
+    * Build-time caches release via [[graft.Caches.withScope]] so a
+    * shared session keeps its own scoped caches.
+    */
+  def buildIncrementalClusterStore(spark: SparkSession, dir: String,
+                                   tau: Double = 0.8,
+                                   batchBucket: Int = 80): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_clstore_" +
+      graft.sources.Tables.pathSlug(dir) + "_" +
+      java.lang.Long.toHexString(
+        graft.sources.Tables.sourceStamp(dir, "documents")) +
+      "_" + tau + "_" + batchBucket
+    val done = Seq("labels", "postings", "shingles").forall(sub =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, sub, "_SUCCESS")))
+    if (!done) graft.Caches.withScope {
+      Dedup.shingledHashed(spark, dir)
+        .filter(Curation.splitBucket(col("doc_id")) < batchBucket)
+        .write.mode("overwrite").parquet(s"$path/shingles")
+      val storeSh = spark.read.parquet(s"$path/shingles")
+      Dedup.prefixPostings(storeSh, tau)
+        .write.mode("overwrite").parquet(s"$path/postings")
+      connectedComponents(spark,
+        Dedup.ngramJaccardFrom(storeSh, tau).select(col("doc_a"), col("doc_b")))
+        .write.mode("overwrite").parquet(s"$path/labels")
+    }
+    path
+  }
+
+  /** `dedup_clusters_incremental_serve`: [[clustersIncremental]]'s
+    * store-resident twin — identical merged output, gated by the same
+    * recursive-CTE closure oracle, but the standing side comes from
+    * the materialized store: labels are READ (no store-side CC),
+    * batch↔store candidates come from the posting index (no store-side
+    * shingling and no full-corpus prefix self-join), and verification
+    * fetches only COLLIDING store docs' shingle arrays by semi join.
+    * Per-arrival cost: O(batch) shingling + collision-bounded posting
+    * joins + CC on the batch-touched subgraph + the narrow label-store
+    * merge joins — never O(store) compute. These are the economics the
+    * incremental row claims; the streaming twin with the same shape is
+    * [[graft.streaming.EventStream.arrivalClusters]].
+    */
+  def clustersIncrementalServe(spark: SparkSession, dir: String,
+                               tau: Double = 0.8,
+                               batchBucket: Int = 80): DataFrame = {
+    val path = buildIncrementalClusterStore(spark, dir, tau, batchBucket)
+    val batchPairs = serveBatchPairs(spark, dir, tau, batchBucket, path)
+    decorate(mergeIncrementalLabels(spark,
+      spark.read.parquet(s"$path/labels"), batchPairs))
+  }
+
+  /** The serve's batch-pair stage as a LAZY frame (factored out so
+    * PlanSpec can audit the store-read plan shape — the merge phase
+    * materializes eagerly and hides these scans behind a LogicalRDD).
+    */
+  private[graft] def serveBatchPairs(spark: SparkSession, dir: String,
+                                     tau: Double, batchBucket: Int,
+                                     path: String): DataFrame = {
+    val batchSh = Dedup.shingledHashed(spark, dir)
+      .filter(Curation.splitBucket(col("doc_id")) >= batchBucket)
+      .transform(graft.Caches.scoped(_)) // postings + verification
+    val batchPre = Dedup.prefixPostings(batchSh, tau)
+      .transform(graft.Caches.scoped(_)) // cross + self candidate joins
+    val storePre = spark.read.parquet(s"$path/postings")
+    // CROSS candidates (batch × store): the sides are disjoint by
+    // bucket, so no id-order predicate — completeness only needs the
+    // smallest common hash inside BOTH prefixes, which the prefix
+    // theorem gives regardless of id order. shuffle_hash: the store
+    // posting table never broadcasts at scale.
+    val crossCand = batchPre.as("a")
+      .join(storePre.as("b").hint("shuffle_hash"), Dedup.ppjoinCond(tau))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val selfCand = batchPre.as("a")
+      .join(batchPre.as("b").hint("shuffle_hash"),
+        Dedup.ppjoinCond(tau) && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = crossCand.unionByName(selfCand)
+      .transform(graft.Caches.scoped(_)) // semi-join prune + verification
+    val storeShNeeded = spark.read.parquet(s"$path/shingles")
+      .join(cand.select(col("doc_b").as("doc_id")).hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+    Dedup.verifyJaccard(batchSh.unionByName(storeShNeeded), cand, tau)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** `dedup_prune`: the end-to-end corpus deduplication — documents
     * minus every clustered non-keeper (transitive near-dup closure at
     * tau, min-id survivor). This is the frame a training pipeline

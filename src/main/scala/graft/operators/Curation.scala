@@ -121,6 +121,27 @@ object Curation {
                 weights: Map[String, Int] = Map("src0" -> 30, "src1" -> 30),
                 defaultWeight: Int = 1, budgetPct: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val rates = mixRatesFor(docs, weights, defaultWeight, budgetPct)
+    docs
+      .withColumn("mix_bucket",
+        splitBucket(concat(col("doc_id").cast("string"), lit(":mix")))
+          .cast("long"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("mix_bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("rate_pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[mixCorpus]]'s bounded rate table over ANY (…, source) frame —
+    * the reusable half [[Pipeline.corpusFull]] feeds with the
+    * decontaminated train set. ONE source-cardinality aggregate
+    * collected to the driver (the IvfCells centroid-state class),
+    * returned as a broadcast-ready (source, rate_pct) frame; the
+    * integer arithmetic is [[mixCorpus]]'s scaladoc contract verbatim.
+    */
+  private[operators] def mixRatesFor(docs: DataFrame, weights: Map[String, Int],
+                                     defaultWeight: Int, budgetPct: Int): DataFrame = {
+    val spark = docs.sparkSession
     val wcol = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
       when(col("source") === s, lit(w)).otherwise(acc)
     }
@@ -131,18 +152,10 @@ object Curation {
     val sumW = counts.map(_.getLong(2)).sum
     val budget = total * budgetPct / 100
     import spark.implicits._
-    val rates = counts.map { r =>
+    counts.map { r =>
       val (s, c, w) = (r.getString(0), r.getLong(1), r.getLong(2))
       (s, math.min(100L, 100L * (budget * w / sumW) / c))
     }.toSeq.toDF("source", "rate_pct")
-    docs
-      .withColumn("mix_bucket",
-        splitBucket(concat(col("doc_id").cast("string"), lit(":mix")))
-          .cast("long"))
-      .join(broadcast(rates), Seq("source"))
-      .filter(col("mix_bucket") < col("rate_pct"))
-      .select(col("doc_id"), col("source"), col("rate_pct"))
-      .orderBy(col("doc_id"))
   }
 
   /** `corpus_pack_shards`: assign documents to fixed-token-budget
@@ -200,7 +213,7 @@ object Curation {
     * arithmetic, so the DuckDB oracle's single-window form matches
     * bit-for-bit.
     */
-  private def packCore(toksIn: DataFrame, budgetTokens: Long): DataFrame = {
+  private[operators] def packCore(toksIn: DataFrame, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Both phases consume the tokenized projection — uncached, the
     // block-totals aggregate re-runs the whole scan INCLUDING the

@@ -449,37 +449,53 @@ object Dedup {
     * avoids it. The production answer is exact-dedup first, which is
     * precisely what [[Pipeline.corpusClean]] composes.
     */
+  /** Prefix-filter postings of a `(doc_id, sh)` shingle frame: each
+    * doc's first |sh| − ⌈tau·|sh|⌉ + 1 sorted shingle hashes as
+    * (doc_id, n, p, s) — the AllPairs/PPJoin posting table that
+    * [[ngramJaccardFrom]] self-joins and the incremental cluster store
+    * ([[Clusters.buildIncrementalClusterStore]]) materializes for its
+    * batch↔store candidate join. ε guards FP in ⌈τ·n⌉: 50·0.8
+    * evaluates to 40.000000000000006 and would ceil to 41, shortening
+    * the prefix below what the completeness theorem requires (a longer
+    * prefix is always safe).
+    */
+  private[operators] def prefixPostings(shingled: DataFrame, tau: Double): DataFrame = {
+    val prefixLen =
+      (size(col("sh")) - ceil(size(col("sh")) * tau - lit(1e-9)) + 1).cast("int")
+    shingled.select(col("doc_id"), size(col("sh")).as("n"),
+      posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("p", "s")))
+  }
+
+  /** The PPJoin pruning join condition over two posting sides aliased
+    * "a"/"b" — both filters only drop pairs that PROVABLY cannot reach
+    * J ≥ tau, so the verified output is untouched (and the oracle
+    * needs no mirror):
+    *   length: J ≥ τ ⇒ |r∩s| ≥ τ·max(|r|,|s|) ⇒ min ≥ τ·max;
+    *   position: for the smallest common token at 0-based (pa, pb),
+    *     every other common token sits after it in BOTH arrays, so
+    *     |r∩s| ≤ 1 + min(|r|−pa−1, |s|−pb−1), which must reach the
+    *     J ≥ τ overlap requirement τ/(1+τ)·(|r|+|s|).
+    * At sf10 they cut the candidate stream ~22M → ~6M before the
+    * distinct and the array-fetch verification joins.
+    */
+  private[operators] def ppjoinCond(tau: Double): Column = {
+    val minOverlap = lit(tau / (1 + tau)) * (col("a.n") + col("b.n")) - lit(1e-9)
+    col("a.s") === col("b.s") &&
+      col("a.n") * tau - lit(1e-9) <= col("b.n") &&
+      col("b.n") * tau - lit(1e-9) <= col("a.n") &&
+      (lit(1) + least(col("a.n") - col("a.p") - 1,
+        col("b.n") - col("b.p") - 1)) >= minOverlap
+  }
+
   def ngramJaccardFrom(shingled: DataFrame, tau: Double = 0.8): DataFrame = {
     // This DAG reuses the shingle tables four times — persist so they
     // materialize once. Same at cluster scale: the shingle table is the
     // natural intermediate to cache/checkpoint.
     val docsSh = graft.Caches.scoped(shingled)
-    // ε guards FP in ⌈τ·n⌉: 50·0.8 evaluates to 40.000000000000006 and
-    // would ceil to 41, shortening the prefix below what the
-    // completeness theorem requires (a longer prefix is always safe)
-    val prefixLen =
-      (size(col("sh")) - ceil(size(col("sh")) * tau - lit(1e-9)) + 1).cast("int")
-    val pre = docsSh
-      .select(col("doc_id"), size(col("sh")).as("n"),
-        posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("p", "s")))
+    val pre = prefixPostings(docsSh, tau)
       .transform(graft.Caches.scoped(_))
-    // PPJoin pruning inside the posting join — both filters only drop
-    // pairs that PROVABLY cannot reach J ≥ tau, so the verified output
-    // is untouched (and the oracle needs no mirror):
-    //   length: J ≥ τ ⇒ |r∩s| ≥ τ·max(|r|,|s|) ⇒ min ≥ τ·max;
-    //   position: for the smallest common token at 0-based (pa, pb),
-    //     every other common token sits after it in BOTH arrays, so
-    //     |r∩s| ≤ 1 + min(|r|−pa−1, |s|−pb−1), which must reach the
-    //     J ≥ τ overlap requirement τ/(1+τ)·(|r|+|s|).
-    // At sf10 they cut the candidate stream ~22M → ~6M before the
-    // distinct and the array-fetch verification joins.
-    val minOverlap = lit(tau / (1 + tau)) * (col("a.n") + col("b.n")) - lit(1e-9)
     val cand = pre.as("a").join(pre.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * tau - lit(1e-9) <= col("b.n") &&
-          col("b.n") * tau - lit(1e-9) <= col("a.n") &&
-          (lit(1) + least(col("a.n") - col("a.p") - 1,
-            col("b.n") - col("b.p") - 1)) >= minOverlap)
+        ppjoinCond(tau) && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // NO distinct on the candidate stream: the sf10 ladder measured it
     // as a 3.7 s shuffle of 3.1M pairs that removes only ~5% duplicates

@@ -125,4 +125,105 @@ object Pipeline {
         col("quality_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** `pipeline_corpus_full` (r15, r14 verdict item 2): the corpus a
+    * training run ACTUALLY consumes, end to end in one registered,
+    * oracle-gated materialization —
+    *
+    *   quality gate → exact keeper → near-dup removal →
+    *   span cut (repeated spans ∪ test-leakage spans) →
+    *   source-mixture resample → token-budget shard packing
+    *
+    * Composition choices, stated because they ARE the semantics:
+    *   - the split is the content-addressed [[Curation.splitBucket]]
+    *     assignment over SURVIVOR docs (train <90 / val 90-94 /
+    *     test ≥95); the output is the packed TRAIN corpus (the val/
+    *     test materializations are separate products);
+    *   - span-dedup and decontamination share ONE window pass but are
+    *     genuinely distinct rules: a train doc's flagged windows are
+    *     the TRAIN-corpus repeats (count ≥ 2 over train survivors —
+    *     Lee et al. dedup the corpus being trained on; counting test
+    *     occurrences here would smuggle the leakage rule into the
+    *     repeat rule) UNIONED with the windows occurring in any TEST
+    *     survivor ([[Curation.decontaminate]]'s GPT-3-appendix-C
+    *     direction), merged into islands and cut ONCE on original word
+    *     offsets — sequential cuts would re-hash the residual text a
+    *     second time and manufacture seam windows no curation pass
+    *     wants. Val docs (buckets 90-94) belong to neither rule;
+    *   - mixing rates are computed over the decontaminated train set
+    *     (the composition's actual source histogram, not the raw
+    *     corpus's), with [[Curation.mixCorpus]]'s integer arithmetic;
+    *   - packing orders by doc_id with post-cut token counts, via the
+    *     two-phase distributed prefix-sum ([[Curation.packCore]]).
+    *
+    * Scale shape: corpusClean's one stats/hash/shingle scan + ONE
+    * survivor-restricted text scan feeding the window pass, the cut,
+    * and the mix counts; 8-byte window hashes shuffle (never text);
+    * the flag check is ONE hint-pinned semi join against the dup ∪
+    * test hash union (semi joins tolerate the union's duplicates);
+    * rates and block prefixes broadcast (bounded rows); the pack runs
+    * on the narrow (id, tokens) projection and text re-attaches by one
+    * hash join. The DuckDB oracle recomputes every stage from scratch
+    * and hash-compares the final text + shard assignment.
+    */
+  def corpusFull(spark: SparkSession, dir: String,
+                 minQuality: Double = 0.5, tau: Double = 0.8, w: Int = 16,
+                 weights: Map[String, Int] = Map("src0" -> 30, "src1" -> 30),
+                 defaultWeight: Int = 1, budgetPct: Int = 50,
+                 budgetTokens: Long = 50000L): DataFrame = {
+    val survivors = cleanSurvivors(spark, dir, minQuality, tau)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .join(survivors.select(col("doc_id")).hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("wd"),
+        Curation.splitBucket(col("doc_id")).cast("long").as("bucket"))
+      .filter(col("bucket") < 90 || col("bucket") >= 95) // val: neither rule
+      .transform(graft.Caches.scoped(_)) // window pass + cut: one text scan
+    val posted = docs
+      .filter(size(col("wd")) >= w)
+      .select(col("doc_id"), col("bucket"),
+        posexplode(graft.functions.WindowHashes.window_hashes(col("wd"), w))
+          .as(Seq("pos", "h")))
+      .transform(graft.Caches.scoped(_)) // dup count + test vocab + train stream
+    val dupH = posted.filter(col("bucket") < 90)
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val testH = posted.filter(col("bucket") >= 95).select(col("h"))
+    val flagged = posted.filter(col("bucket") < 90)
+      .select(col("doc_id"), col("pos"), col("h"))
+      .join(dupH.unionByName(testH).hint("shuffle_hash"), Seq("h"), "left_semi")
+    val perDoc = Dedup.mergeIslands(flagged, w)
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+        sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+    val emptyLongs = array().cast("array<bigint>")
+    val train = docs.filter(col("bucket") < 90)
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        graft.functions.CutSpans.cut_spans(col("wd"),
+          coalesce(transform(col("sp"), _.getField("span_start")), emptyLongs),
+          coalesce(transform(col("sp"), _.getField("span_end")), emptyLongs))
+          .as("clean_text"),
+        (size(col("wd")).cast("long") - coalesce(col("n_removed"), lit(0L)))
+          .as("n_tokens"))
+      .transform(graft.Caches.scoped(_)) // mix counts + pack input + text join
+    val rates = Curation.mixRatesFor(train, weights, defaultWeight, budgetPct)
+    val mixed = train
+      .withColumn("mix_bucket", Curation.splitBucket(
+        concat(col("doc_id").cast("string"), lit(":mix"))).cast("long"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("mix_bucket") < col("rate_pct"))
+    val n = graft.sources.Tables.parquetRowCount(spark, dir, "documents")
+    val blockSize = math.max(1000L, n / 10000L)
+    val packed = Curation.packCore(
+      mixed.select(col("doc_id"), col("n_tokens"),
+        (col("doc_id") / blockSize).cast("long").as("blk")), budgetTokens)
+    packed.select(col("doc_id"), col("shard_id"))
+      .join(mixed.select(col("doc_id"), col("source"), col("clean_text"),
+        col("n_tokens")).hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("clean_text"),
+        col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -312,6 +312,100 @@ class CurationSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("pipeline_corpus_full: every stage fires on a crafted corpus") {
+    // One corpus where each composed stage provably does work: a
+    // low-quality doc (quality gate), an exact duplicate pair, a
+    // near-dup pair (J ≈ 0.91), a repeated 16-word passage between two
+    // train survivors (span dedup), a passage shared between a train
+    // doc and a TEST doc (decontamination), a clean control doc, and a
+    // 200-doc bulk source (mix rates + shard packing). Split and mix
+    // buckets are content-addressed, so the test LEARNS them first
+    // (same technique as the contamination-spans spec).
+    import spark.implicits._
+    def hashBucket(s: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (h(0).toInt * 65536 + h(1).toInt * 256 + h(2).toInt) % 100
+    }
+    def splitOf(id: Long): Int = hashBucket(id.toString)
+    def mixOf(id: Long): Int = hashBucket(s"$id:mix")
+    val trainPool = (0L until 4000L).filter(splitOf(_) < 90).iterator
+    val testPool = (0L until 4000L).filter(splitOf(_) >= 95).iterator
+    def nt() = trainPool.next()
+    def filler(p: String, n: Int) =
+      (0 until n).flatMap(i => Seq("the", s"$p$i")).mkString(" ")
+    val spanPassage = (0 until 16).map(i => s"sp$i").mkString(" ")
+    val contPassage = (0 until 16).map(i => s"ct$i").mkString(" ")
+    val lowQ = nt(); val dup1 = nt(); val dup2 = nt()
+    val near1 = nt(); val near2 = nt()
+    val spanA = nt(); val spanB = nt(); val contTrain = nt()
+    val cleanDoc = nt(); val contTest = testPool.next()
+    val nearWordsA = (0 until 32).flatMap(i => Seq("the", s"na$i"))
+    val nearWordsB = nearWordsA.init :+ "nb0" // last token differs: J = 59/65
+    val dupText = filler("dup", 32)
+    val small = Seq(
+      (lowQ, (0 until 40).map(i => s"Q$i").mkString(" ")), // quality < 0.5
+      (dup1, dupText), (dup2, dupText),
+      (near1, nearWordsA.mkString(" ")), (near2, nearWordsB.mkString(" ")),
+      (spanA, s"${filler("sa", 12)} $spanPassage ${filler("sb", 12)}"),
+      (spanB, s"${filler("sc", 12)} $spanPassage ${filler("se", 12)}"),
+      (contTrain, s"${filler("ka", 12)} $contPassage ${filler("kb", 12)}"),
+      (cleanDoc, filler("cl", 30)),
+      (contTest, s"${filler("qa", 12)} $contPassage ${filler("qb", 12)}"))
+    val bulkIds = (0 until 200).map(_ => nt())
+    val bulk = bulkIds.zipWithIndex.map { case (id, i) => (id, filler(s"m${i}x", 30)) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_full_spec").toString
+    (small.map { case (id, t) => (id, t, "small") } ++
+      bulk.map { case (id, t) => (id, t, "big") })
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Pipeline.corpusFull(spark, tmp,
+        weights = Map("small" -> 10), defaultWeight = 1, budgetPct = 50,
+        budgetTokens = 100L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.Caches.release()
+    // Stage 1-3 drops: quality, exact (higher id), near-dup (higher id);
+    // test/val docs never emit.
+    for (id <- Seq(lowQ, math.max(dup1, dup2), math.max(near1, near2), contTest))
+      assert(!got.contains(id), s"doc $id should have been dropped/excluded")
+    // Mix: small saturates (6 survivors, rate 100); big resamples at the
+    // integer rate — counts: small 6, big 200, total 206, budget 103,
+    // ΣW = 11, n_small = 93 → rate 100; n_big = 9 → rate 100·9/200 = 4.
+    val smallSurvivors = Set(math.min(dup1, dup2), math.min(near1, near2),
+      spanA, spanB, contTrain, cleanDoc)
+    val expectBig = bulkIds.filter(mixOf(_) < 4).toSet
+    assert(got.keySet == smallSurvivors ++ expectBig,
+      s"mix acceptance diverged: got=${got.keySet.size} want=${(smallSurvivors ++ expectBig).size}")
+    // Span dedup: the repeated passage (plus its shared 'the' boundary,
+    // the corpusTrain spec's maximal-match argument) cut from BOTH
+    // train survivors — 64 − 17 = 47 tokens remain.
+    for (id <- Seq(spanA, spanB)) {
+      assert(!got(id)._2.contains("sp"), s"doc $id still contains the repeated passage")
+      assert(got(id)._3 == 47L, s"doc $id n_tokens: ${got(id)._3} != 47")
+    }
+    // Decontamination: the train↔test passage cut from the TRAIN doc
+    // (the near-dup keeper's shared windows died with the dropped copy,
+    // so IT keeps all 64 tokens — spans run over what remains).
+    assert(!got(contTrain)._2.contains("ct"), "train doc still leaks the test passage")
+    assert(got(contTrain)._3 == 47L)
+    assert(got(math.min(near1, near2))._3 == 64L,
+      "near-dup keeper must keep its text once the duplicate is gone")
+    assert(got(cleanDoc)._3 == 60L && got(cleanDoc)._2 == filler("cl", 30),
+      "clean control doc was modified")
+    // Pack: shard_id is the exclusive prefix sum of n_tokens in doc_id
+    // order DIV the budget — recomputed from the output itself.
+    val ordered = got.toSeq.sortBy(_._1)
+    var prefix = 0L
+    for ((id, (_, _, toks, shard)) <- ordered) {
+      assert(shard == prefix / 100L, s"doc $id shard ${shard} != ${prefix / 100L}")
+      prefix += toks
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("contamination spans equal a from-scratch reimplementation") {
     val w = 16
     val got = Curation.contaminationSpans(spark, dir, w).collect()

@@ -32,9 +32,11 @@ class PlanSpec extends AnyFunSuite {
     */
   private def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val through = p match {
       case a: AdaptiveSparkPlanExec => deepNodes(a.executedPlan)
       case q: QueryStageExec => deepNodes(q.plan)
+      case i: InMemoryTableScanExec => deepNodes(i.relation.cachedPlan)
       case _ => Seq.empty
     }
     p +: (through ++ p.children.flatMap(deepNodes))
@@ -265,9 +267,12 @@ class PlanSpec extends AnyFunSuite {
     // handful of files, never one per upstream task — same layout
     // contract as the metrics store (w×nlist spray makes file listing
     // eat the prune's win).
+    // r14 renamed derived-store tmp paths to the pathSlug convention;
+    // match on it (the old hashCode prefix only ever matched stale
+    // pre-r14 leftovers in /tmp).
     val idxRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().filter(f => f.isDirectory &&
-        f.getName.startsWith("graft_ivf_index_" + Integer.toHexString(dir.hashCode)))
+        f.getName.startsWith("graft_ivf_index_" + graft.sources.Tables.pathSlug(dir)))
       .maxBy(_.lastModified)
     val cellDirs = new java.io.File(idxRoot, "cells")
       .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
@@ -559,6 +564,54 @@ class PlanSpec extends AnyFunSuite {
     assert(exec.split("HashAggregate").length - 1 == 2,
       "exactly one partial+final aggregate pair (the batch groupBy) — a second " +
         "aggregate means the store side is being re-aggregated")
+  }
+
+  test("dedup_clusters_incremental_serve: standing labels read from the store, no store-side CC") {
+    // r15 (r14 verdict item 1): the serve's standing side must come
+    // from the materialized store — labels READ from parquet (CC over
+    // the store pair graph ran at build time), candidates from the
+    // posting index, verification shingles fetched by semi join — and
+    // the merged output must be row-identical to the recompute path.
+    val full = graft.operators.Clusters.clustersIncremental(spark, dir)
+      .collect().map(_.toString).toSeq
+    graft.Caches.release()
+    val path = graft.operators.Clusters.buildIncrementalClusterStore(spark, dir)
+    for (sub <- Seq("labels", "postings", "shingles"))
+      assert(new java.io.File(s"$path/$sub/_SUCCESS").exists(),
+        s"store build did not materialize $sub")
+    // The batch-pair stage (lazy — auditable): candidates come from the
+    // store's POSTING index, verification shingles from the store's
+    // shingle table; every join stays hint-pinned hashed (nothing
+    // store-sized may broadcast). The store posting scan appears for
+    // the batch CROSS join only — no full-corpus posting self-join.
+    val pairs = graft.operators.Clusters.serveBatchPairs(spark, dir, 0.8, 80, path)
+    // deepNodes descends into cached subplans, so scans repeat per
+    // cache USE — assert on the distinct location set.
+    val scans = deepNodes(pairs.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("Location", "") }.distinct
+    assert(scans.exists(l => l.contains("graft_clstore") && l.contains("postings")),
+      s"candidates must come from the store's posting index: $scans")
+    assert(scans.exists(l => l.contains("graft_clstore") && l.contains("shingles")),
+      "verification must fetch store shingles from the materialized table")
+    val pairsExec = finalPlanOnly(pairs.queryExecution.executedPlan.toString)
+    assert(pairsExec.contains("ShuffledHashJoin"), "posting joins must stay shuffle-hash")
+    assert(pairsExec.contains("LeftSemi"), "store shingle fetch must stay a semi join")
+    assert(!pairsExec.contains("BroadcastExchange"),
+      "nothing store-sized may broadcast in the pair stage")
+    graft.Caches.release()
+    // The merged serve: standing labels READ from the store (the scan
+    // sits inside the merge's cached label frame — deepNodes traverses
+    // InMemoryTableScan), output row-identical to the recompute path.
+    val serve = graft.operators.Clusters.clustersIncrementalServe(spark, dir)
+    val serveScans = deepNodes(serve.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("Location", "") }
+    assert(serveScans.exists(l => l.contains("graft_clstore") && l.contains("labels")),
+      s"standing labels must be read from the store, not re-solved: $serveScans")
+    assert(serve.collect().map(_.toString).toSeq == full,
+      "store-resident serve and recompute-path incremental clusters diverged")
+    graft.Caches.release()
   }
 
   test("span operators: hash-posting joins stay shuffle-hash, no text in the shuffle") {
