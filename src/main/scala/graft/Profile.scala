@@ -218,6 +218,69 @@ object Profile {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DECOMP=clserve: stage ladder for the incremental
+    // cluster serve (r15): batch shingling alone → batch postings →
+    // + cross candidates vs the store posting index → + self
+    // candidates → + shingle-fetch + verification (= batch pairs) →
+    // full serve (adds the label-store merge + subgraph CC + decorate).
+    // Store build runs once before the ladder (the cold rep's price).
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("clserve")) {
+      import org.apache.spark.sql.functions._
+      def best(label: String)(body: () => Unit): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); body(); Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] clserve $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val path = graft.operators.Clusters.buildIncrementalClusterStore(spark, dir)
+      val tau = 0.8; val bb = 80
+      val batchSh0 = graft.operators.Dedup.shingledHashed(spark, dir)
+        .filter(graft.operators.Curation.splitBucket(col("doc_id")) >= bb)
+      best("batch_shingle")(() => noop(batchSh0))
+      val batchSh = graft.Caches.scoped(batchSh0)
+      val batchPre = graft.Caches.scoped(
+        graft.operators.Dedup.prefixPostings(batchSh, tau))
+      val storePre = spark.read.parquet(s"$path/postings")
+      val crossCand = batchPre.as("a")
+        .join(storePre.as("b").hint("shuffle_hash"), graft.operators.Dedup.ppjoinCond(tau))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val ts0 = System.nanoTime()
+      println(s"[decomp] clserve cross_cand_rows ${crossCand.count()} " +
+        f"${(System.nanoTime() - ts0) / 1e9}%.3f s")
+      val selfCand = batchPre.as("a")
+        .join(batchPre.as("b").hint("shuffle_hash"),
+          graft.operators.Dedup.ppjoinCond(tau) && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val ts1 = System.nanoTime()
+      println(s"[decomp] clserve self_cand_rows ${selfCand.count()} " +
+        f"${(System.nanoTime() - ts1) / 1e9}%.3f s")
+      val pairsDf = graft.Caches.scoped(
+        graft.operators.Clusters.serveBatchPairs(spark, dir, tau, bb, path))
+      val ts2 = System.nanoTime()
+      println(s"[decomp] clserve batch_pair_rows ${pairsDf.count()} " +
+        f"${(System.nanoTime() - ts2) / 1e9}%.3f s")
+      val lab = spark.read.parquet(s"$path/labels")
+      println(s"[decomp] clserve store_label_rows ${lab.count()}")
+      val ts3 = System.nanoTime()
+      val merged = graft.operators.Clusters.mergeIncrementalLabels(spark, lab, pairsDf)
+      noop(merged)
+      println(f"[decomp] clserve merge_only(cached_pairs) ${(System.nanoTime() - ts3) / 1e9}%.3f s")
+      graft.Caches.release()
+      best("batch_pairs")(() => noop(
+        graft.operators.Clusters.serveBatchPairs(spark, dir, tau, bb, path)))
+      best("full_serve")(() => noop(
+        graft.operators.Clusters.clustersIncrementalServe(spark, dir)))
+      best("recompute_path")(() => noop(
+        graft.operators.Clusters.clustersIncremental(spark, dir)))
+      best("full_recompute")(() => noop(
+        SparkEntry.queries("dedup_clusters")(spark, dir)))
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DECOMP=train: cumulative stage ladder for
     // pipeline_corpus_train (the composed training-corpus output, the
     // heaviest new r14 cell at sf10): clean survivors alone →

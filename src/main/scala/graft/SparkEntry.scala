@@ -60,6 +60,7 @@ object SparkEntry {
 
     "dedup_exact"         -> Dedup.exact _,
     "dedup_exact_normalized" -> Dedup.exactNormalized _,
+    "dedup_exact_normalized_utf8" -> Dedup.exactNormalizedUtf8 _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
@@ -171,7 +172,8 @@ object SparkEntry {
   val boundedShuffleQueries: Set[String] = Set(
     "etl_consolidate", "etl_metrics", "etl_export_daily",
     "q1_agg", "corpus_stats",
-    "dedup_exact", "dedup_exact_normalized", "corpus_pack_shards",
+    "dedup_exact", "dedup_exact_normalized", "dedup_exact_normalized_utf8",
+    "corpus_pack_shards",
     "sim_ann_ivf", "sim_ann_ivf_serve", "sim_ann_ivfpq_serve",
     "sim_ann_ivfpq_res_serve",
     // the set-op pair: their only exchanges are the key-domain-bounded
@@ -777,6 +779,19 @@ object SparkEntry {
     "dedup_exact_normalized" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS text_hash,
+        |  COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // The UTF-8 tier's rule in DuckDB's own unicode machinery (NFC +
+    // utf8proc simple lowercase + RE2 \p{L}\p{Nd} classes) — on the
+    // ASCII driver corpus the two normalized rows must agree with each
+    // other AND with their shared oracle hash; the non-ASCII behavior
+    // is pinned by ExprSpec against an independent Normalizer+regex
+    // reference (the crafted-corpus gate, since the driver testdata is
+    // ASCII by construction).
+    "dedup_exact_normalized_utf8" ->
+      """SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[^\p{L}\p{Nd}]+', ' ', 'g'))) AS text_hash,
         |  COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 

@@ -73,3 +73,72 @@ object NormalizeText {
   def normalize_text(c: Column): Column =
     GraftColumn.column(NormalizeText(GraftColumn.expression(c)))
 }
+
+/** UTF-8-aware tier of [[NormalizeText]] (r15, closing the documented
+  * Kelvin-sign-class divergence): NFC canonical normalization →
+  * per-codepoint SIMPLE lowercase (Character.toLowerCase(int) — the
+  * utf8proc-class mapping DuckDB's lower() applies, not the locale
+  * full mapping) → keep Unicode letters (\p{L}) and decimal digits
+  * (\p{Nd}); anything else is a token break, breaks collapse to one
+  * space, output is trimmed. The DuckDB mirror is exactly
+  * `trim(regexp_replace(lower(nfc_normalize(s)), '[^\p{L}\p{Nd}]+',
+  * ' ', 'g'))`, so the rule stays oracle-expressible.
+  *
+  * ALL-ASCII rows (checked in one byte scan) take the [[NormalizeText]]
+  * byte kernel verbatim — on ASCII the two rules coincide (NFC is the
+  * identity, simple lower is ASCII lower, \p{L}\p{Nd} is [a-z0-9]), so
+  * the fast path is bit-identical and an ASCII corpus pays zero cost
+  * for the tier (ExprSpec pins both claims). Non-ASCII rows pay one
+  * NFC pass + one codepoint scan — still O(chars), no regex engine.
+  */
+case class NormalizeTextUtf8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text_utf8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    NormalizeTextUtf8.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeTextUtf8.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeTextUtf8 {
+  def compute(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < b.length) {
+      if ((b(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return NormalizeText.compute(s)
+    val n = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(n.length)
+    var pendingBreak = false
+    var j = 0
+    while (j < n.length) {
+      val cp = n.codePointAt(j)
+      val lc = Character.toLowerCase(cp)
+      if (Character.isLetter(lc) || Character.isDigit(lc)) {
+        if (pendingBreak && sb.length > 0) sb.append(' ')
+        pendingBreak = false
+        sb.appendCodePoint(lc)
+      } else pendingBreak = true
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def normalize_text_utf8(c: Column): Column =
+    GraftColumn.column(NormalizeTextUtf8(GraftColumn.expression(c)))
+}

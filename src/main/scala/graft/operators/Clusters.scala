@@ -526,6 +526,7 @@ object Clusters {
     val storeShNeeded = spark.read.parquet(s"$path/shingles")
       .join(cand.select(col("doc_b").as("doc_id")).hint("shuffle_hash"),
         Seq("doc_id"), "left_semi")
+      .transform(graft.Caches.scoped(_)) // verify joins the array table twice
     Dedup.verifyJaccard(batchSh.unionByName(storeShNeeded), cand, tau)
       .select(col("doc_a"), col("doc_b"))
   }

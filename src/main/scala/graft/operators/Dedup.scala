@@ -79,7 +79,7 @@ object Dedup {
     * codegen'd pass; the declarative transform/distinct/sort chain it
     * replaces ran interpreted).
     */
-  private[operators] def shingledHashed(spark: SparkSession, dir: String,
+  private[graft] def shingledHashed(spark: SparkSession, dir: String,
                                         normalize: Boolean = false): DataFrame =
     tokenized(spark, dir, normalize)
       .select(col("doc_id"), HashedShingles.hashed_shingles(col("w"), 3).as("sh"))
@@ -105,6 +105,21 @@ object Dedup {
   def exactNormalized(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(md5(TextAnalysis.normalizeText(col("text")).cast("binary"))
+        .as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+
+  /** `dedup_exact_normalized_utf8` (r15): [[exactNormalized]] under the
+    * UTF-8-aware tier ([[graft.functions.NormalizeTextUtf8]]: NFC →
+    * simple lowercase → keep \p{L}\p{Nd}) — the rule a multilingual
+    * corpus needs, where the ASCII byte kernel silently erases the
+    * Kelvin-sign class. Same plan shape; ASCII rows take the byte
+    * kernel fast path, so on an ASCII corpus this row costs what
+    * [[exactNormalized]] costs and hash-matches it.
+    */
+  def exactNormalizedUtf8(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(TextAnalysis.normalizeTextUtf8(col("text")).cast("binary"))
         .as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
@@ -459,7 +474,7 @@ object Dedup {
     * the prefix below what the completeness theorem requires (a longer
     * prefix is always safe).
     */
-  private[operators] def prefixPostings(shingled: DataFrame, tau: Double): DataFrame = {
+  private[graft] def prefixPostings(shingled: DataFrame, tau: Double): DataFrame = {
     val prefixLen =
       (size(col("sh")) - ceil(size(col("sh")) * tau - lit(1e-9)) + 1).cast("int")
     shingled.select(col("doc_id"), size(col("sh")).as("n"),
@@ -478,7 +493,7 @@ object Dedup {
     * At sf10 they cut the candidate stream ~22M → ~6M before the
     * distinct and the array-fetch verification joins.
     */
-  private[operators] def ppjoinCond(tau: Double): Column = {
+  private[graft] def ppjoinCond(tau: Double): Column = {
     val minOverlap = lit(tau / (1 + tau)) * (col("a.n") + col("b.n")) - lit(1e-9)
     col("a.s") === col("b.s") &&
       col("a.n") * tau - lit(1e-9) <= col("b.n") &&

@@ -62,6 +62,15 @@ object TextAnalysis {
   def normalizeText(c: Column): Column =
     graft.functions.NormalizeText.normalize_text(c)
 
+  /** UTF-8-aware normalization tier (r15): NFC → simple lowercase →
+    * keep \p{L}\p{Nd} — see [[graft.functions.NormalizeTextUtf8]].
+    * Bit-identical to [[normalizeText]] on ASCII (fast-path delegation,
+    * ExprSpec-pinned); on multilingual corpora it folds the
+    * Kelvin-sign-class codepoints the ASCII kernel erases.
+    */
+  def normalizeTextUtf8(c: Column): Column =
+    graft.functions.NormalizeTextUtf8.normalize_text_utf8(c)
+
   /** `text_tokens`: whitespace token count, regex (BPE-ish) token
     * count, and mean token length (non-space chars / tokens).
     */

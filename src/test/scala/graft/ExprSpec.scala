@@ -555,6 +555,57 @@ class ExprSpec extends AnyFunSuite {
     assert(corpus.isEmpty)
   }
 
+  test("NormalizeTextUtf8: ASCII fast path bit-identical, non-ASCII matches the NFC reference") {
+    import spark.implicits._
+    // 1. ASCII: the utf8 tier must DELEGATE to the byte kernel —
+    // bit-identity with NormalizeText on crafted edges and the corpus.
+    val crafted = Seq("Hello, World!", "  padded  ", "A--B__C", "123 abc XYZ",
+      "!!!", "", "THE Quick    brown\tfox", "a", "trailing dot.", ".lead")
+      .toDF("text")
+    val asciiBad = crafted.unionByName(
+        graft.sources.Tables.documents(spark, dir).select(col("text")))
+      .select(
+        graft.functions.NormalizeTextUtf8.normalize_text_utf8(col("text")).as("u"),
+        graft.functions.NormalizeText.normalize_text(col("text")).as("k"))
+      .filter(col("u") =!= col("k"))
+    assert(asciiBad.isEmpty, asciiBad.collect().mkString(","))
+    // 2. Non-ASCII: independent reference — NFC via java.text.Normalizer
+    // + the unicode regex chain (the DuckDB-mirrored rule) — over a
+    // crafted multilingual corpus covering the documented divergence
+    // classes: Kelvin sign (NFC singleton → K → k), accented latin,
+    // Greek case, fullwidth digits (\p{Nd} — kept), superscript two
+    // (\p{No} — dropped), CJK (letters, no case), arabic-indic digits,
+    // combining marks (é composed by NFC), emoji/punct (dropped).
+    def ref(s: String): String = {
+      val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val sb = new java.lang.StringBuilder
+      n.codePoints().forEach(cp => sb.appendCodePoint(Character.toLowerCase(cp)))
+      sb.toString.replaceAll("[^\\p{L}\\p{Nd}]+", " ").trim
+    }
+    val multi = Seq(
+      "Temp 300K outside",               // Kelvin sign
+      "Héllo WÖRLD",                // é, Ö
+      "Σοφία 2024",  // Greek: Σοφία
+      "éclair été",          // combining acute -> NFC é
+      "１２３ fullwidth",         // fullwidth digits (Nd)
+      "area² and Ⅳ roman",          // ² (No), Ⅳ (Nl) — dropped
+      "中文 text ١٢٣", // CJK + arabic-indic digits
+      "emoji 😀 mixed, punct—dash",
+      "Å ngström",                  // Å (angstrom sign, NFC → Å)
+      "straße İstanbul")            // ß, dotted capital I
+      .toDF("text")
+    val rows = multi.select(col("text"),
+        graft.functions.NormalizeTextUtf8.normalize_text_utf8(col("text")).as("u"))
+      .collect()
+    for (r <- rows) {
+      val (t, u) = (r.getString(0), r.getString(1))
+      assert(u == ref(t), s"'$t': got '$u', want '${ref(t)}'")
+    }
+    // The headline divergence closed: the Kelvin sign folds to k.
+    assert(rows.find(_.getString(0).contains("K")).get.getString(1)
+      == "temp 300k outside")
+  }
+
   test("WindowHashes roll matches a direct polynomial recomputation, window-injective") {
     // Direct O(n·w) reference: token XXH64 once, then each window's
     // polynomial evaluated independently (no rolling — an arithmetic
