@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *
   * Knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_ARRIVAL_BATCHES (default 10), SPARK_GRAFT_ARRIVAL_MODE
-  * (exact | neardup | clusters | vectors, default exact),
+  * (exact | neardup | clusters | vectors | spans, default exact),
   * SPARK_GRAFT_CPUS (default 32).
   */
 object ArrivalBench {
@@ -57,6 +57,9 @@ object ArrivalBench {
         case "clusters" =>
           streaming.EventStream.clusterArrivalBatch(docBatch(i), store,
             i.toLong, 0.9, 64, 16)
+        case "spans" =>
+          streaming.EventStream.spanArrivalBatch(docBatch(i), store,
+            i.toLong, 16)
         case "vectors" =>
           operators.Ivf.vectorArrivalBatch(vecBatch(i), store, i.toLong, nlist)
         case other => sys.error(s"unknown SPARK_GRAFT_ARRIVAL_MODE '$other'")
@@ -68,6 +71,8 @@ object ArrivalBench {
         spark.read.parquet(s"$store/cells").count()
       case "clusters" =>
         streaming.EventStream.arrivalClusterLabels(spark, store).count()
+      case "spans" =>
+        streaming.EventStream.arrivalSpanList(spark, store).count()
       case _ =>
         streaming.EventStream.arrivalAccepted(spark, store).count()
     }

@@ -357,7 +357,7 @@ object Dedup {
                                         w: Int): DataFrame =
     windowPostingsFrom(Tables.documents(spark, dir), w)
 
-  private[operators] def windowPostingsFrom(docs: DataFrame, w: Int): DataFrame =
+  private[graft] def windowPostingsFrom(docs: DataFrame, w: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= w)
@@ -371,7 +371,7 @@ object Dedup {
     * (doc_id, span_start, span_end, n_dup_windows) in word offsets —
     * the removal list [[substringApply]] consumes.
     */
-  private[operators] def mergeIslands(flagged: DataFrame, w: Int): DataFrame = {
+  private[graft] def mergeIslands(flagged: DataFrame, w: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged

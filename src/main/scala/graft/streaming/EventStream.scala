@@ -408,12 +408,22 @@ object EventStream {
     * store may live on any cluster-visible storage.
     */
   def compactArrivalStore(spark: SparkSession, storeDir: String): Unit = {
-    Seq("hashes", "bands", "corpus", "accepted").foreach { sub =>
+    Seq("hashes", "bands", "corpus", "accepted", "windows").foreach { sub =>
       compactSub(spark, s"$storeDir/$sub",
         dirs => spark.read.parquet(dirs: _*))
     }
     compactSub(spark, s"$storeDir/labels",
       dirs => arrivalClusterLabelsFrom(spark, s"$storeDir/labels", dirs))
+    // spans/ resolves latest-batch-wins per doc, like labels/ — the
+    // compacted dir is the resolved removal list re-stated.
+    compactSub(spark, s"$storeDir/spans", dirs => {
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      spark.read.option("basePath", s"$storeDir/spans").parquet(dirs: _*)
+        .withColumn("mb", max(col("batch").cast("long")).over(byDoc))
+        .filter(col("batch").cast("long") === col("mb"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_dup_windows"))
+    })
   }
 
   /** Test hook: when set, [[compactSub]] throws AFTER the source-dir
@@ -509,6 +519,102 @@ object EventStream {
           nlist, iters)
       }
       .start()
+
+  /** The fifth arrival loop (r15): streaming SPAN-DEDUP maintenance —
+    * the arrival twin of `dedup_substring`, completing the family
+    * (exact / near-dup / clusters / vectors / spans). The standing
+    * store keeps the corpus's full WINDOW-HASH POSTING LOG
+    * (`windows/batch=<id>`: doc_id, pos, h — 8-byte hashes and word
+    * offsets, never text) plus a per-doc SPAN delta log
+    * (`spans/batch=<id>`), and each arriving batch:
+    *
+    *   1. posts its own windows (the O(tokens) [[graft.functions.
+    *      WindowHashes]] roll);
+    *   2. finds the standing docs its hashes COLLIDE with (semi join
+    *      on h — the touched set, O(collisions));
+    *   3. recounts multiplicity ONLY for hashes relevant to batch or
+    *      touched docs (semi-joined count over standing ∪ batch
+    *      postings), flags count ≥ 2;
+    *   4. re-solves maximal spans ([[graft.operators.Dedup
+    *      .mergeIslands]]) for batch docs AND touched store docs, and
+    *      writes them as this batch's span delta.
+    *
+    * Span sets are MONOTONE (global window counts only grow), so the
+    * delta needs no tombstones and [[arrivalSpanList]]'s
+    * latest-batch-wins read is exact — the same no-compaction contract
+    * as the cluster-label log. Replay safety is the family's
+    * `batch < batchId` standing read + per-dir overwrite. Identity
+    * gate: StreamingSpec drives crafted arrivals and asserts the read
+    * equals batch `substringSpansFrom` over the union, plus
+    * retried-batch idempotency.
+    */
+  def arrivalSpans(docs: DataFrame, storeDir: String, checkpointDir: String,
+                   w: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        spanArrivalBatch(batch, storeDir, batchId, w)
+      }
+      .start()
+
+  /** One span-maintenance arrival batch; see [[arrivalSpans]]. */
+  private[graft] def spanArrivalBatch(batch: DataFrame, storeDir: String,
+                                      batchId: Long, w: Int): Unit =
+    graft.Caches.withScope {
+      val spark = batch.sparkSession
+      val wins = graft.operators.Dedup
+        .windowPostingsFrom(batch.select(col("doc_id"), col("text")), w)
+        .transform(graft.Caches.scoped(_)) // posted + probed + flagged + written
+      val winDirs = standingDirs(s"$storeDir/windows", batchId)
+      val standing =
+        (if (winDirs.isEmpty) wins.limit(0)
+         else spark.read.option("basePath", s"$storeDir/windows")
+           .parquet(winDirs: _*).select(col("doc_id"), col("pos"), col("h")))
+          .transform(graft.Caches.scoped(_)) // touched + counts + touched postings
+      val touched = standing
+        .join(wins.select(col("h")).hint("shuffle_hash"), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val touchedWins = standing
+        .join(touched.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .transform(graft.Caches.scoped(_)) // relevant hashes + island input
+      // Multiplicity recount restricted to hashes RELEVANT to this
+      // batch (its own windows + every touched doc's windows): the
+      // global count only grows, so count >= 2 here is final for every
+      // span emitted now, and untouched docs' spans stay valid.
+      val relevantH = wins.select(col("h")).unionByName(touchedWins.select(col("h")))
+      val flagH = standing.select(col("h")).unionByName(wins.select(col("h")))
+        .join(relevantH.hint("shuffle_hash"), Seq("h"), "left_semi")
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h"))
+      val flagged = wins.unionByName(touchedWins)
+        .join(flagH.hint("shuffle_hash"), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"), col("h"))
+      val spans = graft.operators.Dedup.mergeIslands(flagged, w)
+      spans.write.mode("overwrite").parquet(s"$storeDir/spans/batch=$batchId")
+      wins.write.mode("overwrite").parquet(s"$storeDir/windows/batch=$batchId")
+    }
+
+  /** Latest-batch-wins span read over [[arrivalSpans]]' delta log —
+    * the standing removal list, schema-identical to `dedup_substring`.
+    * Empty frame on a store with no committed batch.
+    */
+  def arrivalSpanList(spark: SparkSession, storeDir: String): DataFrame = {
+    val dirs = standingDirs(s"$storeDir/spans", Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("span_start"), col("id").as("span_end"),
+        col("id").as("n_dup_windows"))
+    else {
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      spark.read.option("basePath", s"$storeDir/spans").parquet(dirs: _*)
+        .withColumn("mb", max(col("batch").cast("long")).over(byDoc))
+        .filter(col("batch").cast("long") === col("mb"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_dup_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }
+  }
 
   /** One near-dup arrival batch; see [[arrivalNearDup]]. Scoped caches
     * release per-batch via [[graft.Caches.withScope]] (r14 advice —

@@ -509,6 +509,54 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("arrival spans: delta log equals batch substringSpans over the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrsp_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrsp_ckpt").toString
+    assert(EventStream.arrivalSpanList(spark, store).isEmpty)
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val pass = (0 until 16).map(i => s"sp$i").mkString(" ")
+    val pass2 = (0 until 16).map(i => s"tp$i").mkString(" ")
+    val chunks = Seq(
+      // batch 0: the passage planted once — nothing repeats yet
+      Seq((10L, s"${words("a", 20)} $pass ${words("b", 20)}"),
+        (11L, words("u", 40))),
+      // batch 1: doc 20 repeats doc 10's passage — spans emit for the
+      // batch doc AND the TOUCHED standing doc (the delta re-emission)
+      Seq((20L, s"${words("c", 20)} $pass ${words("d", 20)}"),
+        (21L, words("v", 40))),
+      // batch 2: within-doc repeat of a fresh passage — two islands
+      Seq((30L, s"${words("e", 10)} $pass2 ${words("q", 5)} $pass2 ${words("r", 10)}"),
+        (31L, words("x", 40))))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.arrivalSpans(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt)
+    try {
+      chunks.foreach { ch => mem.addData(ch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def spans() = EventStream.arrivalSpanList(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = spans()
+    val full = graft.operators.Dedup
+      .substringSpansFrom(chunks.flatten.toDF("doc_id", "text"), 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.Caches.release()
+    assert(got == full, s"arrival spans $got != batch twin $full")
+    // Crafted reading, so a broken fixture can't weaken the gate: the
+    // shared passage flagged in BOTH its carriers (one window each at
+    // word offset 20), the within-doc repeat as TWO islands in doc 30.
+    assert(got == Set((10L, 20L, 35L, 1L), (20L, 20L, 35L, 1L),
+      (30L, 10L, 25L, 1L), (30L, 31L, 46L, 1L)))
+    // Retried batch 1 (same batchId): batch < batchId standing read +
+    // per-dir overwrite keep the store byte-deterministic.
+    EventStream.spanArrivalBatch(chunks(1).toDF("doc_id", "text"), store, 1L, 16)
+    assert(spans() == got, "retried span batch changed the store")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("arrival vectors: the streamed index serves exactly (full-probe degeneration)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -628,6 +676,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(labels() == lbefore + (14L -> 10L),
       "post-compaction cluster batch failed to fuse")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cstore))
+
+    // Span store: windows/ compacts as a plain union, spans/ resolves
+    // latest-batch-wins first; a post-compaction batch must still
+    // collide with the compacted standing windows.
+    val sstore = java.nio.file.Files.createTempDirectory("graft_compact_sp").toString
+    val pass = (0 until 16).map(i => s"sp$i").mkString(" ")
+    def sfeed(rows: Seq[(Long, String)], id: Long): Unit =
+      EventStream.spanArrivalBatch(rows.toDF("doc_id", "text"), sstore, id, 16)
+    sfeed(Seq((10L, s"${words("sa", 20)} $pass ${words("sb", 20)}")), 0L)
+    sfeed(Seq((20L, s"${words("sc", 20)} $pass ${words("sd", 20)}")), 1L)
+    sfeed(Seq((30L, words("su", 40))), 2L)
+    def spanSet() = EventStream.arrivalSpanList(spark, sstore).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sBefore = spanSet()
+    assert(sBefore == Set((10L, 20L, 35L), (20L, 20L, 35L)))
+    EventStream.compactArrivalStore(spark, sstore)
+    assert(spanSet() == sBefore, "compaction changed the resolved span list")
+    sfeed(Seq((40L, s"${words("se", 5)} $pass ${words("sf", 5)}")), 3L)
+    assert(spanSet() == sBefore + ((40L, 5L, 20L)),
+      "post-compaction span batch missed the compacted standing windows")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sstore))
   }
 
   test("left-outer interval join: matches emit eagerly, unmatched clicks after the watermark") {
