@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *
   * Knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_ARRIVAL_BATCHES (default 10), SPARK_GRAFT_ARRIVAL_MODE
-  * (exact | neardup | clusters | vectors | spans, default exact),
+  * (exact | neardup | clusters | vectors | spans | pack, default exact),
   * SPARK_GRAFT_CPUS (default 32).
   */
 object ArrivalBench {
@@ -60,6 +60,9 @@ object ArrivalBench {
         case "spans" =>
           streaming.EventStream.spanArrivalBatch(docBatch(i), store,
             i.toLong, 16)
+        case "pack" =>
+          streaming.EventStream.packArrivalBatch(docBatch(i), store,
+            i.toLong, 50000L)
         case "vectors" =>
           operators.Ivf.vectorArrivalBatch(vecBatch(i), store, i.toLong, nlist)
         case other => sys.error(s"unknown SPARK_GRAFT_ARRIVAL_MODE '$other'")
@@ -73,6 +76,8 @@ object ArrivalBench {
         streaming.EventStream.arrivalClusterLabels(spark, store).count()
       case "spans" =>
         streaming.EventStream.arrivalSpanList(spark, store).count()
+      case "pack" =>
+        streaming.EventStream.arrivalPacked(spark, store).count()
       case _ =>
         streaming.EventStream.arrivalAccepted(spark, store).count()
     }

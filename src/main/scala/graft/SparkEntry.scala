@@ -98,6 +98,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "corpus_mix"               -> ((s, d) => Curation.mixCorpus(s, d)),
     "corpus_pack_shards"       -> ((s, d) => Curation.packShards(s, d)),
+    "corpus_shuffle_pack"      -> ((s, d) => Curation.packShardsShuffled(s, d)),
     // τ=0.05 so the sf0.01 verified output has real mass (7 docs, 4 with
     // multiple contaminators, vs 1 row at 0.3 — r4 verdict item 5). Width
     // stays 3: 2-gram containment is a DENSE predicate on this corpus (8.4M
@@ -173,7 +174,7 @@ object SparkEntry {
     "etl_consolidate", "etl_metrics", "etl_export_daily",
     "q1_agg", "corpus_stats",
     "dedup_exact", "dedup_exact_normalized", "dedup_exact_normalized_utf8",
-    "corpus_pack_shards",
+    "corpus_pack_shards", "corpus_shuffle_pack",
     "sim_ann_ivf", "sim_ann_ivf_serve", "sim_ann_ivfpq_serve",
     "sim_ann_ivfpq_res_serve",
     // the set-op pair: their only exchanges are the key-domain-bounded
@@ -1394,6 +1395,20 @@ object SparkEntry {
     "corpus_pack_shards" ->
       """SELECT doc_id, n_tokens,
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 50000 AS shard_id
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Shuffled packing: the single-window form over the content-
+    // addressed shuffle order (hex md5 compares identically as ASCII
+    // in both engines), presented by doc_id.
+    "corpus_shuffle_pack" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 50000 AS shard_id
         |FROM (
         |  SELECT doc_id,

@@ -194,6 +194,37 @@ object Curation {
     * block i+1 in id order). Result is invariant to the sampled range
     * boundaries. One extra range shuffle vs the numeric fast path.
     */
+  /** `corpus_shuffle_pack` (r15): token-budget shard packing in a
+    * GLOBALLY SHUFFLED order — the step a pretraining pipeline runs
+    * between curation and tokenization that [[packShards]] deliberately
+    * does not: packing in doc_id order bakes source/time locality into
+    * every shard (a shard ≈ one crawl slice), where training wants each
+    * shard to be an unbiased corpus sample. The shuffle is
+    * content-addressed, not RNG: order by md5(doc_id || ":shuffle"),
+    * tie-broken by doc_id — deterministic under reprocessing,
+    * decorrelated from the split/sample/mix buckets by the salt, and
+    * exactly expressible in the DuckDB oracle (hex md5 compares
+    * identically as ASCII in both engines). Same two-phase distributed
+    * prefix-sum as corpus_pack_shards: range partitions over the
+    * shuffle key are the ordered blocks (totally ordered by
+    * construction), per-block cumsums run in parallel, and only the
+    * tiny block-totals table sees an unpartitioned window. Output is
+    * presented by doc_id; shard_id carries the shuffled assignment.
+    */
+  def packShardsShuffled(spark: SparkSession, dir: String,
+                         budgetTokens: Long = 50000L, blocks: Int = 0): DataFrame = {
+    val nBlocks =
+      if (blocks > 0) blocks
+      else math.max(32, spark.sparkContext.defaultParallelism * 4)
+    val toks = Tables.documents(spark, dir)
+      .withColumn("ts", TextAnalysis.statsCol)
+      .select(col("doc_id"), col("ts.n_tokens").cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(":shuffle"))).as("skey"))
+      .repartitionByRange(nBlocks, col("skey"), col("doc_id"))
+      .withColumn("blk", spark_partition_id().cast("long"))
+    packCore(toks, budgetTokens, orderCols = Seq("skey", "doc_id"))
+  }
+
   def packShardsFrom(docs: DataFrame, budgetTokens: Long = 50000L,
                      blocks: Int = 0): DataFrame = {
     val nBlocks =
@@ -213,14 +244,16 @@ object Curation {
     * arithmetic, so the DuckDB oracle's single-window form matches
     * bit-for-bit.
     */
-  private[operators] def packCore(toksIn: DataFrame, budgetTokens: Long): DataFrame = {
+  private[graft] def packCore(toksIn: DataFrame, budgetTokens: Long,
+                              orderCols: Seq[String] = Seq("doc_id"),
+                              startOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Both phases consume the tokenized projection — uncached, the
     // block-totals aggregate re-runs the whole scan INCLUDING the
     // TextStats kernel (the dominant per-row cost) a second time.
     val toks = graft.Caches.scoped(toksIn)
     val cumIn = sum(col("n_tokens")).over(
-      Window.partitionBy(col("blk")).orderBy(col("doc_id")))
+      Window.partitionBy(col("blk")).orderBy(orderCols.map(col): _*))
     val blockTotals = toks.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tot"))
     val blkPrefix = coalesce(
       sum(col("blk_tot")).over(
@@ -230,7 +263,8 @@ object Curation {
     toks.withColumn("cum_in", cumIn)
       .join(broadcast(prefixes), Seq("blk"))
       .select(col("doc_id"), col("n_tokens"),
-        expr(s"(blk_prefix + cum_in - n_tokens) DIV $budgetTokens").as("shard_id"))
+        expr(s"(blk_prefix + cum_in - n_tokens + $startOffset) DIV $budgetTokens")
+          .as("shard_id"))
       .orderBy(col("doc_id"))
   }
 

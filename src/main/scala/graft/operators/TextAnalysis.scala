@@ -39,7 +39,7 @@ object TextAnalysis {
   val LangMarkers: Seq[(String, Seq[String])] = TextStats.LangMarkers
 
   /** The fused per-row statistics struct (see [[TextStats.Schema]]). */
-  private[operators] def statsCol: Column = TextStats.text_stats(col("text"))
+  private[graft] def statsCol: Column = TextStats.text_stats(col("text"))
 
   /** Canonical text normalization for dedup recall (r14): lowercase,
     * punctuation → space, whitespace collapsed, trimmed. Real corpora

@@ -408,10 +408,16 @@ object EventStream {
     * store may live on any cluster-visible storage.
     */
   def compactArrivalStore(spark: SparkSession, storeDir: String): Unit = {
-    Seq("hashes", "bands", "corpus", "accepted", "windows").foreach { sub =>
-      compactSub(spark, s"$storeDir/$sub",
-        dirs => spark.read.parquet(dirs: _*))
-    }
+    Seq("hashes", "bands", "corpus", "accepted", "windows", "packed")
+      .foreach { sub =>
+        compactSub(spark, s"$storeDir/$sub",
+          dirs => spark.read.parquet(dirs: _*))
+      }
+    // meta/ is a one-row offset log: only the newest row survives.
+    compactSub(spark, s"$storeDir/meta", dirs =>
+      spark.read.option("basePath", s"$storeDir/meta").parquet(dirs: _*)
+        .orderBy(col("batch").cast("long").desc).limit(1)
+        .select(col("end_offset")))
     compactSub(spark, s"$storeDir/labels",
       dirs => arrivalClusterLabelsFrom(spark, s"$storeDir/labels", dirs))
     // spans/ resolves latest-batch-wins per doc, like labels/ — the
@@ -594,6 +600,80 @@ object EventStream {
       spans.write.mode("overwrite").parquet(s"$storeDir/spans/batch=$batchId")
       wins.write.mode("overwrite").parquet(s"$storeDir/windows/batch=$batchId")
     }
+
+  /** The sixth arrival loop (r15): streaming SHARD PACKING — the
+    * arrival twin of `corpus_pack_shards`, the last step of the
+    * continuous ingest story (dedup → curate → PACK as batches land,
+    * instead of re-packing the corpus per training run). Standing
+    * state is ONE NUMBER — the cumulative token offset, kept as a
+    * one-row `meta/batch=<id>` log — plus the per-batch shard
+    * assignments in `packed/batch=<id>`. Per batch: read the LATEST
+    * committed offset (`batch < batchId`, max id wins), run the same
+    * two-phase distributed prefix-sum as the batch operator over the
+    * batch's docs in doc_id order starting at that offset, write
+    * assignments + the advanced offset. Shard ids therefore continue
+    * seamlessly across batches: the packed store equals the batch
+    * operator applied to the concatenated arrival order, which is the
+    * spec's identity gate. Replays are deterministic — a retried batch
+    * re-reads the SAME standing offset and overwrites its own dirs.
+    */
+  def arrivalPack(docs: DataFrame, storeDir: String, checkpointDir: String,
+                  budgetTokens: Long = 50000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packArrivalBatch(batch, storeDir, batchId, budgetTokens)
+      }
+      .start()
+
+  /** One packing arrival batch; see [[arrivalPack]]. */
+  private[graft] def packArrivalBatch(batch: DataFrame, storeDir: String,
+                                      batchId: Long,
+                                      budgetTokens: Long): Unit =
+    graft.Caches.withScope {
+      val spark = batch.sparkSession
+      val metaDirs = standingDirs(s"$storeDir/meta", batchId)
+      val start: Long =
+        if (metaDirs.isEmpty) 0L
+        else spark.read.option("basePath", s"$storeDir/meta")
+          .parquet(metaDirs: _*)
+          .orderBy(col("batch").cast("long").desc)
+          .select(col("end_offset")).head().getLong(0)
+      val nBlocks = math.max(32, spark.sparkContext.defaultParallelism * 4)
+      val toks = batch
+        .withColumn("ts", graft.operators.TextAnalysis.statsCol)
+        .select(col("doc_id"), col("ts.n_tokens").cast("long").as("n_tokens"))
+        .repartitionByRange(nBlocks, col("doc_id"))
+        .withColumn("blk", spark_partition_id().cast("long"))
+      val packed = graft.operators.Curation
+        .packCore(toks, budgetTokens, startOffset = start)
+        .persist() // assignment write + the offset aggregate
+      try {
+        packed.write.mode("overwrite")
+          .parquet(s"$storeDir/packed/batch=$batchId")
+        val batchTokens = Option(packed.agg(sum(col("n_tokens"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        import spark.implicits._
+        Seq(start + batchTokens).toDF("end_offset").repartition(1)
+          .write.mode("overwrite").parquet(s"$storeDir/meta/batch=$batchId")
+      } finally packed.unpersist()
+    }
+
+  /** Reader over [[arrivalPack]]'s store: every committed batch's
+    * assignments (docs are disjoint across batches by the upstream
+    * dedup contract). Empty frame on a fresh store.
+    */
+  def arrivalPacked(spark: SparkSession, storeDir: String): DataFrame = {
+    val dirs = standingDirs(s"$storeDir/packed", Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_tokens"), col("id").as("shard_id"))
+    else spark.read.option("basePath", s"$storeDir/packed").parquet(dirs: _*)
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Latest-batch-wins span read over [[arrivalSpans]]' delta log —
     * the standing removal list, schema-identical to `dedup_substring`.

@@ -557,6 +557,51 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("arrival pack: shard ids continue seamlessly across batches, retry idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrpk_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrpk_ckpt").toString
+    assert(EventStream.arrivalPacked(spark, store).isEmpty)
+    def text(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    // budget 10; running offsets: d1@0, d2@4, d3@9, d4@12, d5@20 ->
+    // shards 0,0,0,1,2 (a batch-2 doc must continue from the STANDING
+    // offset, not restart at a shard boundary)
+    val chunks = Seq(
+      Seq((1L, text(4)), (2L, text(5))),
+      Seq((3L, text(3)), (4L, text(8))),
+      Seq((5L, text(25))))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.arrivalPack(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt, budgetTokens = 10L)
+    try {
+      chunks.foreach { ch => mem.addData(ch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def packed() = EventStream.arrivalPacked(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = packed()
+    assert(got == Set((1L, 4L, 0L), (2L, 5L, 0L), (3L, 3L, 0L),
+      (4L, 8L, 1L), (5L, 25L, 2L)), s"arrival pack diverged: $got")
+    // Identity with the batch operator over the concatenated arrival
+    // order (blocks = batch index, the order the stream actually saw).
+    val batchTwin = graft.operators.Curation.packCore(
+        chunks.zipWithIndex.flatMap { case (ch, i) =>
+          ch.map { case (id, t) => (id, t.split(" ").length.toLong, i.toLong) }
+        }.toDF("doc_id", "n_tokens", "blk"), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Caches.release()
+    assert(got == batchTwin, "arrival pack != batch packCore on the union")
+    // Retried batch 1: re-reads the same standing offset, overwrites
+    // its own dirs — assignments and the offset log unchanged.
+    EventStream.packArrivalBatch(chunks(1).toDF("doc_id", "text"), store, 1L, 10L)
+    assert(packed() == got, "retried pack batch changed the assignments")
+    EventStream.packArrivalBatch(chunks(2).toDF("doc_id", "text"), store, 2L, 10L)
+    assert(packed() == got, "retried final batch changed the assignments")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("arrival vectors: the streamed index serves exactly (full-probe degeneration)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
