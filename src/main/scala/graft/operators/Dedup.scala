@@ -214,7 +214,10 @@ object Dedup {
     * BUCKETED by hash so its side of the anti join never re-shuffles;
     * path-read parquet can't declare bucketing to Spark without a
     * catalog table, so that last exchange is priced here rather than
-    * elided — it carries hashes only.
+    * elided — it carries hashes only. The bucketed form is PROVEN
+    * in-engine, not just asserted: PlanSpec's "bucketed store table"
+    * test builds the same store as a bucketBy catalog table and pins
+    * the serve plan to ZERO store-side exchanges with row identity.
     */
   def incrementalServe(spark: SparkSession, dir: String,
                        batchBucket: Int = 80): DataFrame = {

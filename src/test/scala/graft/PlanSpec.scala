@@ -614,6 +614,59 @@ class PlanSpec extends AnyFunSuite {
     graft.Caches.release()
   }
 
+  test("bucketed store table elides the serve-side exchange (the warehouse form)") {
+    // Every incremental-store scaladoc says "on a real warehouse the
+    // audit table would be BUCKETED by hash so its side of the join
+    // never re-shuffles; path-read parquet can't declare bucketing
+    // without a catalog table, so that exchange is priced rather than
+    // elided". Close the caveat in-engine: the SAME standing hash
+    // store as a bucketBy catalog table, and the serve's anti join
+    // reads it with ZERO exchanges on the store side — only the batch
+    // aggregate shuffles. This is the plan shape the 100 TB deployment
+    // actually gets.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_demo").toString
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_demo")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        graft.operators.Curation.splitBucket(col("doc_id")).as("bucket"))
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.filter(col("bucket") < 80)
+      .select(md5(col("text").cast("binary")).as("text_hash"))
+      .write.bucketBy(n, "text_hash").sortBy("text_hash")
+      .format("parquet").option("path", s"$tmp/hashes")
+      .saveAsTable("graft_bucket_demo")
+    val served = docs.filter(col("bucket") >= 80)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
+      .join(spark.table("graft_bucket_demo"), Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"), col("batch_copies"))
+      .orderBy(col("doc_id"))
+    val rows = served.collect().map(_.toString).toSeq
+    // Identity with the path-read serve (same store split, same oracle).
+    val pathServe = graft.operators.Dedup.incrementalServe(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(rows == pathServe, "bucketed serve diverged from the path-read serve")
+    // The store-side scan must flow into the join WITHOUT an exchange:
+    // exactly the presentation sort's range exchange and the batch
+    // aggregate's hash exchange may exist, and no shuffle may sit
+    // between the bucketed scan and the join.
+    val nodes = deepNodes(served.queryExecution.executedPlan)
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.length == 2, // batch-agg hash + final sort range
+      s"expected 2 exchanges (batch agg + sort), got ${exchanges.length}:\n" +
+        served.queryExecution.executedPlan.toString)
+    val bucketScan = nodes.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains("graft_bucket_demo") ||
+           f.metadata.getOrElse("Location", "").contains("bucket_demo") => f }
+    assert(bucketScan.exists(_.bucketedScan),
+      "store scan did not use the bucketed layout")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_demo")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("span operators: hash-posting joins stay shuffle-hash, no text in the shuffle") {
     // dedup_substring_apply: the span semi join AND the doc-side left
     // join are hint-pinned shuffle-hash (the span table can reach O(n)
