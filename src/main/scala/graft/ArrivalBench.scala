@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *
   * Knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_ARRIVAL_BATCHES (default 10), SPARK_GRAFT_ARRIVAL_MODE
-  * (exact | neardup | clusters | vectors | spans | pack, default exact),
+  * (exact | neardup | clusters | vectors | vecdedup | spans | pack, default exact),
   * SPARK_GRAFT_CPUS (default 32).
   */
 object ArrivalBench {
@@ -65,12 +65,15 @@ object ArrivalBench {
             i.toLong, 50000L)
         case "vectors" =>
           operators.Ivf.vectorArrivalBatch(vecBatch(i), store, i.toLong, nlist)
+        case "vecdedup" =>
+          streaming.EventStream.vectorDedupArrivalBatch(vecBatch(i), store,
+            i.toLong, nlist, 0.95, 4, 4)
         case other => sys.error(s"unknown SPARK_GRAFT_ARRIVAL_MODE '$other'")
       }
       math.round((System.nanoTime() - t0) / 1e6) / 1000.0
     }
     val accepted = mode match {
-      case "vectors" =>
+      case "vectors" | "vecdedup" =>
         spark.read.parquet(s"$store/cells").count()
       case "clusters" =>
         streaming.EventStream.arrivalClusterLabels(spark, store).count()

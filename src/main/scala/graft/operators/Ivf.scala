@@ -550,21 +550,7 @@ object Ivf {
     try {
       if (base.isEmpty) return
       val dim = base.select(size(col("embedding"))).head.getInt(0)
-      val centPath = s"$storeDir/centroids"
-      val centSuccess = new org.apache.hadoop.fs.Path(centPath, "_SUCCESS")
-      val cents =
-        if (centSuccess.getFileSystem(spark.sessionState.newHadoopConf())
-            .exists(centSuccess))
-          readCentroidMatrix(spark, centPath)
-        else {
-          val c = train(base, base.count(), nlist, dim, iters)
-          import spark.implicits._
-          (0 until nlist).map { i =>
-            (i, (0 until dim).map(j => c(i * dim + j)))
-          }.toDF("cell", "centroid").repartition(1)
-            .write.mode("overwrite").parquet(centPath)
-          c
-        }
+      val cents = ensureCentroids(spark, base, storeDir, nlist, dim, iters)
       base.select(col("vec_id"), col("embedding"), col("nf"),
           element_at(IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1)
             .as("cell"))
@@ -572,6 +558,30 @@ object Ivf {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$storeDir/cells/batch=$batchId")
     } finally base.unpersist()
+  }
+
+  /** Train-once coarse quantizer shared by the arrival loops: read the
+    * frozen `centroids/` table if committed, else train on `base` (the
+    * FIRST data batch — deterministic hash-sampled Lloyd, so a crashed
+    * first attempt retrains to identical centroids) and freeze it.
+    */
+  private[graft] def ensureCentroids(spark: SparkSession, base: DataFrame,
+                                     storeDir: String, nlist: Int, dim: Int,
+                                     iters: Int): Array[Float] = {
+    val centPath = s"$storeDir/centroids"
+    val centSuccess = new org.apache.hadoop.fs.Path(centPath, "_SUCCESS")
+    if (centSuccess.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(centSuccess))
+      readCentroidMatrix(spark, centPath)
+    else {
+      val c = train(base, base.count(), nlist, dim, iters)
+      import spark.implicits._
+      (0 until nlist).map { i =>
+        (i, (0 until dim).map(j => c(i * dim + j)))
+      }.toDF("cell", "centroid").repartition(1)
+        .write.mode("overwrite").parquet(centPath)
+      c
+    }
   }
 
   private def readCentroidMatrix(spark: SparkSession, path: String): Array[Float] = {

@@ -32,11 +32,11 @@ object Similarity {
   private def dotDec(a: Column, b: Column): Column =
     graft.functions.DotDecimal.dot_decimal(a, b)
 
-  private[operators] def fastCosine(qe: Column, qn: Column, e: Column, n: Column): Column =
+  private[graft] def fastCosine(qe: Column, qn: Column, e: Column, n: Column): Column =
     (DotF32.dot_f32(qe, e) / (qn * n)).as("cosine_fast")
 
   /** Big side with the cheap double norm for candidate scoring. */
-  private[operators] def withFastNorm(emb: DataFrame): DataFrame =
+  private[graft] def withFastNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nf", sqrt(DotF32.dot_f32(col("embedding"), col("embedding"))))
 
   /** Exact decimal re-rank of a small (query_id, vec_id) candidate set:

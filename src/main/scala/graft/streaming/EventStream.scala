@@ -601,6 +601,107 @@ object EventStream {
       wins.write.mode("overwrite").parquet(s"$storeDir/windows/batch=$batchId")
     }
 
+  /** The seventh arrival loop (r15): streaming VECTOR DEDUP —
+    * embedding-cosine near-duplicate REJECTION at ingest, the vector
+    * half of [[arrivalNearDup]] (which dedups text) and the missing
+    * arrival shape of `dedup_embed_cosine`. The standing store shares
+    * [[arrivalVectors]]' layout exactly — train-once frozen coarse
+    * quantizer in `centroids/`, accepted vectors in batchId-keyed
+    * cell-partitioned `cells/batch=<id>` dirs — so the ACCEPTED set is
+    * directly servable by [[graft.operators.Ivf.arrivalAnnServe]]: the
+    * loop grows a deduplicated ANN index.
+    *
+    * Per batch ([[vectorDedupArrivalBatch]]): assign each vector its
+    * `probes` nearest cells under the frozen quantizer; CROSS tier —
+    * batch vectors colliding (any probed cell) with a standing
+    * ACCEPTED vector at fast-cosine ≥ tau are rejected
+    * (first-arrival-wins); WITHIN-batch tier — survivors pairing at
+    * cosine ≥ tau within shared probed cells resolve through
+    * [[graft.operators.Clusters.clustersFrom]], min-id per cluster
+    * kept (the `dedup_prune` convention, same as the text loop's tier
+    * 3). Candidate volume is bounded by probes · cell occupancy —
+    * never all-pairs — and recall is probes-bounded BY CONTRACT, like
+    * every IVF serve: at probes = nlist the loop degenerates to exact
+    * brute-force dedup, which is the spec's identity gate. Same
+    * `batch < batchId` replay contract as the other loops.
+    */
+  def arrivalVectorDedup(vectors: DataFrame, storeDir: String,
+                         checkpointDir: String, nlist: Int,
+                         tau: Double = 0.95, probes: Int = 4, iters: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        vectorDedupArrivalBatch(batch, storeDir, batchId, nlist, tau,
+          probes, iters)
+      }
+      .start()
+
+  /** One vector-dedup arrival batch; see [[arrivalVectorDedup]]. */
+  private[graft] def vectorDedupArrivalBatch(batch: DataFrame, storeDir: String,
+                                             batchId: Long, nlist: Int,
+                                             tau: Double, probes: Int,
+                                             iters: Int): Unit =
+    graft.Caches.withScope {
+      val spark = batch.sparkSession
+      import graft.operators.{Clusters, Ivf, Similarity}
+      val base = Similarity.withFastNorm(
+        batch.select(col("vec_id"), col("embedding"))).persist()
+      try {
+        if (base.isEmpty) return
+        val dim = base.select(size(col("embedding"))).head().getInt(0)
+        val cents = Ivf.ensureCentroids(spark, base, storeDir, nlist, dim, iters)
+        val p = math.min(nlist, probes)
+        val assigned = base.select(col("vec_id"), col("embedding"), col("nf"),
+            graft.functions.IvfCells.ivf_cells(col("embedding"), cents, dim, p)
+              .as("probe_cells"))
+          .withColumn("cell", element_at(col("probe_cells"), 1))
+          .transform(graft.Caches.scoped(_)) // cross + survivors + write
+        val probed = assigned.select(col("vec_id"),
+            explode(col("probe_cells")).as("cell"), col("embedding"), col("nf"))
+          .transform(graft.Caches.scoped(_)) // cross tier + both self sides
+        val dirs = standingDirs(s"$storeDir/cells", batchId, committedOnly = true)
+        val crossRejected =
+          if (dirs.isEmpty) assigned.select(col("vec_id")).limit(0)
+          else probed.join(
+              spark.read.option("basePath", s"$storeDir/cells")
+                .parquet(dirs: _*)
+                .select(col("embedding").as("s_emb"),
+                  col("nf").as("s_nf"), col("cell"))
+                .hint("shuffle_hash"),
+              Seq("cell"))
+            .select(col("vec_id"), Similarity.fastCosine(
+              col("embedding"), col("nf"), col("s_emb"), col("s_nf")))
+            .filter(col("cosine_fast") >= tau)
+            .select(col("vec_id")).distinct()
+        val survivorsPool = assigned
+          .join(crossRejected.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+          .transform(graft.Caches.scoped(_)) // pair endpoints + accepted
+        val selfPairs = probed.as("a")
+          .join(probed.as("b").hint("shuffle_hash"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"),
+            Similarity.fastCosine(col("a.embedding"), col("a.nf"),
+              col("b.embedding"), col("b.nf")))
+          .filter(col("cosine_fast") >= tau)
+          .select(col("u"), col("v")).distinct()
+          .join(survivorsPool.select(col("vec_id").as("u")).hint("shuffle_hash"),
+            Seq("u"), "left_semi")
+          .join(survivorsPool.select(col("vec_id").as("v")).hint("shuffle_hash"),
+            Seq("v"), "left_semi")
+        val losers = Clusters.clustersFrom(spark, selfPairs)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("vec_id"))
+        survivorsPool
+          .join(losers.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("embedding"), col("nf"), col("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$storeDir/cells/batch=$batchId")
+      } finally base.unpersist()
+    }
+
   /** The sixth arrival loop (r15): streaming SHARD PACKING — the
     * arrival twin of `corpus_pack_shards`, the last step of the
     * continuous ingest story (dedup → curate → PACK as batches land,

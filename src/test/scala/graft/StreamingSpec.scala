@@ -602,6 +602,52 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("arrival vector dedup: full-probe degeneration equals the brute-force fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrvd_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrvd_ckpt").toString
+    def v(a: Float, b: Float, c: Float, d: Float): Seq[Float] = Seq(a, b, c, d)
+    // Scaled copies have cosine 1 (clear of the f32 threshold);
+    // orthogonal vectors cosine 0.
+    val chunks = Seq(
+      // within-batch dup {1,3} -> keep 1; 2 alone
+      Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)), (3L, v(1.02f, 0, 0, 0))),
+      // 4 duplicates STORED 2 -> cross-reject; 5 fresh
+      Seq((4L, v(0, 0.98f, 0, 0)), (5L, v(0, 0, 1, 0))),
+      // 6 duplicates stored 5 -> reject; {7,8} within-batch -> keep 7
+      Seq((6L, v(0, 0, 0.97f, 0)), (7L, v(0, 0, 0, 1)), (8L, v(0, 0, 0, 1.01f))))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // probes = nlist: every cell probed -> candidates are ALL
+    // batch×store and batch×batch pairs, so the loop degenerates to
+    // exact first-arrival-wins dedup at cosine >= tau.
+    val q = EventStream.arrivalVectorDedup(
+      mem.toDF().toDF("vec_id", "embedding"), store, ckpt,
+      nlist = 2, tau = 0.95, probes = 2)
+    try {
+      chunks.foreach { ch => mem.addData(ch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def accepted() = spark.read.parquet(s"$store/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = accepted()
+    assert(got == Set(1L, 2L, 5L, 7L), s"accepted set diverged: $got")
+    // The deduplicated store is directly ANN-servable (shared layout
+    // with arrivalVectors): full-probe serve must return accepted ids.
+    val served = graft.operators.Ivf.arrivalAnnServe(spark, store,
+        Seq((100L, v(0, 0, 0, 0.99f))).toDF("query_id", "embedding")
+          .select(col("query_id"), col("embedding").cast("array<float>")),
+        k = 1, nprobeOverride = Some(2))
+      .collect()
+    assert(served.head.getLong(2) == 7L, "dedup store did not serve the keeper")
+    // Retried batch 1: same standing read, overwrite of its own dir.
+    EventStream.vectorDedupArrivalBatch(
+      chunks(1).toSeq.toDF("vec_id", "embedding"), store, 1L, 2, 0.95, 2, 4)
+    assert(accepted() == got, "retried vector-dedup batch changed the store")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("arrival vectors: the streamed index serves exactly (full-probe degeneration)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
