@@ -318,6 +318,53 @@ object Profile {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DECOMP=full: cumulative stage ladder for
+    // pipeline_corpus_full (r15's heaviest new cell): clean survivors →
+    // + split-filtered survivor text scan → + window postings →
+    // + flagged-window semi join (dup ∪ test vocab) → full composed
+    // query (adds islands, the cut, mix rates + filter, pack, text
+    // join, sort). Cumulative-plan idiom as DECOMP=train.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("full")) {
+      import org.apache.spark.sql.functions._
+      def best(label: String)(body: () => Unit): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); body(); Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] full $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def docsFrame() = graft.sources.Tables.documents(spark, dir)
+        .join(graft.operators.Pipeline.cleanSurvivors(spark, dir)
+            .select(col("doc_id")).hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), split(col("text"), " ").as("wd"),
+          graft.operators.Curation.splitBucket(col("doc_id")).cast("long").as("bucket"))
+        .filter(col("bucket") < 90 || col("bucket") >= 95)
+      def posted(docs: org.apache.spark.sql.DataFrame) = docs
+        .filter(size(col("wd")) >= 16)
+        .select(col("doc_id"), col("bucket"),
+          posexplode(graft.functions.WindowHashes.window_hashes(col("wd"), 16))
+            .as(Seq("pos", "h")))
+      best("clean_survivors")(() => noop(
+        graft.operators.Pipeline.cleanSurvivors(spark, dir)))
+      best("+survivor_split_scan")(() => noop(docsFrame()))
+      best("+window_postings")(() => noop(posted(docsFrame())))
+      best("+flag_semi")(() => {
+        val p = graft.Caches.scoped(posted(docsFrame()))
+        val dupH = p.filter(col("bucket") < 90).groupBy(col("h"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("h"))
+        val testH = p.filter(col("bucket") >= 95).select(col("h"))
+        noop(p.filter(col("bucket") < 90).select(col("doc_id"), col("pos"), col("h"))
+          .join(dupH.unionByName(testH).hint("shuffle_hash"), Seq("h"), "left_semi"))
+      })
+      best("full_corpus_full")(() => noop(
+        SparkEntry.queries("pipeline_corpus_full")(spark, dir)))
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DECOMP=setops: stage decomposition of q21_except —
     // scan, distinct, anti join, and the terminal sort isolated.
     if (sys.env.get("SPARK_GRAFT_DECOMP").contains("setops")) {
