@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *
   * Knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_ARRIVAL_BATCHES (default 10), SPARK_GRAFT_ARRIVAL_MODE
-  * (exact | neardup | clusters | vectors | vecdedup | spans | pack, default exact),
+  * (exact | neardup | clusters | vectors | vecdedup | spans | pack |
+  * corpus, default exact),
   * SPARK_GRAFT_CPUS (default 32).
   */
 object ArrivalBench {
@@ -39,6 +40,9 @@ object ArrivalBench {
 
     def docBatch(i: Int) = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      .filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i)
+    def corpusBatch(i: Int) = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
       .filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i)
     def vecBatch(i: Int) = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -63,6 +67,9 @@ object ArrivalBench {
         case "pack" =>
           streaming.EventStream.packArrivalBatch(docBatch(i), store,
             i.toLong, 50000L)
+        case "corpus" =>
+          streaming.EventStream.corpusArrivalBatch(corpusBatch(i), store,
+            i.toLong, 0.5, 0.8, 16)
         case "vectors" =>
           operators.Ivf.vectorArrivalBatch(vecBatch(i), store, i.toLong, nlist)
         case "vecdedup" =>
@@ -81,6 +88,8 @@ object ArrivalBench {
         streaming.EventStream.arrivalSpanList(spark, store).count()
       case "pack" =>
         streaming.EventStream.arrivalPacked(spark, store).count()
+      case "corpus" =>
+        spark.read.parquet(s"$store/clean").select("doc_id").distinct().count()
       case _ =>
         streaming.EventStream.arrivalAccepted(spark, store).count()
     }

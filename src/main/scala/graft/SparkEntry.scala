@@ -60,7 +60,11 @@ object SparkEntry {
 
     "dedup_exact"         -> Dedup.exact _,
     "dedup_exact_normalized" -> Dedup.exactNormalized _,
-    "dedup_exact_normalized_utf8" -> Dedup.exactNormalizedUtf8 _,
+    "dedup_exact_normalized_utf8" -> ((s, d) => Dedup.exactNormalizedUtf8From(
+      graft.sources.Tables.documents(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .unionByName(utf8FixtureDF(s)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
@@ -465,6 +469,40 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** Crafted NON-ASCII fixture appended to BOTH sides of the
+    * `dedup_exact_normalized_utf8` oracle pair (r15 advice: the driver
+    * corpus is ASCII by construction, so JDK-vs-utf8proc divergence on
+    * real unicode would otherwise pass every gate). One shared Seq
+    * generates the Spark rows AND the DuckDB VALUES list, so the two
+    * sides cannot drift. Deliberate groupings: rows 1+2 differ only in
+    * NFC form (precomposed vs combining marks), rows 3+4 only in the
+    * Kelvin-sign K vs the ASCII fast path — each pair must collapse to
+    * one hash group of two copies. doc_ids sit far above any testdata
+    * id at every SF.
+    */
+  private[graft] val Utf8OracleFixture: Seq[(Long, String)] = Seq(
+    9000000001L -> "Crème BRÛLÉE",
+    9000000002L -> "Cre\u0300me BRU\u0302LE\u0301E", // decomposed form of row 1
+    9000000003L -> "30KK warm",
+    9000000004L -> "30kk WARM",
+    9000000005L -> "ΟΔΥΣΣΕΥΣ",
+    9000000006L -> "МОСКВА 2024",
+    9000000007L -> "straße STRASSE",
+    9000000008L -> "İstanbul Iı",
+    9000000009L -> "ＡＢＣ ｋｌ",
+    9000000010L -> "café — café!",
+    9000000011L -> "٠١٢ ০১ 123")
+
+  private def utf8FixtureDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Utf8OracleFixture.toDF("doc_id", "text")
+  }
+
+  private def utf8FixtureSqlValues: String =
+    Utf8OracleFixture.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}')"
+    }.mkString(", ")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -784,17 +822,24 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     // The UTF-8 tier's rule in DuckDB's own unicode machinery (NFC +
-    // utf8proc simple lowercase + RE2 \p{L}\p{Nd} classes) — on the
-    // ASCII driver corpus the two normalized rows must agree with each
-    // other AND with their shared oracle hash; the non-ASCII behavior
-    // is pinned by ExprSpec against an independent Normalizer+regex
-    // reference (the crafted-corpus gate, since the driver testdata is
-    // ASCII by construction).
+    // utf8proc simple lowercase + RE2 \p{L}\p{Nd} classes). Both sides
+    // append [[Utf8OracleFixture]] — crafted NON-ASCII rows (combining
+    // marks vs precomposed, Kelvin sign vs ASCII k, Greek final sigma,
+    // dotted İ, ß, fullwidth forms, non-Latin digits) generated from
+    // ONE shared Seq — so the oracle comparison exercises the JDK
+    // kernel against real utf8proc on non-ASCII input every round, not
+    // only the ASCII driver corpus (r15 advice; ExprSpec additionally
+    // pins the kernel against an independent Normalizer+regex
+    // reference).
     "dedup_exact_normalized_utf8" ->
-      """SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
-        |    '[^\p{L}\p{Nd}]+', ' ', 'g'))) AS text_hash,
+      s"""WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES $utf8FixtureSqlValues) t(doc_id, text))
+        |SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[^\\p{L}\\p{Nd}]+', ' ', 'g'))) AS text_hash,
         |  COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+        |FROM docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH buck AS (

@@ -112,6 +112,49 @@ object Clusters {
     * by the min-label convention (ClustersSpec gates both branches
     * against the same reference), and above the gate nothing changes.
     */
+  /** Driver union-find with path compression over a collected edge
+    * list (unions attach the larger root under the smaller and initial
+    * roots are node ids, so every root is its component's MINIMUM id —
+    * exactly the star loop's label convention), returned as a
+    * parallelized (doc_id, cluster_id) frame. Shared by
+    * [[connectedComponents]]' small-graph tier and [[mergeParts]]'
+    * driver merge tier. Self-edges are skipped WITHOUT registering the
+    * node, matching the star path's init filter (a node appearing only
+    * in self-pairs gets no label). Parallelize instead of
+    * LocalRelation: a collected result embedded in the plan would ship
+    * the whole label set inside every downstream task closure.
+    */
+  private def unionFindLabels(spark: SparkSession,
+                              edges: Iterator[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    edges.foreach { case (u, v) =>
+      if (u != v) {
+        nodes(u) = (); nodes(v) = ()
+        val a = find(u); val b = find(v)
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+    }
+    val labelRows = nodes.keysIterator
+      .map(x => org.apache.spark.sql.Row(x, find(x))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          labelRows.size / 4096 + 1))), schema)
+  }
+
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
                           maxIter: Int = 40,
                           smallGraphMaxEdges: Long = 1L << 17): DataFrame = {
@@ -157,37 +200,10 @@ object Clusters {
       // label convention).
       val rows = cachedEdges.collect()
       cachedEdges.unpersist(blocking = false)
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-        r
-      }
-      val nodes = scala.collection.mutable.LongMap.empty[Unit]
-      rows.foreach { row =>
-        val u = row.getLong(0); val v = row.getLong(1)
-        nodes(u) = (); nodes(v) = ()
-        val a = find(u); val b = find(v)
-        if (a != b) parent(math.max(a, b)) = math.min(a, b)
-      }
-      lap(s"small-graph union-find nodes=${nodes.size}")
-      // Parallelize instead of LocalRelation: toDF on a driver Seq
-      // embeds every label in the logical plan, which downstream
-      // consumers re-serialize into each task closure; an RDD ships the
-      // labels once as partition data.
-      val labelRows = nodes.keysIterator
-        .map(x => org.apache.spark.sql.Row(x, find(x))).toSeq
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("cluster_id",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(labelRows,
-          math.max(1, math.min(spark.sparkContext.defaultParallelism,
-            labelRows.size / 4096 + 1))), schema)
+      val out = unionFindLabels(spark,
+        rows.iterator.map(r => (r.getLong(0), r.getLong(1))))
+      lap("small-graph union-find")
+      return out
     }
     val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
     val shufPrior = spark.conf.get("spark.sql.shuffle.partitions")
@@ -354,11 +370,15 @@ object Clusters {
     * recompute over arrival sequences.
     */
   def mergeIncrementalLabels(spark: SparkSession, labels: DataFrame,
-                             newPairs: DataFrame): DataFrame = {
-    val (lab, touchedClusters, subLabels) = mergeParts(spark, labels, newPairs)
+                             newPairs: DataFrame,
+                             smallMergeMaxEdges: Long = 1L << 17): DataFrame = {
+    val (lab, touchedClusters, subLabels) =
+      mergeParts(spark, labels, newPairs, smallMergeMaxEdges)
     // re-select: a using-column join moves cluster_id first, and the
-    // contract (like connectedComponents') is (doc_id, cluster_id)
-    lab.join(touchedClusters.hint("shuffle_hash"), Seq("cluster_id"), "left_anti")
+    // contract (like connectedComponents') is (doc_id, cluster_id).
+    // touchedClusters carries its own join-strategy hint (broadcast
+    // from the driver tier, shuffle_hash from the distributed one).
+    lab.join(touchedClusters, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
       .unionByName(subLabels)
   }
@@ -374,19 +394,75 @@ object Clusters {
     * every member appears in the delta.
     */
   def mergeIncrementalDelta(spark: SparkSession, labels: DataFrame,
-                            newPairs: DataFrame): DataFrame =
-    mergeParts(spark, labels, newPairs)._3
+                            newPairs: DataFrame,
+                            smallMergeMaxEdges: Long = 1L << 17): DataFrame =
+    mergeParts(spark, labels, newPairs, smallMergeMaxEdges)._3
 
+  /** The shared decomposition of both merge entries: (cached standing
+    * labels, touched-cluster ids carrying their join hint, re-solved
+    * subgraph labels).
+    *
+    * DRIVER MERGE TIER (r16, the clserve constant trim): when the
+    * batch pair graph fits the small-graph gate — which it is by
+    * construction in every arrival/serve regime, where pairs are
+    * O(batch collisions) — the whole touched-subgraph resolution runs
+    * as THREE bounded jobs instead of the distributed prep's
+    * distinct/semi-join/CC-init cascade (~6 extra scheduling rounds
+    * measured as ~0.8 s of the sf0.1 serve row): (1) collect the
+    * (limit-guarded) pair list; (2) one broadcast semi join fetches
+    * the touched docs' labels; (3) one more fetches the affected
+    * components' star rows, limit-guarded too — a batch touching a
+    * component larger than the gate falls back to the distributed
+    * path, so driver memory stays bounded BY the gate exactly as in
+    * [[connectedComponents]]' small tier. The union-find itself is the
+    * same [[unionFindLabels]] solver, so both tiers share one label
+    * convention; ClustersSpec gates tier identity by running its
+    * arrival sequences at gate 0 (distributed) and default (driver).
+    * The standing label table is still never collected — only
+    * batch-proportional slices of it.
+    */
   private def mergeParts(spark: SparkSession, labels: DataFrame,
-                         newPairs: DataFrame)
+                         newPairs: DataFrame,
+                         smallMergeMaxEdges: Long = 1L << 17)
       : (DataFrame, DataFrame, DataFrame) = {
     val lc = labels.columns
     require(lc.length == 2, s"label table needs 2 columns, got ${lc.mkString(",")}")
     val pc = newPairs.columns
+    require(smallMergeMaxEdges < Int.MaxValue, "smallMergeMaxEdges must fit an Int")
     val lab = labels.select(col(lc(0)).as("doc_id"), col(lc(1)).as("cluster_id"))
       .transform(graft.Caches.scoped(_)) // read by both joins below
-    val pairs = newPairs.select(col(pc(0)).as("u"), col(pc(1)).as("v"))
+    val pairs = newPairs
+      .select(col(pc(0)).cast("long").as("u"), col(pc(1)).cast("long").as("v"))
       .transform(graft.Caches.scoped(_)) // endpoints + subgraph union
+    if (smallMergeMaxEdges > 0) {
+      val probe = pairs.limit(smallMergeMaxEdges.toInt + 1).collect()
+      if (probe.length <= smallMergeMaxEdges &&
+          probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val pairEdges = probe.map(r => (r.getLong(0), r.getLong(1)))
+        val touchedIds = pairEdges.iterator
+          .flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+        val touchedLab = lab
+          .join(broadcast(longColDF(spark, "doc_id", touchedIds)),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id").cast("long"), col("cluster_id").cast("long"))
+          .collect() // bounded: one label row per touched doc
+        val clusterIds = touchedLab.map(_.getLong(1)).distinct.toSeq
+        val clusterDF = longColDF(spark, "cluster_id", clusterIds)
+        val starProbe = lab
+          .join(broadcast(clusterDF), Seq("cluster_id"), "left_semi")
+          .select(col("doc_id").cast("long"), col("cluster_id").cast("long"))
+          .limit(smallMergeMaxEdges.toInt + 1).collect()
+        if (starProbe.length <= smallMergeMaxEdges) {
+          val subLabels = unionFindLabels(spark,
+            starProbe.iterator.map(r => (r.getLong(0), r.getLong(1))) ++
+              pairEdges.iterator)
+          return (lab, broadcast(clusterDF), subLabels)
+        }
+        // an affected component outgrew the gate: fall through — the
+        // distributed path recomputes touched/affected from the cached
+        // inputs (the probe collects above are batch-bounded throwaways)
+      }
+    }
     val touched = pairs.select(col("u").as("doc_id"))
       .unionByName(pairs.select(col("v").as("doc_id"))).distinct()
     val touchedClusters = lab
@@ -398,7 +474,19 @@ object Clusters {
     val subLabels = connectedComponents(spark,
       affectedStar.select(col("doc_id").as("u"), col("cluster_id").as("v"))
         .unionByName(pairs))
-    (lab, touchedClusters, subLabels)
+    (lab, touchedClusters.hint("shuffle_hash"), subLabels)
+  }
+
+  /** Single-long-column driver frame for the broadcast semi joins of
+    * the driver merge tier (bounded by the merge gate). */
+  private def longColDF(spark: SparkSession, name: String,
+                        ids: Seq[Long]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(name,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(org.apache.spark.sql.Row(_)), 1), schema)
   }
 
   /** `dedup_clusters_incremental`: the arrival-shaped cluster query —
@@ -502,32 +590,52 @@ object Clusters {
     */
   private[graft] def serveBatchPairs(spark: SparkSession, dir: String,
                                      tau: Double, batchBucket: Int,
-                                     path: String): DataFrame = {
+                                     path: String,
+                                     smallBatchGate: Long = 1L << 17): DataFrame = {
     val batchSh = Dedup.shingledHashed(spark, dir)
       .filter(Curation.splitBucket(col("doc_id")) >= batchBucket)
       .transform(graft.Caches.scoped(_)) // postings + verification
+    // SMALL-BATCH BROADCAST TIER (r16, the serve constant trim): the
+    // batch size is known for FREE from the parquet footers (row count
+    // × the content-addressed batch fraction — no job), so below the
+    // gate every batch-or-candidate-sided join pins broadcast instead
+    // of shuffle_hash: the three candidate/fetch joins and the two
+    // verification joins collapse from two-exchange shuffles of tiny
+    // posting tables to single-stage streams over the store side —
+    // which also removes the one O(store) exchange this path had (the
+    // shingle-fetch semi join shuffled the whole store shingle table
+    // to meet the candidate ids; broadcasting the collision-bounded id
+    // set streams the store scan instead). Above the gate the original
+    // hint-pinned shuffle plan is unchanged. 2^17 docs ≈ tens of MB of
+    // broadcast postings/arrays at testdata shingle widths — the same
+    // budget class as the CC small-graph gate.
+    val nDocs = graft.sources.Tables.parquetRowCount(spark, dir, "documents")
+    val small = nDocs * (100 - batchBucket) / 100 <= smallBatchGate
+    def batchSide(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
     val batchPre = Dedup.prefixPostings(batchSh, tau)
       .transform(graft.Caches.scoped(_)) // cross + self candidate joins
     val storePre = spark.read.parquet(s"$path/postings")
     // CROSS candidates (batch × store): the sides are disjoint by
     // bucket, so no id-order predicate — completeness only needs the
     // smallest common hash inside BOTH prefixes, which the prefix
-    // theorem gives regardless of id order. shuffle_hash: the store
-    // posting table never broadcasts at scale.
-    val crossCand = batchPre.as("a")
-      .join(storePre.as("b").hint("shuffle_hash"), Dedup.ppjoinCond(tau))
+    // theorem gives regardless of id order. The STORE posting table
+    // never broadcasts at any scale — only the gated batch side does.
+    val crossCand = storePre.as("b")
+      .join(batchSide(batchPre.as("a")), Dedup.ppjoinCond(tau))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val selfCand = batchPre.as("a")
-      .join(batchPre.as("b").hint("shuffle_hash"),
+      .join(batchSide(batchPre.as("b")),
         Dedup.ppjoinCond(tau) && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand = crossCand.unionByName(selfCand)
       .transform(graft.Caches.scoped(_)) // semi-join prune + verification
     val storeShNeeded = spark.read.parquet(s"$path/shingles")
-      .join(cand.select(col("doc_b").as("doc_id")).hint("shuffle_hash"),
+      .join(batchSide(cand.select(col("doc_b").as("doc_id"))),
         Seq("doc_id"), "left_semi")
       .transform(graft.Caches.scoped(_)) // verify joins the array table twice
-    Dedup.verifyJaccard(batchSh.unionByName(storeShNeeded), cand, tau)
+    Dedup.verifyJaccard(batchSh.unionByName(storeShNeeded), cand, tau,
+      broadcastShingles = small)
       .select(col("doc_a"), col("doc_b"))
   }
 

@@ -139,7 +139,7 @@ object Curation {
     * returned as a broadcast-ready (source, rate_pct) frame; the
     * integer arithmetic is [[mixCorpus]]'s scaladoc contract verbatim.
     */
-  private[operators] def mixRatesFor(docs: DataFrame, weights: Map[String, Int],
+  private[graft] def mixRatesFor(docs: DataFrame, weights: Map[String, Int],
                                      defaultWeight: Int, budgetPct: Int): DataFrame = {
     val spark = docs.sparkSession
     val wcol = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>

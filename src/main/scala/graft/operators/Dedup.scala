@@ -118,7 +118,16 @@ object Dedup {
     * [[exactNormalized]] costs and hash-matches it.
     */
   def exactNormalizedUtf8(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    exactNormalizedUtf8From(Tables.documents(spark, dir))
+
+  /** [[exactNormalizedUtf8]] over ANY (…, doc_id, text) frame — lets the
+    * registered query append the crafted non-ASCII fixture rows
+    * ([[graft.SparkEntry.Utf8OracleFixture]]) so the DuckDB oracle
+    * comparison exercises the NFC/lower/\p{L}\p{Nd} tier on real
+    * non-ASCII input, not only the ASCII driver corpus (r15 advice).
+    */
+  def exactNormalizedUtf8From(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(TextAnalysis.normalizeTextUtf8(col("text")).cast("binary"))
         .as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
@@ -544,10 +553,17 @@ object Dedup {
     * survivor set).
     */
   private[graft] def verifyJaccard(docsSh: DataFrame, cand: DataFrame,
-                                   tau: Double): DataFrame =
+                                   tau: Double,
+                                   broadcastShingles: Boolean = false): DataFrame = {
+    // broadcastShingles: the caller has gated the shingle table small
+    // (the serve's footer-measured batch tier) — broadcast it so the
+    // two verification joins stream the candidate side with no
+    // exchange at all, instead of shuffling both sides twice.
+    def sh(df: DataFrame): DataFrame =
+      if (broadcastShingles) broadcast(df) else df.hint("shuffle_hash")
     cand
-      .join(docsSh.as("da").hint("shuffle_hash"), col("doc_a") === col("da.doc_id"))
-      .join(docsSh.as("db").hint("shuffle_hash"), col("doc_b") === col("db.doc_id"))
+      .join(sh(docsSh.as("da")), col("doc_a") === col("da.doc_id"))
+      .join(sh(docsSh.as("db")), col("doc_b") === col("db.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.IntersectCountSorted.intersect_count_sorted(
           col("da.sh"), col("db.sh")).as("n_common"),
@@ -557,6 +573,7 @@ object Dedup {
           (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .distinct() // collapse multi-posting candidate duplicates (identical rows)
+  }
 
   /** MinHash-candidate pairs verified at EXACT Jaccard ≥ tau — the
     * sketch-then-verify pair graph (candidates from banded LSH,

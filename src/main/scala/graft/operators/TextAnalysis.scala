@@ -95,7 +95,7 @@ object TextAnalysis {
     * stages (dedup, embedding) at 100 TB. Also consumed by
     * [[Curation.corpusStats]] and [[Pipeline]].
     */
-  private[operators] def qualityScore(ts: Column): Column = {
+  private[graft] def qualityScore(ts: Column): Column = {
     val len = length(col("text")).cast("double")
     least(len / 500.0, lit(1.0)) * 0.25 + stopRatio(ts) * 0.25 + alphaRatio(ts) * 0.5
   }

@@ -215,11 +215,13 @@ class ClustersSpec extends AnyFunSuite {
     * standing labels start from the first batch's CC, then every later
     * batch is absorbed through the merge; returns the final label map.
     */
-  private def mergeSequence(batches: Seq[Seq[(Long, Long)]]): Map[Long, Long] = {
+  private def mergeSequence(batches: Seq[Seq[(Long, Long)]],
+                            gate: Long = 1L << 17): Map[Long, Long] = {
     import spark.implicits._
     var labels = Clusters.connectedComponents(spark, batches.head.toDF("u", "v"))
     for (b <- batches.tail)
-      labels = Clusters.mergeIncrementalLabels(spark, labels, b.toDF("u", "v"))
+      labels = Clusters.mergeIncrementalLabels(spark, labels, b.toDF("u", "v"),
+        smallMergeMaxEdges = gate)
     val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.Caches.release()
     out
@@ -239,23 +241,27 @@ class ClustersSpec extends AnyFunSuite {
       // chain built one edge per arrival — min must propagate across
       // every merge round
       "chain arrivals" -> (1L to 6L).sliding(2).map(s => Seq((s(1), s(0)))).toSeq)
-    for ((name, batches) <- shapes) {
-      val got = mergeSequence(batches)
+    for ((name, batches) <- shapes;
+         // gate default = driver merge tier, gate 0 = distributed path,
+         // gate 4 = driver probe FALLING BACK once a component's star
+         // outgrows the gate — all three must produce identical labels
+         gate <- Seq(1L << 17, 0L, 4L)) {
+      val got = mergeSequence(batches, gate)
       val want = unionFindLabels(batches.flatten)
-      assert(got == want, s"$name: got $got want $want")
+      assert(got == want, s"$name (gate=$gate): got $got want $want")
     }
   }
 
   test("incremental merge equals full recompute on seeded random arrival sequences") {
     val rnd = new scala.util.Random(14)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 3; gate <- Seq(1L << 17, 0L, 4L)) {
       val n = 60
       val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
       val batches = edges.grouped(edges.size / 3 + 1).toSeq
-      val got = mergeSequence(batches)
+      val got = mergeSequence(batches, gate)
       val want = unionFindLabels(edges)
-      assert(got == want, s"trial $trial diverged")
+      assert(got == want, s"trial $trial (gate=$gate) diverged")
     }
   }
 

@@ -581,24 +581,63 @@ class PlanSpec extends AnyFunSuite {
         s"store build did not materialize $sub")
     // The batch-pair stage (lazy — auditable): candidates come from the
     // store's POSTING index, verification shingles from the store's
-    // shingle table; every join stays hint-pinned hashed (nothing
-    // store-sized may broadcast). The store posting scan appears for
-    // the batch CROSS join only — no full-corpus posting self-join.
+    // shingle table. r16 added the footer-gated SMALL-BATCH broadcast
+    // tier, so BOTH tiers are pinned: above the gate (forced with
+    // gate=0) every join stays hint-pinned hashed with no broadcast at
+    // all; below it (the default at testdata scale) only batch- or
+    // collision-bounded sides broadcast — the store POSTING scan must
+    // never sit under a BroadcastExchange in either tier.
+    def storeScanLocs(df: org.apache.spark.sql.DataFrame) =
+      deepNodes(df.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("Location", "") }.distinct
+    val pairsBig = graft.operators.Clusters
+      .serveBatchPairs(spark, dir, 0.8, 80, path, smallBatchGate = 0L)
+    val scansBig = storeScanLocs(pairsBig)
+    assert(scansBig.exists(l => l.contains("graft_clstore") && l.contains("postings")),
+      s"candidates must come from the store's posting index: $scansBig")
+    assert(scansBig.exists(l => l.contains("graft_clstore") && l.contains("shingles")),
+      "verification must fetch store shingles from the materialized table")
+    val bigExec = finalPlanOnly(pairsBig.queryExecution.executedPlan.toString)
+    assert(bigExec.contains("ShuffledHashJoin"),
+      "above the gate posting joins must stay shuffle-hash")
+    assert(bigExec.contains("LeftSemi"), "store shingle fetch must stay a semi join")
+    assert(!bigExec.contains("BroadcastExchange"),
+      "nothing may broadcast above the gate")
+    graft.Caches.release()
     val pairs = graft.operators.Clusters.serveBatchPairs(spark, dir, 0.8, 80, path)
-    // deepNodes descends into cached subplans, so scans repeat per
-    // cache USE — assert on the distinct location set.
-    val scans = deepNodes(pairs.queryExecution.executedPlan)
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.metadata.getOrElse("Location", "") }.distinct
+    val scans = storeScanLocs(pairs)
     assert(scans.exists(l => l.contains("graft_clstore") && l.contains("postings")),
       s"candidates must come from the store's posting index: $scans")
     assert(scans.exists(l => l.contains("graft_clstore") && l.contains("shingles")),
       "verification must fetch store shingles from the materialized table")
     val pairsExec = finalPlanOnly(pairs.queryExecution.executedPlan.toString)
-    assert(pairsExec.contains("ShuffledHashJoin"), "posting joins must stay shuffle-hash")
     assert(pairsExec.contains("LeftSemi"), "store shingle fetch must stay a semi join")
-    assert(!pairsExec.contains("BroadcastExchange"),
-      "nothing store-sized may broadcast in the pair stage")
+    // The store posting table must stream, never build a broadcast: no
+    // BroadcastExchange subtree may DIRECTLY contain the postings scan.
+    // (Traversal stops at cache boundaries — a broadcast built FROM a
+    // cached candidate frame legitimately has posting scans inside the
+    // cache's own build plan; what is pinned is that the broadcast's
+    // physical input is the batch/candidate side, not a store scan.)
+    def plainNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => plainNodes(a.executedPlan)
+        case q: QueryStageExec => plainNodes(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (through ++ p.children.flatMap(plainNodes))
+    }
+    val postingsUnderBroadcast = plainNodes(pairs.queryExecution.executedPlan)
+      .collect {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e }
+      .exists(b => plainNodes(b).exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("Location", "").contains("postings")
+        case _ => false })
+    assert(!postingsUnderBroadcast,
+      "the store posting index must never broadcast, even below the gate")
     graft.Caches.release()
     // The merged serve: standing labels READ from the store (the scan
     // sits inside the merge's cached label frame — deepNodes traverses

@@ -602,6 +602,116 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("arrival corpus: composed pipeline equals batch corpusFull over the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrcorp_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrcorp_ckpt").toString
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_arrcorp_docs").toString
+    // Empty-store materialization returns an empty frame, not an error.
+    assert(EventStream.arrivalCorpusTrain(spark, store).isEmpty)
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val w = 8
+    // ids chosen for their content-addressed split buckets (computed
+    // with Curation.splitBucket's md5 rule): 10-18/100-108/200-207 are
+    // train, 20 is val, 226 is test. Arrival order is monotone in
+    // doc_id across batches — the identity contract.
+    val winS = words("ess", 8)   // repeated train window (T1 batch0, T2 batch1)
+    val winW2 = words("dub", 8)  // train window leaked into a LATER test doc
+    val chain = (0 until 60).map(i => s"ch$i")
+    val e1Text = words("exa", 20)
+    val e2Text = words("exb", 20)
+    val chunks = Seq(
+      Seq(
+        10L -> (words("tee", 22) + " " + winS),          // T1 train
+        11L -> (words("thr", 22) + " " + winW2),         // T3 train
+        12L -> words("enn", 40),                         // N1 train
+        13L -> chain.slice(0, 45).mkString(" "),         // C1 train (chain head)
+        14L -> e1Text,                                   // E1 train
+        15L -> "hello world",                            // SHORT train (<3 words)
+        20L -> words("vee", 30)),                        // V1 val: neither rule
+      Seq(
+        100L -> (words("two", 22) + " " + winS),         // T2 train: flags T1
+        101L -> "111 222 333 444 555 666 777 888",      // Q1: quality reject
+        102L -> (words("enn", 40) + " nova0 nova1"),     // N2: near-dup of N1
+        104L -> chain.slice(4, 49).mkString(" "),        // C2: near-dup of C1
+        105L -> e1Text),                                 // E1copy: exact reject
+      Seq(
+        200L -> chain.slice(8, 53).mkString(" "),        // C3: ~C2 only (chain!)
+        201L -> words("fur", 25),                        // T4 train
+        202L -> e2Text, 203L -> e2Text,                  // within-batch exact pair
+        226L -> (words("tst", 14) + " " + winW2)))       // TEST1: touches T3
+    def src(id: Long) = if (id % 2 == 0) "src0" else "src1"
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStream.arrivalCorpus(
+      mem.toDF().toDF("doc_id", "source", "text"), store, ckpt,
+      minQuality = 0.2, tau = 0.8, w = w)
+    try {
+      chunks.foreach { c =>
+        mem.addData(c.map { case (id, t) => (id, src(id), t) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val budget = 60L
+    def materialized() = EventStream
+      .arrivalCorpusTrain(spark, store, budgetTokens = budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val got = materialized()
+    graft.Caches.release()
+    // Batch twin over the concatenated arrivals.
+    chunks.flatten.map { case (id, t) => (id, src(id), t) }
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val want = graft.operators.Pipeline
+      .corpusFull(spark, docsDir, minQuality = 0.2, tau = 0.8, w = w,
+        budgetTokens = budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    graft.Caches.release()
+    assert(got == want,
+      s"arrival corpus != batch corpusFull:\n got=$got\nwant=$want")
+    // Every stage fired — pinned on the standing CLEAN store (the
+    // decontaminated train corpus BEFORE the mix resample, which may
+    // legitimately drop any surviving doc):
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("doc_id"))
+    val clean = spark.read.option("basePath", s"$store/clean")
+      .parquet(s"$store/clean")
+      .withColumn("mb", org.apache.spark.sql.functions.max(
+        col("batch").cast("long")).over(byDoc))
+      .filter(col("batch").cast("long") === col("mb"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"))).toMap
+    graft.Caches.release()
+    val ids = clean.keySet
+    assert(!ids.contains(105L), "exact cross-batch reject failed")
+    assert(ids.intersect(Set(202L, 203L)) == Set(202L), "within-batch exact")
+    assert(!ids.contains(102L), "cross-batch near-dup reject failed")
+    assert(!ids.contains(104L) && !ids.contains(200L),
+      "chain: C3 must drop via the REJECTED C2's standing index")
+    assert(!ids.contains(101L), "quality gate failed")
+    assert(!ids.contains(20L), "val doc must not reach the train output")
+    assert(!ids.contains(226L), "test doc must not reach the train output")
+    assert(ids.contains(15L), "short doc must pass through")
+    assert(!clean(10L)._1.contains("ess0"),
+      "T1's repeated span must be cut (touched re-emit on batch 1)")
+    assert(!clean(100L)._1.contains("ess0"), "T2's repeated span must be cut")
+    assert(!clean(11L)._1.contains("dub0"),
+      "T3 must be decontaminated by the LATER test arrival (testwin touch)")
+    // Retried batch 1 (same batchId, store already holds its writes):
+    // deterministic, materialization unchanged.
+    EventStream.corpusArrivalBatch(
+      chunks(1).map { case (id, t) => (id, src(id), t) }
+        .toDF("doc_id", "source", "text"), store, 1L, 0.2, 0.8, w)
+    assert(materialized() == got, "retried corpus batch changed the store")
+    graft.Caches.release()
+    Seq(store, ckpt, docsDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   test("arrival vector dedup: full-probe degeneration equals the brute-force fold") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -646,6 +756,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(accepted() == got, "retried vector-dedup batch changed the store")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
+  test("arrival vector dedup: non-transitive chain collapses to min id (CC contract)") {
+    // The within-batch contract is connected-components + min-id keep
+    // (EventStream.arrivalVectorDedup scaladoc): a chain a~b, b~c with
+    // a NOT~ c arriving in ONE batch drops BOTH b and c — stricter
+    // than a sequential first-arrival fold (which would keep c), and
+    // order-free on a distributed micro-batch. This fixture pins that
+    // convention so the semantics stay a stated contract, not an
+    // accident of transitively consistent test vectors.
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_arrvdc_store").toString
+    // Unit vectors at successive angle θ with cos θ = 0.96 ≥ τ = 0.95:
+    // cos(a,b) = cos(b,c) = 0.96, cos(a,c) = 2·0.96² − 1 = 0.8432 < τ.
+    val ct = 0.96f
+    val st = math.sqrt(1 - 0.96 * 0.96).toFloat
+    val c2 = 2 * ct * ct - 1
+    val s2 = 2 * st * ct
+    val rows = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(ct, st, 0f, 0f)),
+      (3L, Seq(c2, s2, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f))) // unrelated: must survive
+    EventStream.vectorDedupArrivalBatch(
+      rows.toDF("vec_id", "embedding"), store, 0L,
+      nlist = 1, tau = 0.95, probes = 1, iters = 4)
+    val got = spark.read.parquet(s"$store/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L), s"chain did not collapse to min id: $got")
+    // And across batches the CROSS tier is a plain first-arrival test:
+    // c arriving AFTER the chain collapsed is accepted (its only τ-
+    // neighbor b was never stored), which is exactly the documented
+    // divergence from an all-history sequential fold.
+    EventStream.vectorDedupArrivalBatch(
+      Seq((5L, Seq(c2, s2, 0f, 0f))).toDF("vec_id", "embedding"), store, 1L,
+      nlist = 1, tau = 0.95, probes = 1, iters = 4)
+    val got2 = spark.read.parquet(s"$store/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 4L, 5L), s"cross tier diverged from contract: $got2")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
   }
 
   test("arrival vectors: the streamed index serves exactly (full-probe degeneration)") {
