@@ -91,6 +91,7 @@ object SparkEntry {
     "sim_knn_exact"   -> ((s, d) => Similarity.knnExact(s, d)),
 
     "text_tokens"      -> TextAnalysis.tokens _,
+    "text_tokens_bpe"  -> ((s, d) => Bpe.tokensBpe(s, d)),
     "text_quality"     -> TextAnalysis.quality _,
     "text_langid"      -> TextAnalysis.langid _,
     "text_repetition"  -> TextAnalysis.repetition _,
@@ -102,6 +103,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "corpus_mix"               -> ((s, d) => Curation.mixCorpus(s, d)),
     "corpus_pack_shards"       -> ((s, d) => Curation.packShards(s, d)),
+    "corpus_pack_shards_bpe"   -> ((s, d) => Bpe.packShardsBpe(s, d)),
     "corpus_shuffle_pack"      -> ((s, d) => Curation.packShardsShuffled(s, d)),
     // τ=0.05 so the sf0.01 verified output has real mass (7 docs, 4 with
     // multiple contaminators, vs 1 row at 0.3 — r4 verdict item 5). Width
@@ -178,7 +180,7 @@ object SparkEntry {
     "etl_consolidate", "etl_metrics", "etl_export_daily",
     "q1_agg", "corpus_stats",
     "dedup_exact", "dedup_exact_normalized", "dedup_exact_normalized_utf8",
-    "corpus_pack_shards", "corpus_shuffle_pack",
+    "corpus_pack_shards", "corpus_pack_shards_bpe", "corpus_shuffle_pack",
     "sim_ann_ivf", "sim_ann_ivf_serve", "sim_ann_ivfpq_serve",
     "sim_ann_ivfpq_res_serve",
     // the set-op pair: their only exchanges are the key-domain-bounded

@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumn}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level BPE token counting (SURVEY §2.5, r16 — r15 verdict item
+  * 5): subword token counts under a FIXED merge table, so shard
+  * budgets and mix rates can be priced in the unit a training run
+  * actually consumes instead of whitespace words. This is the classic
+  * public byte-pair-encoding scheme (Sennrich et al. 2016; the GPT-2
+  * byte-level variant): a word's initial symbols are its UTF-8 bytes,
+  * and learned merges combine adjacent symbol pairs in rank order.
+  *
+  * Conventions (deterministic, engine-defined):
+  *   - words are maximal runs of non-whitespace codepoints
+  *     (`Character.isWhitespace`); whitespace itself contributes no
+  *     tokens — so the count decomposes per word, which is what makes
+  *     the one-pass kernel and the word memo correct;
+  *   - merges never cross word boundaries;
+  *   - encoding applies the lowest-rank mergeable adjacent pair first
+  *     (ties impossible: ranks are unique). TextSpec pins this against
+  *     an independent apply-in-rank-order reference implementation —
+  *     the two formulations are provably equivalent because a merge
+  *     only creates pairs containing its new symbol, whose own merges
+  *     were necessarily learned later.
+  *
+  * The merge table rides the expression as a reference object
+  * (`Array[String]`, each entry "left right" in ISO-8859-1 so
+  * arbitrary byte sequences round-trip; the 0x20 separator is safe
+  * because words never contain the space byte). It is COMPILED ONCE
+  * per table instance into a rank map (identity-keyed memo — the
+  * reference object is stable per task), and per-word counts memoize
+  * in a bounded thread-local map: corpus text repeats words heavily,
+  * so the amortized per-token cost is a hash probe, not a merge loop.
+  */
+object BpeCount {
+
+  private final class Compiled(merges: Array[String]) {
+    val rank = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case (m, i) =>
+      // key = "left right" verbatim; pairs probe with the same format
+      rank.put(m, Integer.valueOf(i))
+    }
+    // word -> count memo lives WITH its table (a word's count depends
+    // on the merges, so a cross-table shared memo would poison counts)
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer](1 << 12)
+  }
+
+  private val compiledCache =
+    new java.util.concurrent.ConcurrentHashMap[Array[String], Compiled]()
+
+  private val MemoCap = 1 << 16
+
+  /** Token count of one word (ISO-8859-1 string of its UTF-8 bytes). */
+  private def countWord(w: String, c: Compiled): Int = {
+    // initial symbols: one per byte
+    var syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) { syms.add(w.substring(i, i + 1)); i += 1 }
+    var changed = true
+    while (changed && syms.size > 1) {
+      // lowest-rank adjacent pair
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = c.rank.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestAt = j
+        }
+        j += 1
+      }
+      if (bestAt < 0) changed = false
+      else {
+        syms.set(bestAt, syms.get(bestAt) + syms.get(bestAt + 1))
+        syms.remove(bestAt + 1)
+      }
+    }
+    syms.size
+  }
+
+  /** Whitespace-split + per-word BPE count over the whole document. */
+  def compute(s: UTF8String, merges: Array[String]): Long = {
+    if (compiledCache.size > 64) compiledCache.clear() // identity-keyed; bound it
+    val c = compiledCache.computeIfAbsent(merges, m => new Compiled(m))
+    val memo = c.memo
+    val text = s.toString
+    var total = 0L
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) {
+        val word = text.substring(start, i)
+        val cached: Integer = memo.get(word)
+        if (cached != null) total += cached.longValue()
+        else {
+          // byte-level: operate on the word's UTF-8 bytes as an
+          // ISO-8859-1 string (1 char = 1 byte, lossless round trip)
+          val bytes = new String(word.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val cnt = countWord(bytes, c)
+          if (memo.size < MemoCap) memo.put(word, Integer.valueOf(cnt))
+          total += cnt.toLong
+        }
+      }
+    }
+    total
+  }
+
+  def bpe_count(text: Column, merges: Array[String]): Column =
+    GraftColumn.column(BpeCountExpr(GraftColumn.expression(text), merges))
+}
+
+/** Subword token count of a text column under a fixed merge table. */
+case class BpeCountExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    BpeCount.compute(s.asInstanceOf[UTF8String], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.compute($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // content-based equality so plan canonicalization survives the array
+  override def equals(other: Any): Boolean = other match {
+    case o: BpeCountExpr =>
+      o.child == child && java.util.Arrays.equals(
+        o.merges.asInstanceOf[Array[AnyRef]], merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])))
+}

@@ -477,6 +477,34 @@ object Clusters {
     (lab, touchedClusters.hint("shuffle_hash"), subLabels)
   }
 
+  /** NON-KEEPER ids of a pair graph's components (everything but each
+    * component's min id) — the "drop list" the dedup loops consume.
+    * Driver tier below the gate (one limit-guarded collect + the shared
+    * union-find, returned broadcast-hinted — a micro-batch's verified
+    * pair set is O(batch collisions) by construction, and the r16
+    * vecdedup decomposition measured the full clustersFrom path at
+    * ~4 s of scheduling rounds for a 1,875-pair graph); the
+    * distributed CC path above it, shuffle-hash-hinted.
+    */
+  private[graft] def clusterLosers(spark: SparkSession, pairs: DataFrame,
+                                   gate: Long = 1L << 17): DataFrame = {
+    if (gate > 0) {
+      require(gate < Int.MaxValue, "gate must fit an Int")
+      val probe = pairs.limit(gate.toInt + 1).collect()
+      if (probe.length <= gate &&
+          probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        return broadcast(
+          unionFindLabels(spark,
+            probe.iterator.map(r => (r.getLong(0), r.getLong(1))))
+            .filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id")))
+    }
+    connectedComponents(spark, pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+      .hint("shuffle_hash")
+  }
+
   /** Single-long-column driver frame for the broadcast semi joins of
     * the driver merge tier (bounded by the merge gate). */
   private def longColDF(spark: SparkSession, name: String,

@@ -629,16 +629,10 @@ object Ivf {
       .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
     val probes = probePairs.toDF("query_id", "cell")
     val probedCells = probePairs.map(_._2).distinct
-    // Hadoop FS listing, not java.io.File — the arrival store lives on
-    // whatever storage the cluster sees (r14 advice).
-    val cellsRoot = new org.apache.hadoop.fs.Path(s"$storeDir/cells")
-    val cellsFs = cellsRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    val committed =
-      if (!cellsFs.exists(cellsRoot)) Seq.empty[String]
-      else cellsFs.listStatus(cellsRoot).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
-          cellsFs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
+    // the shared arrival-store contract: committed (_SUCCESS) batch
+    // dirs only, through the store path's own Hadoop FileSystem
+    val committed = graft.streaming.ArrivalStore
+      .standingDirs(s"$storeDir/cells", Long.MaxValue, committedOnly = true)
     require(committed.nonEmpty, s"no committed arrival batches under $storeDir")
     val store = spark.read.option("basePath", s"$storeDir/cells")
       .parquet(committed: _*)

@@ -122,11 +122,8 @@ object EventStream {
     * state and re-accept every duplicate).
     */
   private def fsFor(root: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    (p.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()), p)
-  }
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) =
+    ArrivalStore.fsFor(root)
 
   /** Standing-state partition directories committed STRICTLY BEFORE
     * `batchId` — the read side of the exactly-once contract the
@@ -138,16 +135,8 @@ object EventStream {
     * must be invisible rather than merely later-overwritten.
     */
   private def standingDirs(root: String, batchId: Long,
-                           committedOnly: Boolean = false): Seq[String] = {
-    val (fs, p) = fsFor(root)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filter(s => !committedOnly || fs.exists(
-        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .filter(_.getPath.getName.stripPrefix("batch=").toLong < batchId)
-      .map(_.getPath.toString)
-  }
+                           committedOnly: Boolean = false): Seq[String] =
+    ArrivalStore.standingDirs(root, batchId, committedOnly)
 
   /** One arrival batch against the standing store; see [[arrivalDedup]].
     * Public-in-package so the crash-injection spec can drive a retried
@@ -416,13 +405,9 @@ object EventStream {
       }
     // clean/ resolves latest-batch-wins per doc (the arrivalCorpus
     // materialization read), like labels/ and spans/.
-    compactSub(spark, s"$storeDir/clean", dirs => {
-      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      spark.read.option("basePath", s"$storeDir/clean").parquet(dirs: _*)
-        .withColumn("mb", max(col("batch").cast("long")).over(byDoc))
-        .filter(col("batch").cast("long") === col("mb"))
-        .select(col("doc_id"), col("source"), col("clean_text"), col("n_tokens"))
-    })
+    compactSub(spark, s"$storeDir/clean", dirs =>
+      ArrivalStore.latestBatchRows(spark, s"$storeDir/clean", dirs, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("clean_text"), col("n_tokens")))
     // meta/ is a one-row offset log: only the newest row survives.
     compactSub(spark, s"$storeDir/meta", dirs =>
       spark.read.option("basePath", s"$storeDir/meta").parquet(dirs: _*)
@@ -432,14 +417,10 @@ object EventStream {
       dirs => arrivalClusterLabelsFrom(spark, s"$storeDir/labels", dirs))
     // spans/ resolves latest-batch-wins per doc, like labels/ — the
     // compacted dir is the resolved removal list re-stated.
-    compactSub(spark, s"$storeDir/spans", dirs => {
-      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      spark.read.option("basePath", s"$storeDir/spans").parquet(dirs: _*)
-        .withColumn("mb", max(col("batch").cast("long")).over(byDoc))
-        .filter(col("batch").cast("long") === col("mb"))
+    compactSub(spark, s"$storeDir/spans", dirs =>
+      ArrivalStore.latestBatchRows(spark, s"$storeDir/spans", dirs, Seq("doc_id"))
         .select(col("doc_id"), col("span_start"), col("span_end"),
-          col("n_dup_windows"))
-    })
+          col("n_dup_windows")))
   }
 
   /** Test hook: when set, [[compactSub]] throws AFTER the source-dir
@@ -506,15 +487,9 @@ object EventStream {
   }
 
   private def arrivalClusterLabelsFrom(spark: SparkSession, basePath: String,
-                                       dirs: Seq[String]): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("batch").cast("long").desc)
-    spark.read.option("basePath", basePath).parquet(dirs: _*)
-      .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") === 1)
+                                       dirs: Seq[String]): DataFrame =
+    ArrivalStore.latestBatchRows(spark, basePath, dirs, Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"))
-  }
 
   /** The fourth arrival loop (r14): the standing ANN index grown by
     * unbounded vector arrivals — a thin streaming shell over
@@ -684,9 +659,9 @@ object EventStream {
               .as("probe_cells"))
           .withColumn("cell", element_at(col("probe_cells"), 1))
           .transform(graft.Caches.scoped(_)) // cross + survivors + write
-        val probed = assigned.select(col("vec_id"),
+        val probed = assigned.select(col("vec_id"), col("probe_cells"),
             explode(col("probe_cells")).as("cell"), col("embedding"), col("nf"))
-          .transform(graft.Caches.scoped(_)) // cross tier + both self sides
+          .transform(graft.Caches.scoped(_)) // cross tier + survivor prune
         val dirs = standingDirs(s"$storeDir/cells", batchId, committedOnly = true)
         val crossRejected =
           if (dirs.isEmpty) assigned.select(col("vec_id")).limit(0)
@@ -704,26 +679,53 @@ object EventStream {
         val survivorsPool = assigned
           .join(crossRejected.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
           .transform(graft.Caches.scoped(_)) // pair endpoints + accepted
-        val selfPairs = probed.as("a")
-          .join(probed.as("b").hint("shuffle_hash"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        // Within-batch tier over the CROSS SURVIVORS ONLY (r16): the
+        // pairs consumed below are exactly the survivor-restricted set,
+        // so restricting BEFORE the self join is an identity — while
+        // joining all probed rows first (the r15 shape) scored and
+        // distinct-shuffled every pair touching a cross-rejected vector
+        // only to throw it away, which at store saturation was ~all of
+        // them (sf100doc decomposition: 226M raw pairs/batch, ~25 s of
+        // the 37 s plateau in the self tier + its distinct). Each pair
+        // is generated EXACTLY ONCE — in its minimum shared probed cell
+        // (the canonical-cell trick; a pair sharing c probe cells used
+        // to be generated c times and collapsed by a distinct) — so the
+        // pair stream needs no distinct at all.
+        val probedSurv = probed
+          .join(survivorsPool.select(col("vec_id")).hint("shuffle_hash"),
+            Seq("vec_id"), "left_semi")
+          .transform(graft.Caches.scoped(_)) // both self-join sides
+        val selfPairs = probedSurv.as("a")
+          .join(probedSurv.as("b").hint("shuffle_hash"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
+              col("a.cell") === array_min(array_intersect(
+                col("a.probe_cells"), col("b.probe_cells"))))
           .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"),
             Similarity.fastCosine(col("a.embedding"), col("a.nf"),
               col("b.embedding"), col("b.nf")))
           .filter(col("cosine_fast") >= tau)
-          .select(col("u"), col("v")).distinct()
-          .join(survivorsPool.select(col("vec_id").as("u")).hint("shuffle_hash"),
-            Seq("u"), "left_semi")
-          .join(survivorsPool.select(col("vec_id").as("v")).hint("shuffle_hash"),
-            Seq("v"), "left_semi")
-        val losers = Clusters.clustersFrom(spark, selfPairs)
-          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("u"), col("v"))
+        val losers = Clusters.clusterLosers(spark, selfPairs)
           .select(col("doc_id").as("vec_id"))
+        // CELL-SORTED FILES, not cell=N partition dirs (r16): the
+        // accepted store is SMALL by the dedup regime (the loop exists
+        // to reject), and the per-batch dynamic-partition write into
+        // O(nlist) directories was the measured plateau — 16 s of the
+        // 35 s batch at sf100doc was fs metadata for ~3k surviving
+        // rows. Hash-clustered by cell and sorted within each of ≤
+        // shuffle-partitions files, the serve's `cell` filter prunes
+        // via parquet row-group min/max stats instead of directories —
+        // same probe-bounded read, O(32) files per batch instead of
+        // O(nlist). arrivalAnnServe and the standing read are
+        // layout-agnostic (`cell` works as a data column), and the
+        // index-building arrivalVectors loop keeps its directory
+        // layout (its store is corpus-sized, where dir-prune pays).
         survivorsPool
-          .join(losers.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+          .join(losers, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("embedding"), col("nf"), col("cell"))
           .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
+          .sortWithinPartitions(col("cell"))
+          .write.mode("overwrite")
           .parquet(s"$storeDir/cells/batch=$batchId")
       } finally base.unpersist()
     }
@@ -812,15 +814,10 @@ object EventStream {
       spark.range(0).select(col("id").as("doc_id"),
         col("id").as("span_start"), col("id").as("span_end"),
         col("id").as("n_dup_windows"))
-    else {
-      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      spark.read.option("basePath", s"$storeDir/spans").parquet(dirs: _*)
-        .withColumn("mb", max(col("batch").cast("long")).over(byDoc))
-        .filter(col("batch").cast("long") === col("mb"))
-        .select(col("doc_id"), col("span_start"), col("span_end"),
-          col("n_dup_windows"))
-        .orderBy(col("doc_id"), col("span_start"))
-    }
+    else ArrivalStore.latestBatchRows(spark, s"$storeDir/spans", dirs, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** The EIGHTH arrival loop (r16, r15 verdict item 1): the COMPOSED
@@ -1064,10 +1061,8 @@ object EventStream {
       return spark.range(0).select(col("id").as("doc_id"),
         lit("").as("source"), lit("").as("clean_text"),
         col("id").as("n_tokens"), col("id").as("shard_id"))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val clean = spark.read.option("basePath", s"$storeDir/clean").parquet(dirs: _*)
-      .withColumn("mb", max(col("batch").cast("long")).over(byDoc))
-      .filter(col("batch").cast("long") === col("mb"))
+    val clean = ArrivalStore
+      .latestBatchRows(spark, s"$storeDir/clean", dirs, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("clean_text"), col("n_tokens"))
       .transform(graft.Caches.scoped(_)) // rates + mix + pack + text join
     val rates = graft.operators.Curation

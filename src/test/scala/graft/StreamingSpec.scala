@@ -938,6 +938,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spanSet() == sBefore + ((40L, 5L, 20L)),
       "post-compaction span batch missed the compacted standing windows")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sstore))
+
+    // Corpus store (r16): all seven subtrees compact — clean/ resolves
+    // latest-wins — and both the materialization and a post-compaction
+    // batch behave identically against the compacted standing state.
+    val xstore = java.nio.file.Files.createTempDirectory("graft_compact_cx").toString
+    def xfeed(rows: Seq[(Long, String)], id: Long): Unit =
+      EventStream.corpusArrivalBatch(
+        rows.map { case (i, t) => (i, if (i % 2 == 0) "src0" else "src1", t) }
+          .toDF("doc_id", "source", "text"), xstore, id, 0.2, 0.8, 8)
+    val win8 = (0 until 8).map(i => s"cw$i").mkString(" ")
+    xfeed(Seq((10L, words("ca", 22) + " " + win8), (11L, words("cb", 30))), 0L)
+    xfeed(Seq((100L, words("cc", 22) + " " + win8)), 1L) // flags 10's window too
+    xfeed(Seq((200L, words("cd", 25))), 2L)
+    def corpusOut() = EventStream.arrivalCorpusTrain(spark, xstore).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    val xBefore = corpusOut()
+    assert(xBefore.nonEmpty)
+    EventStream.compactArrivalStore(spark, xstore)
+    assert(corpusOut() == xBefore,
+      "compaction changed the materialized corpus")
+    // post-compaction: recurring content still rejects at the exact
+    // tier, fresh content still lands and packs after the standing docs
+    xfeed(Seq((300L, words("cb", 30)), (301L, words("ce", 25))), 3L)
+    val xAfter = corpusOut()
+    assert(!xAfter.exists(_._1 == 300L),
+      "post-compaction exact reject failed against the compacted hashes")
+    assert(xAfter.map(_._1).contains(301L) || // may be mix-dropped; check clean/
+      spark.read.parquet(s"$xstore/clean").select("doc_id").collect()
+        .map(_.getLong(0)).contains(301L),
+      "post-compaction fresh doc did not land")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(xstore))
   }
 
   test("left-outer interval join: matches emit eagerly, unmatched clicks after the watermark") {

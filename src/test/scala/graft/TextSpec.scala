@@ -77,4 +77,98 @@ class TextSpec extends AnyFunSuite {
       assert(r.getString(5) == expected)
     }
   }
+
+  /** Independent BPE reference: apply merges IN RANK ORDER, each merge
+    * exhaustively left-to-right across the word, one merge at a time —
+    * a different formulation from the kernel's lowest-rank-adjacent-
+    * pair-first loop (the two are equivalent because a merge only
+    * creates pairs containing its new symbol, whose own merges were
+    * necessarily learned later — this test is what PINS that argument).
+    */
+  private def refBpeCount(text: String, merges: Array[String]): Long = {
+    def countWord(w: String): Int = {
+      val bytes = new String(w.getBytes("UTF-8"), "ISO-8859-1")
+      var syms = bytes.map(_.toString).toList
+      merges.foreach { m =>
+        val Array(l, r) = m.split(" ", 2)
+        var out = List.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) {
+          rest match {
+            case a :: b :: tl if a == l && b == r => out = (a + b) :: out; rest = tl
+            case a :: tl => out = a :: out; rest = tl
+            case Nil =>
+          }
+        }
+        syms = out.reverse
+      }
+      syms.size
+    }
+    text.split("\\s+").filter(_.nonEmpty).map(countWord(_).toLong).sum
+  }
+
+  test("bpe: kernel equals the apply-in-rank-order reference on the corpus") {
+    val merges = graft.operators.Bpe.mergesFor(spark, dir)
+    assert(merges.nonEmpty, "trainer found no merges on the corpus")
+    val rows = graft.operators.Bpe.tokensBpe(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+      .collect()
+    graft.Caches.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val got = r.getAs[Long]("n_tokens_bpe")
+      val want = refBpeCount(r.getAs[String]("text"), merges)
+      assert(got == want, s"doc ${r.getAs[Long]("doc_id")}: kernel $got != ref $want")
+      // merges only ever reduce the byte-level token count
+      assert(got <= r.getAs[String]("text").getBytes("UTF-8")
+        .count(b => !Character.isWhitespace(b.toChar)) + 1L)
+    }
+  }
+
+  test("bpe: trainer is deterministic and learns the obvious merge first") {
+    // "ab" dominates: first merge must be (a b); retraining identical.
+    val hist = Seq(("abab", 10L), ("abc", 5L), ("xy", 1L))
+    val m1 = graft.operators.Bpe.train(hist, 8)
+    val m2 = graft.operators.Bpe.train(hist, 8)
+    assert(m1.toSeq == m2.toSeq, "retraining diverged")
+    assert(m1.head == "a b", s"first merge was ${m1.head}")
+    // corpus-level: two trainings produce the identical table
+    val c1 = graft.operators.Bpe.train(
+      Seq(("hello", 3L), ("help", 2L), ("yell", 2L)), 16)
+    val c2 = graft.operators.Bpe.train(
+      Seq(("hello", 3L), ("help", 2L), ("yell", 2L)), 16)
+    assert(c1.toSeq == c2.toSeq)
+  }
+
+  test("bpe: count decomposes over whitespace and respects word boundaries") {
+    import spark.implicits._
+    val merges = graft.operators.Bpe.train(Seq(("aa", 5L), ("bb", 5L)), 4)
+    def cnt(s: String): Long = Seq(s).toDF("text")
+      .select(graft.functions.BpeCount.bpe_count(col("text"), merges).as("c"))
+      .head().getLong(0)
+    assert(cnt("aa bb") == cnt("aa") + cnt("bb"))
+    assert(cnt("  aa   bb  ") == cnt("aa bb"), "extra whitespace must not count")
+    assert(cnt("") == 0L)
+    // merges never cross a word boundary: "a a" stays two tokens even
+    // though (a a) would fuse inside one word
+    assert(cnt("a a") == 2L)
+  }
+
+  test("corpus_pack_shards_bpe equals a sequential fold over the bpe counts") {
+    val got = graft.operators.Bpe.packShardsBpe(spark, dir, budgetTokens = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.Caches.release()
+    val counts = graft.operators.Bpe.tokensBpe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_tokens_bpe")))
+      .sortBy(_._1)
+    graft.Caches.release()
+    var cum = 0L
+    val want = counts.map { case (id, n) =>
+      val shard = cum / 500L
+      cum += n
+      (id, n, shard)
+    }
+    assert(got.sortBy(_._1).toSeq == want.toSeq,
+      "bpe pack diverged from the sequential prefix fold")
+  }
 }
