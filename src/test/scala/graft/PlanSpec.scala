@@ -315,6 +315,28 @@ class PlanSpec extends AnyFunSuite {
       s"residual re-rank fetch missing its embedding-only scan:\n$sr")
   }
 
+  test("text_tokens_bpe: one pruned text scan, codegen'd kernel, no shuffle before the sort") {
+    val df = graft.operators.Bpe.tokensBpe(spark, dir)
+    val s = planString(df)
+    // one documents scan reading exactly (doc_id, text)
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "bpe scan must read only doc_id + text")
+    assert(s.contains("bpe_count"), "kernel missing from the plan")
+    // the count is a pure per-row map: the only exchange in the
+    // EXECUTED plan is the output ordering's range partitioning
+    // (planString appends the multi-phase QueryExecution dump, which
+    // repeats every node — count on the executed plan alone, FORCED
+    // first so AQE finalizes and the codegen stages are printed)
+    df.collect() // finalize THIS df's own AQE plan (a write would spawn
+    // a separate QueryExecution and leave df's un-executed)
+    val fp = finalPlanOnly(df.queryExecution.executedPlan.toString)
+    val exchanges = "Exchange".r.findAllIn(fp).size
+    assert(exchanges <= 1, s"per-row bpe count must not shuffle data: $exchanges exchanges")
+    // whole-stage-codegen stages print as "*(n)" markers in the tree
+    assert(fp.contains("*("), "kernel fell out of whole-stage codegen")
+    graft.Caches.release()
+  }
+
   test("text_keywords broadcast branch: dictionary broadcasts, top-k rank is a Partial WindowGroupLimit") {
     // The registered defaults take the broadcast branch (vocab ≪ 1M):
     // the posting stream must meet the dictionary map-side — a lost
