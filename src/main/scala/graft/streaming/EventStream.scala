@@ -1154,9 +1154,11 @@ object EventStream {
           .distinct()
         val selfPairs = graft.operators.Dedup.verifyJaccard(
           selfSh.select(col("doc_id"), col("sh")), selfCand, tau)
+        // gated driver union-find (r16, the vecdedup lesson): the full
+        // clustersFrom path pays ~4 s of CC scheduling rounds on a
+        // micro-batch-sized pair graph
         val selfDropped = graft.operators.Clusters
-          .clustersFrom(spark, selfPairs.select(col("doc_a"), col("doc_b")))
-          .filter(col("doc_id") =!= col("cluster_id"))
+          .clusterLosers(spark, selfPairs.select(col("doc_a"), col("doc_b")))
           .select(col("doc_id"))
         val rejected = crossRejected.unionByName(selfDropped)
         val accepted = exactOk
