@@ -133,7 +133,14 @@ object SparkEntry {
 
     "pipeline_corpus_clean" -> ((s, d) => Pipeline.corpusClean(s, d)),
     "pipeline_corpus_train" -> ((s, d) => Pipeline.corpusTrain(s, d)),
-    "pipeline_corpus_full"  -> ((s, d) => Pipeline.corpusFull(s, d))
+    "pipeline_corpus_full"  -> ((s, d) => Pipeline.corpusFull(s, d)),
+    // the BPE-priced tail (r17): same cleaning stages, pack budget and
+    // n_tokens billed in subword tokens under the per-source-mtime
+    // merge table. Rows-only — the merge loop is not SQL-expressible;
+    // CurationSpec gates it against a sequential fold over the per-doc
+    // subword counts of the same mixed set.
+    "pipeline_corpus_full_bpe" -> ((s, d) =>
+      Pipeline.corpusFull(s, d, bpeMerges = Some(Bpe.mergesFor(s, d))))
   )
 
   /** Queries whose every shuffle is key-domain-bounded and lands AFTER
@@ -231,6 +238,8 @@ object SparkEntry {
     // window-hash semi join + span/doc/text joins, broadcast rate and
     // block-prefix tables (bounded rows by construction)
     "pipeline_corpus_full",
+    // same plan, BPE-priced tail (one extra codegen'd kernel column)
+    "pipeline_corpus_full_bpe",
     // same class: one hint-pinned cell co-group + a bounded-heap
     // top-k aggregate, candidate volume n·probes·(n/nlist) by
     // construction

@@ -32,10 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`Array[String]`, each entry "left right" in ISO-8859-1 so
   * arbitrary byte sequences round-trip; the 0x20 separator is safe
   * because words never contain the space byte). It is COMPILED ONCE
-  * per table instance into a rank map (identity-keyed memo — the
-  * reference object is stable per task), and per-word counts memoize
-  * in a bounded thread-local map: corpus text repeats words heavily,
-  * so the amortized per-token cost is a hash probe, not a merge loop.
+  * per table CONTENT into a rank map, keyed by a SHA-256 fingerprint
+  * the expression computes on the driver and ships alongside the
+  * table (r16 advice: an identity key misses across tasks — codegen
+  * deserializes a fresh array reference per task, so every task used
+  * to insert a new Compiled with a cold word memo and the size bound
+  * repeatedly wiped memos under concurrent use). Per-word counts
+  * memoize in a bounded map: corpus text repeats words heavily, so
+  * the amortized per-token cost is a hash probe, not a merge loop.
   */
 object BpeCount {
 
@@ -51,7 +55,21 @@ object BpeCount {
   }
 
   private val compiledCache =
-    new java.util.concurrent.ConcurrentHashMap[Array[String], Compiled]()
+    new java.util.concurrent.ConcurrentHashMap[String, Compiled]()
+
+  /** Collision-proof content key of a merge table: SHA-256 over the
+    * '\n'-joined entries (entries never contain '\n' — they are
+    * "left right" byte-symbol pairs). Computed once per expression on
+    * the driver, shipped as a reference object.
+    */
+  private[graft] def fingerprint(merges: Array[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    merges.foreach { m =>
+      md.update(m.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      md.update('\n'.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   private val MemoCap = 1 << 16
 
@@ -83,10 +101,14 @@ object BpeCount {
     syms.size
   }
 
-  /** Whitespace-split + per-word BPE count over the whole document. */
-  def compute(s: UTF8String, merges: Array[String]): Long = {
-    if (compiledCache.size > 64) compiledCache.clear() // identity-keyed; bound it
-    val c = compiledCache.computeIfAbsent(merges, m => new Compiled(m))
+  /** Whitespace-split + per-word BPE count over the whole document.
+    * `fp` is the table's content fingerprint ([[fingerprint]]) — the
+    * cache key, so every task of every stage sharing one table shares
+    * one Compiled (and its warm word memo).
+    */
+  def compute(s: UTF8String, merges: Array[String], fp: String): Long = {
+    if (compiledCache.size > 64) compiledCache.clear() // distinct-table bound
+    val c = compiledCache.computeIfAbsent(fp, _ => new Compiled(merges))
     val memo = c.memo
     val text = s.toString
     var total = 0L
@@ -115,13 +137,42 @@ object BpeCount {
     total
   }
 
+  /** The kernel's word segmentation, exposed as an array so the BPE
+    * TRAINER samples words under the SAME rule the kernel applies
+    * (r16 advice: training on Java-regex `\s+` — ASCII whitespace —
+    * while the kernel splits on `Character.isWhitespace` drifted
+    * merge quality on text with Unicode whitespace). One loop, shared
+    * by contract: both sides call `Character.isWhitespace` on chars.
+    */
+  def words(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val text = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start)
+        out += UTF8String.fromString(text.substring(start, i))
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
   def bpe_count(text: Column, merges: Array[String]): Column =
     GraftColumn.column(BpeCountExpr(GraftColumn.expression(text), merges))
+
+  def bpe_words(text: Column): Column =
+    GraftColumn.column(BpeWordsExpr(GraftColumn.expression(text)))
 }
 
 /** Subword token count of a text column under a fixed merge table. */
 case class BpeCountExpr(child: Expression, merges: Array[String])
     extends UnaryExpression {
+
+  // computed once on the driver, shipped with the plan; keys the
+  // executor-side Compiled cache by CONTENT (r16 advice)
+  private val fp: String = BpeCount.fingerprint(merges)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "bpe_count"
@@ -133,11 +184,12 @@ case class BpeCountExpr(child: Expression, merges: Array[String])
   }
 
   override def nullSafeEval(s: Any): Any =
-    BpeCount.compute(s.asInstanceOf[UTF8String], merges)
+    BpeCount.compute(s.asInstanceOf[UTF8String], merges, fp)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.compute($c, $m)")
+    val f = ctx.addReferenceObj("bpeFp", fp, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.compute($c, $m, $f)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -153,4 +205,29 @@ case class BpeCountExpr(child: Expression, merges: Array[String])
   override def hashCode(): Int =
     java.util.Objects.hash(child,
       Integer.valueOf(java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])))
+}
+
+/** The BPE kernel's word segmentation (`Character.isWhitespace`
+  * boundaries) as an array<string> column — the trainer's histogram
+  * source, guaranteeing train-time and apply-time words agree.
+  */
+case class BpeWordsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_words"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    BpeCount.words(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.words($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

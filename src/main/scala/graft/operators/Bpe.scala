@@ -115,10 +115,14 @@ object Bpe {
     mergeCache.computeIfAbsent(key, _ => {
       val n = Tables.parquetRowCount(spark, dir, "documents")
       val every = math.max(1L, n / SampleDocs)
+      // Words come from the KERNEL's own segmentation (bpe_words =
+      // Character.isWhitespace boundaries), not a regex re-statement:
+      // Java \s is ASCII-only, so training on split(text, "\\s+")
+      // tokenized Unicode-whitespace text differently at train vs
+      // apply time (r16 advice) — one shared rule, by construction.
       val hist = Tables.documents(spark, dir)
         .filter(pmod(xxhash64(col("doc_id")), lit(every)) === 0)
-        .select(explode(split(col("text"), "\\s+")).as("w"))
-        .filter(col("w") =!= "")
+        .select(explode(graft.functions.BpeCount.bpe_words(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w"))
         .limit(VocabWords)

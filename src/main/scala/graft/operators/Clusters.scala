@@ -634,11 +634,22 @@ object Clusters {
     // shingle-fetch semi join shuffled the whole store shingle table
     // to meet the candidate ids; broadcasting the collision-bounded id
     // set streams the store scan instead). Above the gate the original
-    // hint-pinned shuffle plan is unchanged. 2^17 docs ≈ tens of MB of
-    // broadcast postings/arrays at testdata shingle widths — the same
-    // budget class as the CC small-graph gate.
+    // hint-pinned shuffle plan is unchanged.
+    //
+    // The gate bounds BYTES, not just docs (r17, r16 advice): what
+    // broadcasts are posting and shingle-ARRAY frames whose size is
+    // docs × shingle width, so a doc-count gate alone admits hundreds
+    // of MB on long documents. The batch's estimated in-memory bytes
+    // come from the same footers — on-disk table bytes × the batch
+    // fraction, × 4 for parquet-compression + array-layout expansion
+    // (shingle arrays ≈ 8 B/word ≈ 1.3 × raw text, raw ≈ 2.5-3 × the
+    // compressed file) — and must clear a 64 MB broadcast budget.
     val nDocs = graft.sources.Tables.parquetRowCount(spark, dir, "documents")
-    val small = nDocs * (100 - batchBucket) / 100 <= smallBatchGate
+    val estBatchBytes = graft.sources.Tables
+      .parquetByteSize(spark, dir, "documents") *
+      (100 - batchBucket) / 100 * 4
+    val small = nDocs * (100 - batchBucket) / 100 <= smallBatchGate &&
+      estBatchBytes <= (64L << 20)
     def batchSide(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
     val batchPre = Dedup.prefixPostings(batchSh, tau)
@@ -661,9 +672,16 @@ object Clusters {
     val storeShNeeded = spark.read.parquet(s"$path/shingles")
       .join(batchSide(cand.select(col("doc_b").as("doc_id"))),
         Seq("doc_id"), "left_semi")
-      .transform(graft.Caches.scoped(_)) // verify joins the array table twice
-    Dedup.verifyJaccard(batchSh.unionByName(storeShNeeded), cand, tau,
-      broadcastShingles = small)
+      .transform(graft.Caches.scoped(_)) // db-side verify join input
+    // doc_a is always a batch doc (cross puts the batch on "a"; self is
+    // batch×batch), so the da side joins the GATE-bounded batch arrays
+    // alone and may broadcast below the gate. doc_b mixes batch (self)
+    // and fetched store docs (cross) — that union is COLLISION-bounded,
+    // not gate-bounded, so it never broadcasts (r16 advice): its verify
+    // join shuffles two already-bounded frames instead of betting the
+    // driver on a collision estimate.
+    Dedup.verifyJaccardSides(batchSh, small,
+        batchSh.unionByName(storeShNeeded), false, cand, tau)
       .select(col("doc_a"), col("doc_b"))
   }
 

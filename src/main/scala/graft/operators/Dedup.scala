@@ -554,16 +554,28 @@ object Dedup {
     */
   private[graft] def verifyJaccard(docsSh: DataFrame, cand: DataFrame,
                                    tau: Double,
-                                   broadcastShingles: Boolean = false): DataFrame = {
-    // broadcastShingles: the caller has gated the shingle table small
-    // (the serve's footer-measured batch tier) — broadcast it so the
-    // two verification joins stream the candidate side with no
-    // exchange at all, instead of shuffling both sides twice.
-    def sh(df: DataFrame): DataFrame =
-      if (broadcastShingles) broadcast(df) else df.hint("shuffle_hash")
+                                   broadcastShingles: Boolean = false): DataFrame =
+    verifyJaccardSides(docsSh, broadcastShingles, docsSh, broadcastShingles,
+      cand, tau)
+
+  /** [[verifyJaccard]] with the two join sides supplied (and gated)
+    * SEPARATELY: callers whose doc_a side is batch-bounded but whose
+    * doc_b side includes a COLLISION-bounded store fetch broadcast
+    * only the side the gate actually bounds (r16 advice — a
+    * doc-count gate says nothing about the collision union's bytes).
+    */
+  private[graft] def verifyJaccardSides(shA: DataFrame, bA: Boolean,
+                                        shB: DataFrame, bB: Boolean,
+                                        cand: DataFrame, tau: Double): DataFrame = {
+    // broadcast flags: the caller has gated that shingle side small
+    // (the serve's footer-measured batch tier) — broadcast it so its
+    // verification join streams the candidate side with no exchange
+    // at all, instead of shuffling both sides.
+    def sh(df: DataFrame, b: Boolean): DataFrame =
+      if (b) broadcast(df) else df.hint("shuffle_hash")
     cand
-      .join(sh(docsSh.as("da")), col("doc_a") === col("da.doc_id"))
-      .join(sh(docsSh.as("db")), col("doc_b") === col("db.doc_id"))
+      .join(sh(shA.as("da"), bA), col("doc_a") === col("da.doc_id"))
+      .join(sh(shB.as("db"), bB), col("doc_b") === col("db.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.IntersectCountSorted.intersect_count_sorted(
           col("da.sh"), col("db.sh")).as("n_common"),

@@ -665,4 +665,102 @@ object Ivf {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Test hook: when set, [[retrainArrivalStore]] throws AFTER the
+    * staged tree + commit marker are written and BEFORE the live swap
+    * — the worst crash window. */
+  private[graft] var retrainCrashBeforeSwap: Boolean = false
+
+  /** RETRAIN + CUTOVER of an arrival vector store (r17, r16 verdict
+    * item 3): the operational answer to measured quantizer drift. The
+    * arrival loops FREEZE the coarse quantizer at first-batch training
+    * (the FAISS add-after-train model); when the arriving distribution
+    * later shifts, genuinely-new mass concentrates in a few hot cells
+    * and the per-batch candidate volume — bounded by probes × cell
+    * occupancy — grows with the hot mass (BASELINE's occupancy-drift
+    * stress measured 26→42 s/batch growing, one 28k-row cell). No
+    * mitigation exists INSIDE the loop, because every hot arrival is
+    * new content in a frozen partitioning; the fix is the documented
+    * FAISS knob, implemented here:
+    *
+    *   1. train a FRESH quantizer on the standing accepted store
+    *      (same deterministic hash-sampled Lloyd — [[train]] — so a
+    *      crashed attempt retrains to identical centroids); Lloyd run
+    *      ON the drifted density splits the hot region across many
+    *      cells, restoring balanced occupancy;
+    *   2. reassign every standing vector and write the new tree to a
+    *      `_staging_retrain` subtree (underscore-prefixed — invisible
+    *      to readers; the OLD tree serves untouched throughout),
+    *      collapsed to ONE cell-partitioned `cells/batch=<maxId>` dir;
+    *   3. commit point: a `_RETRAIN` marker written AFTER the staged
+    *      `_SUCCESS`es; then the live `cells/` + `centroids/` are
+    *      swapped out per subtree. A crash before the marker leaves
+    *      the store untouched (staging discarded on re-run); after
+    *      it, re-running completes the swap from the staged copy —
+    *      each subtree swaps only while its staged copy still exists,
+    *      so recovery is idempotent ("run it again", the
+    *      compactArrivalStore protocol).
+    *
+    * MUST run with the arrival stream STOPPED and its final batch
+    * committed to the checkpoint: the rewrite folds every batch's rows
+    * into one directory, so — unlike compaction, which spares the max
+    * id — a post-cutover retry of the max batch would overwrite folded
+    * state. Stopping the stream at a committed offset is the operator
+    * action the knob already implies. Post-cutover arrivals assign
+    * under the NEW frozen centroids (ensureCentroids reads the swapped
+    * table) into higher batch dirs, and serves see one coherent store:
+    * every standing row's `cell` was assigned under the live quantizer.
+    */
+  def retrainArrivalStore(spark: SparkSession, storeDir: String,
+                          nlistOverride: Option[Int] = None,
+                          iters: Int = 4): Unit = graft.Caches.withScope {
+    import org.apache.hadoop.fs.Path
+    val (fs, rootP) = graft.streaming.ArrivalStore.fsFor(storeDir)
+    val staging = new Path(rootP, "_staging_retrain")
+    val marker = new Path(staging, "_RETRAIN")
+    if (!fs.exists(marker)) {
+      if (fs.exists(staging)) // interrupted WRITE: live store intact, discard
+        fs.delete(staging, true)
+      val dirs = graft.streaming.ArrivalStore
+        .standingDirs(s"$storeDir/cells", Long.MaxValue, committedOnly = true)
+      require(dirs.nonEmpty, s"no committed arrival batches under $storeDir")
+      val tid = dirs
+        .map(d => new Path(d).getName.stripPrefix("batch=").toLong).max
+      val standing = graft.Caches.scoped(Similarity.withFastNorm(
+        spark.read.option("basePath", s"$storeDir/cells").parquet(dirs: _*)
+          .select(col("vec_id"), col("embedding"))))
+      val n = standing.count()
+      val dim = standing.select(size(col("embedding"))).head.getInt(0)
+      val nlist = nlistOverride.getOrElse(autoNlist(n))
+      val cents = train(standing, n, nlist, dim, iters)
+      standing.select(col("vec_id"), col("embedding"), col("nf"),
+          element_at(IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1)
+            .as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/cells/batch=$tid")
+      import spark.implicits._
+      (0 until nlist).map(i => (i, (0 until dim).map(j => cents(i * dim + j))))
+        .toDF("cell", "centroid").repartition(1)
+        .write.mode("overwrite").parquet(s"$staging/centroids")
+      val out = fs.create(marker, true)
+      try out.write(tid.toString.getBytes("UTF-8")) finally out.close()
+    }
+    if (retrainCrashBeforeSwap)
+      throw new RuntimeException("injected retrain crash before swap")
+    // SWAP, idempotent under recovery: a subtree whose staged copy
+    // still exists has NOT been swapped — its live tree is the old one.
+    for (sub <- Seq("cells", "centroids")) {
+      val staged = new Path(staging, sub)
+      val live = new Path(rootP, sub)
+      if (fs.exists(staged)) {
+        if (fs.exists(live)) fs.delete(live, true)
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"retrain rename failed: $staged -> $live")
+      }
+    }
+    fs.delete(staging, true)
+    // serving-process state for this store is stale after cutover
+    centroidCache.remove(s"$storeDir/centroids")
+  }
 }

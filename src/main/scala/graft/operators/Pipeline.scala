@@ -166,11 +166,26 @@ object Pipeline {
     * hash join. The DuckDB oracle recomputes every stage from scratch
     * and hash-compares the final text + shard assignment.
     */
+  /** Token-pricing knob (r17, r16 verdict item 4): with `bpeMerges`
+    * set, the pack/mix TAIL prices documents in SUBWORD tokens of the
+    * cleaned text — `n_tokens` and the shard budget switch to the
+    * [[graft.functions.BpeCount]] count under the caller's merge table
+    * (train it once with [[Bpe.mergesFor]] and thread it everywhere a
+    * deployment prices, including the arrival twin
+    * [[graft.streaming.EventStream.arrivalCorpusTrain]], so batch and
+    * streaming bill in the same unit). Mix rates are doc-count-based
+    * ([[Curation.mixRatesFor]]) and therefore pricing-independent; the
+    * upstream cleaning stages never look at token counts at all.
+    * `pipeline_corpus_full_bpe` registers the priced variant rows-only
+    * (the merge loop is not SQL-expressible); CurationSpec gates it
+    * against a sequential fold over the per-doc subword counts.
+    */
   def corpusFull(spark: SparkSession, dir: String,
                  minQuality: Double = 0.5, tau: Double = 0.8, w: Int = 16,
                  weights: Map[String, Int] = Map("src0" -> 30, "src1" -> 30),
                  defaultWeight: Int = 1, budgetPct: Int = 50,
-                 budgetTokens: Long = 50000L): DataFrame = {
+                 budgetTokens: Long = 50000L,
+                 bpeMerges: Option[Array[String]] = None): DataFrame = {
     val survivors = cleanSurvivors(spark, dir, minQuality, tau)
     val docs = graft.sources.Tables.documents(spark, dir)
       .join(survivors.select(col("doc_id")).hint("shuffle_hash"),
@@ -208,8 +223,14 @@ object Pipeline {
         (size(col("wd")).cast("long") - coalesce(col("n_removed"), lit(0L)))
           .as("n_tokens"))
       .transform(graft.Caches.scoped(_)) // mix counts + pack input + text join
-    val rates = Curation.mixRatesFor(train, weights, defaultWeight, budgetPct)
-    val mixed = train
+    // pricing knob: the tail bills whitespace words (the cut already
+    // computed them) or subword tokens of the clean text (one codegen'd
+    // kernel pass over the cached train frame)
+    val priced = bpeMerges.fold(train)(m => train
+      .withColumn("n_tokens",
+        graft.functions.BpeCount.bpe_count(col("clean_text"), m)))
+    val rates = Curation.mixRatesFor(priced, weights, defaultWeight, budgetPct)
+    val mixed = priced
       .withColumn("mix_bucket", Curation.splitBucket(
         concat(col("doc_id").cast("string"), lit(":mix"))).cast("long"))
       .join(broadcast(rates), Seq("source"))

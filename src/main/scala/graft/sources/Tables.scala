@@ -95,6 +95,32 @@ object Tables {
     countCache.computeIfAbsent(s"$sfDir/$name.parquet",
       _ => parquetRowCountUncached(spark, sfDir, name))
 
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  /** On-disk byte size of a table (sum of file lengths) — the free
+    * footer-class statistic broadcast GATES use to bound estimated
+    * in-memory bytes, not just row counts (r16 advice: a doc-count
+    * gate admits arbitrarily wide rows).
+    */
+  def parquetByteSize(spark: SparkSession, sfDir: String, name: String): Long =
+    sizeCache.computeIfAbsent(s"$sfDir/$name.parquet", _ => {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val status = fs.getFileStatus(root)
+      if (status.isFile) status.getLen
+      else {
+        var total = 0L
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) total += f.getLen
+        }
+        total
+      }
+    })
+
   /** Change-detection key for on-disk derived stores
     * ([[graft.operators.Ivf]]'s index, [[graft.operators.Dedup]]'s
     * standing dedup store): a 64-bit digest over the table's file

@@ -92,4 +92,100 @@ private[graft] object ArrivalStore {
       .filter(col("batch").cast("long") === col("__mb"))
       .drop("__mb", "batch")
   }
+
+  /** GATED BROADCAST TIER for the per-batch store joins (r17, r16
+    * verdict item 1): every text arrival loop joins batch-derived
+    * frames against its STANDING logs, and a shuffle-hash join
+    * exchanges BOTH sides — so each arriving batch used to shuffle
+    * the postings/shingles/windows of every doc ever seen, an
+    * O(store) per-arrival term the flat small-store bench curves
+    * can't witness. Below this gate the batch-bounded side pins
+    * `broadcast` instead, so the standing log STREAMS with zero
+    * exchange (the r16 `serveBatchPairs` tier, adopted loop-wide);
+    * above it the original hint-pinned shuffle plan is unchanged.
+    *
+    * The gate bounds ROWS and TEXT BYTES with one O(batch) aggregate
+    * over the arriving micro-batch (the loop pays several O(batch)
+    * passes anyway). Broadcast frames are narrow derivatives — 16 B
+    * hashes, 8 B window/shingle hashes, posting rows, ids — whose
+    * in-memory relations run ≈ bytes/6 keys × ~30 B ≈ 5 × text bytes
+    * per word-derived key set, so the 128 MB text cap bounds the
+    * worst broadcast (the window-hash set) near ~650 MB. That is a
+    * deliberate ceiling, not a typo: the alternative to broadcasting
+    * ~5× the BATCH's bytes is shuffle-exchanging the STANDING logs,
+    * which are ≥ the whole corpus so far — at a 100 TB store the
+    * ratio is ~10^6, and a micro-batch is rate-limited far below
+    * corpus scale by construction. Deployments with tighter executor
+    * memory size `maxTextBytes` down; above the gate the shuffle tier
+    * is always correct.
+    */
+  def smallBatch(batch: DataFrame, maxRows: Long = 1L << 20,
+                 maxTextBytes: Long = 128L << 20): Boolean = {
+    val r = batch
+      .agg(count(lit(1)).as("n"), sum(octet_length(col("text"))).as("b"))
+      .head()
+    r.getLong(0) <= maxRows && (r.isNullAt(1) || r.getLong(1) <= maxTextBytes)
+  }
+
+  /** The tier's join-side pin: broadcast below the gate, the
+    * original hinted shuffle-hash above it. */
+  def gated(small: Boolean)(df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df.hint("shuffle_hash")
+
+  /** Batch-anti-store without an O(store) exchange: below the gate
+    * the standing store STREAMS through a broadcast semi join against
+    * the batch's key set (keys seen before — batch-bounded, since the
+    * stores keep one row per distinct key by the loops' new-content
+    * write contract), and the anti join probes that bounded result;
+    * above the gate, the original shuffle-hash anti join.
+    */
+  def antiStore(batchSide: DataFrame, store: DataFrame, keys: Seq[String],
+                small: Boolean): DataFrame =
+    if (small) {
+      val seen = store.join(broadcast(batchSide.select(keys.map(col): _*)),
+        keys, "left_semi")
+      batchSide.join(broadcast(seen), keys, "left_anti")
+    } else batchSide.join(store.hint("shuffle_hash"), keys, "left_anti")
+
+  /** Collision-bounded store FETCH (r17, verdict item 2): the loops
+    * fetch standing rows for a SMALL id set (batch-touched docs,
+    * colliding candidates), and a semi join — even the broadcast tier
+    * — still SCANS the whole standing log to probe it. Tiered:
+    *
+    *   1. LITERAL IN — below `idGate` the id set is collected (one
+    *      bounded job over the — typically cached — id frame) and
+    *      pushed as a parquet IN filter, so a key-clustered compacted
+    *      log row-group-prunes to the touched rows instead of scanning
+    *      (Sessions raise the parquet IN-pushdown threshold to match).
+    *      This is the only PRUNABLE probe shape in these loops: the
+    *      hash-keyed probes (window/shingle hashes) are dense-uniform
+    *      across the key space, so every row group matches some probe
+    *      and min/max skips nothing — the r16 vecdedup cell-prune
+    *      lesson transfers only to the low-cardinality id fetches.
+    *   2. broadcast semi below the batch gate (store streams);
+    *   3. hinted shuffle semi above it.
+    *
+    * Returns a REUSABLE fetch function — the id set is collected once
+    * per batch even when two store subtrees fetch by the same ids.
+    */
+  def fetcher(ids: DataFrame, key: String, small: Boolean,
+              idGate: Int = 256): DataFrame => DataFrame = {
+    lazy val literal: Option[Seq[Any]] =
+      if (!small) None
+      else {
+        val rows = ids.select(col(key)).distinct().limit(idGate + 1).collect()
+        if (rows.length <= idGate) Some(rows.toSeq.map(_.get(0))) else None
+      }
+    store => literal match {
+      case Some(vals) =>
+        if (vals.isEmpty) store.filter(lit(false))
+        else store.filter(col(key).isin(vals: _*))
+      case None if small =>
+        store.join(broadcast(ids.select(col(key)).distinct()),
+          Seq(key), "left_semi")
+      case None =>
+        store.join(ids.select(col(key)).hint("shuffle_hash"),
+          Seq(key), "left_semi")
+    }
+  }
 }

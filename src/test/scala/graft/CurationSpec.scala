@@ -468,4 +468,35 @@ class CurationSpec extends AnyFunSuite {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("pipeline_corpus_full_bpe: the whitespace pipeline re-priced by a sequential subword fold") {
+    // r17 (r16 verdict item 4): the BPE-priced tail must change ONLY
+    // the billing unit — same cleaned/mixed documents as the
+    // whitespace pipeline, n_tokens = the kernel's subword count of
+    // each clean text, shard ids = the sequential doc_id-ordered
+    // prefix fold over those counts (the pack contract).
+    val merges = graft.operators.Bpe.mergesFor(spark, dir)
+    val budget = 500L
+    val got = graft.operators.Pipeline
+      .corpusFull(spark, dir, budgetTokens = budget, bpeMerges = Some(merges))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    graft.Caches.release()
+    val base = graft.operators.Pipeline.corpusFull(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    graft.Caches.release()
+    val fp = graft.functions.BpeCount.fingerprint(merges)
+    var cum = 0L
+    val want = base.map { case (id, src, txt) =>
+      val c = graft.functions.BpeCount.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt), merges, fp)
+      val shard = cum / budget
+      cum += c
+      (id, src, txt, c, shard)
+    }
+    assert(got.sortBy(_._1).toSeq == want.toSeq,
+      "bpe-priced pipeline diverged from the re-priced sequential fold")
+  }
 }

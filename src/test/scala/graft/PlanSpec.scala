@@ -844,6 +844,111 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("arrival loops: standing-store scans never shuffle-exchange below the gate") {
+    // r17 (r16 verdict item 1): per arriving micro-batch, every join
+    // against a standing log (hashes/prefix/shingles/windows/testwin/
+    // corpus/bands/accepted) must STREAM the store side below the
+    // broadcast gate — the batch-bounded side broadcasts, so no
+    // ShuffleExchange may have a store scan underneath unless a
+    // BroadcastHashJoin bounded the stream first (then the exchange
+    // carries only collision-bounded survivors, which is the loops'
+    // declared per-arrival cost). Pinned on REAL executed plans: a
+    // QueryExecutionListener captures every query of a batch-1 run of
+    // the composed corpus loop and the near-dup loop.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_arrival").toString
+    val corpusStore = s"$root/corpus_store"
+    val nearDupStore = s"$root/neardup_store"
+    import spark.implicits._
+    // batch-0 docs: 24 unique words each; batch-1 docs: first 10 words
+    // copied from the matching batch-0 doc (guaranteed w=8 window
+    // collisions → touched docs), rest unique (3-shingle Jaccard ≈ 0.2
+    // — far below tau, so the colliding docs survive the near-dup tier
+    // and the span/decontamination maintenance actually fires)
+    def words(i: Long, from: Int, until: Int): Seq[String] =
+      (from until until).map(j => s"a${i}_$j")
+    def docs(ids: Seq[Long]) = ids.map(i => (i, s"src${i % 2}",
+      words(i, 0, 24).mkString(" "))).toDF("doc_id", "source", "text")
+    def docs1(ids: Seq[Long]) = ids.map(i => (i, s"src${i % 2}",
+      (words(i - 100, 0, 10) ++ words(i, 10, 24)).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    graft.streaming.EventStream
+      .corpusArrivalBatch(docs(0L until 40L), corpusStore, 0L, 0.0, 0.8, 8)
+    graft.streaming.EventStream
+      .nearDupArrivalBatch(docs(0L until 40L), nearDupStore, 0L, 0.9, 64, 16)
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.streaming.EventStream
+        .corpusArrivalBatch(docs1(100L until 140L), corpusStore, 1L, 0.0, 0.8, 8)
+      graft.streaming.EventStream
+        .nearDupArrivalBatch(docs1(100L until 140L), nearDupStore, 1L, 0.9, 64, 16)
+      // the execution listener bus is async — wait until the capture
+      // stabilizes (bounded)
+      var last = -1
+      var spins = 0
+      while (captured.size != last && spins < 60) {
+        last = captured.size; spins += 1; Thread.sleep(500)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    assert(!captured.isEmpty, "listener captured no executed plans")
+    def isStoreScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case f: FileSourceScanExec =>
+          f.metadata.getOrElse("Location", "").contains("graft_plan_arrival")
+        case _ => false
+      }
+    // true iff the subtree reaches a store scan with NO intervening
+    // BroadcastHashJoin (i.e. an unbounded store stream)
+    def unboundedStoreScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case _: BroadcastHashJoinExec => false
+        case f if isStoreScan(f) => true
+        case a: AdaptiveSparkPlanExec => unboundedStoreScan(a.executedPlan)
+        case q: QueryStageExec => unboundedStoreScan(q.plan)
+        case i: InMemoryTableScanExec => unboundedStoreScan(i.relation.cachedPlan)
+        case other => other.children.exists(unboundedStoreScan)
+      }
+    import scala.jdk.CollectionConverters._
+    val offending = captured.asScala.toSeq.flatMap(p => deepNodes(p).collect {
+      case e: ShuffleExchangeExec if e.children.exists(unboundedStoreScan) => e })
+    assert(offending.isEmpty,
+      s"standing-store scan shuffle-exchanged below the gate:\n${offending.headOption.getOrElse("")}")
+    // and the tier actually engaged: at least one broadcast join
+    // PROBES a streaming store scan
+    val streamed = captured.asScala.exists(p => deepNodes(p).exists {
+      case b: BroadcastHashJoinExec => deepNodes(b).exists(isStoreScan)
+      case _ => false
+    })
+    assert(streamed, "no BroadcastHashJoin streams a store scan — gate never engaged")
+    // the collision-bounded doc fetches are LITERAL point reads: the
+    // touched/candidate id sets reach the store scan as pushed IN
+    // filters (r17 fetcher tier 1 — batch 1's crafted 10-word shared
+    // runs guarantee window collisions, so touched is non-empty)
+    val literalFetch = captured.asScala.exists(p => deepNodes(p).exists {
+      case f: FileSourceScanExec =>
+        f.metadata.getOrElse("Location", "").contains("graft_plan_arrival") &&
+          f.metadata.getOrElse("PushedFilters", "").contains("In(doc_id")
+      case _ => false
+    })
+    assert(literalFetch,
+      "no store scan carries a pushed In(doc_id, ...) filter — the literal fetch tier never engaged")
+  }
+
   test("presentSorted results carry no range-partitioning sampling exchange") {
     // presentSorted exists to remove the range-partitioner sampling job
     // from domain-bounded presentation sorts; a stray orderBy creeping

@@ -673,6 +673,25 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.release()
     assert(got == want,
       s"arrival corpus != batch corpusFull:\n got=$got\nwant=$want")
+    // BPE-priced materialization (r17, verdict item 4): ONE merge
+    // table threaded through both twins — the identity must hold with
+    // the tail re-priced in subword tokens.
+    val merges = graft.operators.Bpe.mergesFor(spark, docsDir)
+    val gotBpe = EventStream
+      .arrivalCorpusTrain(spark, store, budgetTokens = budget,
+        bpeMerges = Some(merges)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    graft.Caches.release()
+    val wantBpe = graft.operators.Pipeline
+      .corpusFull(spark, docsDir, minQuality = 0.2, tau = 0.8, w = w,
+        budgetTokens = budget, bpeMerges = Some(merges))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    graft.Caches.release()
+    assert(gotBpe == wantBpe,
+      s"BPE-priced arrival corpus != batch corpusFull:\n got=$gotBpe\nwant=$wantBpe")
     // Every stage fired — pinned on the standing CLEAN store (the
     // decontaminated train corpus BEFORE the mix resample, which may
     // legitimately drop any surviving doc):
@@ -1010,5 +1029,69 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(rows == Set((10L, 11L), (20L, -1L)),
       s"expected one match and one sealed unmatched click, got $rows")
+  }
+
+  test("ivf retrain/cutover: serve identity across the swap, crash-recoverable, post-retrain arrivals integrate") {
+    // r17 (r16 verdict item 3): the drift answer. Retraining the
+    // coarse quantizer on the standing store and cutting over must be
+    // INVISIBLE to a full-probe serve (exhaustive candidate generation
+    // makes results quantizer-independent — the family's identity
+    // trick), crash-recoverable at the worst window (staged tree +
+    // marker written, live swap not yet run), and transparent to the
+    // continuing loop: post-cutover batches assign under the NEW
+    // frozen centroids and the serve stays exact.
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_retrain").toString
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val n = all.length
+    val nlist = graft.operators.Ivf.autoNlist(n.toLong)
+    val chunks = all.grouped((n + 3) / 4).toSeq
+    (0 until 3).foreach { i =>
+      graft.operators.Ivf.vectorArrivalBatch(
+        chunks(i).toSeq.toDF("vec_id", "embedding"), store, i.toLong, nlist)
+    }
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serveAll() = graft.operators.Ivf.arrivalAnnServe(spark, store, queries,
+        nprobeOverride = Some(Int.MaxValue), margin = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val before = serveAll()
+    // worst-window crash: staged tree + _RETRAIN marker on disk, live
+    // tree not yet swapped — the OLD store must still serve, and a
+    // re-run must complete the cutover from the staged copy
+    graft.operators.Ivf.retrainCrashBeforeSwap = true
+    val crashed = intercept[RuntimeException] {
+      graft.operators.Ivf.retrainArrivalStore(spark, store,
+        nlistOverride = Some(math.max(2, nlist / 2)))
+    }
+    assert(crashed.getMessage.contains("injected"))
+    graft.operators.Ivf.retrainCrashBeforeSwap = false
+    assert(serveAll() == before,
+      "a crashed (pre-swap) retrain must leave the serving store untouched")
+    graft.operators.Ivf.retrainArrivalStore(spark, store,
+      nlistOverride = Some(math.max(2, nlist / 2)))
+    assert(serveAll() == before,
+      "full-probe serve changed across the retrain cutover — accepted set not preserved")
+    // layout: the standing cells collapsed to ONE batch dir at the max
+    // committed id, and the staging tree is gone
+    val dirs = new java.io.File(s"$store/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(dirs.toSeq == Seq("batch=2"), s"expected one collapsed dir, got ${dirs.toSeq}")
+    assert(!new java.io.File(s"$store/_staging_retrain").exists())
+    // the loop continues: the fourth chunk arrives AFTER the cutover
+    // (assigned under the new centroids) and the full-probe serve now
+    // equals brute force over the WHOLE corpus
+    graft.operators.Ivf.vectorArrivalBatch(
+      chunks(3).toSeq.toDF("vec_id", "embedding"), store, 3L, nlist)
+    val exact = graft.operators.Similarity.cosineTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(serveAll() == exact,
+      "post-retrain arrivals did not integrate — full-probe serve differs from brute force")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
   }
 }
