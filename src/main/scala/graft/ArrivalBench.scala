@@ -22,9 +22,21 @@ import org.apache.spark.sql.functions._
   *
   * Knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_ARRIVAL_BATCHES (default 10), SPARK_GRAFT_ARRIVAL_MODE
-  * (exact | neardup | clusters | vectors | vecdedup | spans | pack |
-  * corpus, default exact),
-  * SPARK_GRAFT_CPUS (default 32).
+  * (exact | neardup | clusters | vectors | vecdedup | vecdedupdrift |
+  * spans | pack | corpus, default exact),
+  * SPARK_GRAFT_RETRAIN_AT (batch index before which
+  * Ivf.retrainArrivalStore runs — the drift-answer measurement;
+  * default: never), SPARK_GRAFT_CPUS (default 32).
+  *
+  * `vecdedupdrift` replays BASELINE's occupancy-drift stress as a
+  * reproducible mode instead of a one-off: batch 0 is UNIFORM random
+  * unit-ish vectors (it trains the frozen quantizer), every later
+  * batch puts 50% of its arrivals in ONE angular region at pairwise
+  * cos ≈ 0.88 < τ — all genuinely distinct, all accepted — so the
+  * hot cell's occupancy (and with it the candidate volume) grows
+  * linearly until a retrain re-partitions the hot region. All values
+  * derive from xxhash64 of the vec id, so the corpus is
+  * bit-deterministic across runs.
   */
 object ArrivalBench {
 
@@ -33,6 +45,7 @@ object ArrivalBench {
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_ARRIVAL_BATCHES", "10").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_ARRIVAL_MODE", "exact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val retrainAt = sys.env.getOrElse("SPARK_GRAFT_RETRAIN_AT", "-1").toInt
     val spark = Sessions.driver(cpus, dir)
     spark.sparkContext.setLogLevel("WARN")
     val store = java.nio.file.Files
@@ -47,10 +60,40 @@ object ArrivalBench {
     def vecBatch(i: Int) = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(pmod(xxhash64(col("vec_id")), lit(nBatches)) === i)
-    val nlist = operators.Ivf.autoNlist(
-      Tables.parquetRowCount(spark, dir, "embeddings"))
+    // the drift corpus (see the scaladoc): 50k vectors/batch, dim 64;
+    // batch 0 uniform; later batches 50% hot — a +12.5·e0 offset over
+    // the same uniform noise puts hot-pair cosines near 0.88 (< τ =
+    // 0.95, so every hot arrival is accepted and occupancy grows)
+    val DriftBatchN = 50000L
+    def driftBatch(i: Int) = {
+      val base = spark.range(i * DriftBatchN, (i + 1) * DriftBatchN)
+        .select(col("id").as("vec_id"))
+      val uniform = expr("transform(sequence(0, 63), k -> " +
+        "cast((pmod(xxhash64(vec_id * 64 + k), 2001) - 1000) / 1000.0 as float))")
+      val hot = expr("transform(sequence(0, 63), k -> cast(CASE WHEN k = 0 " +
+        "THEN (pmod(xxhash64(vec_id * 64), 2001) - 1000) / 1000.0 + 12.5 " +
+        "ELSE (pmod(xxhash64(vec_id * 64 + k), 2001) - 1000) / 1000.0 END as float))")
+      base.select(col("vec_id"),
+        (if (i == 0) uniform
+         else when(col("vec_id") % 2 === 0, hot).otherwise(uniform))
+          .as("embedding"))
+    }
+    // lazy: only the vector modes dereference it, and scaled doc-only
+    // dirs carry no embeddings table to size it from
+    lazy val nlist = mode match {
+      case "vecdedupdrift" =>
+        operators.Ivf.autoNlist(DriftBatchN * nBatches)
+      case _ => operators.Ivf.autoNlist(
+        Tables.parquetRowCount(spark, dir, "embeddings"))
+    }
 
+    var retrainSec = -1.0
     val times = (0 until nBatches).map { i =>
+      if (i == retrainAt) {
+        val r0 = System.nanoTime()
+        operators.Ivf.retrainArrivalStore(spark, store)
+        retrainSec = math.round((System.nanoTime() - r0) / 1e6) / 1000.0
+      }
       val t0 = System.nanoTime()
       mode match {
         case "exact" =>
@@ -75,12 +118,15 @@ object ArrivalBench {
         case "vecdedup" =>
           streaming.EventStream.vectorDedupArrivalBatch(vecBatch(i), store,
             i.toLong, nlist, 0.95, 4, 4)
+        case "vecdedupdrift" =>
+          streaming.EventStream.vectorDedupArrivalBatch(driftBatch(i), store,
+            i.toLong, nlist, 0.95, 4, 4)
         case other => sys.error(s"unknown SPARK_GRAFT_ARRIVAL_MODE '$other'")
       }
       math.round((System.nanoTime() - t0) / 1e6) / 1000.0
     }
     val accepted = mode match {
-      case "vectors" | "vecdedup" =>
+      case "vectors" | "vecdedup" | "vecdedupdrift" =>
         spark.read.parquet(s"$store/cells").count()
       case "clusters" =>
         streaming.EventStream.arrivalClusterLabels(spark, store).count()
@@ -94,8 +140,11 @@ object ArrivalBench {
         streaming.EventStream.arrivalAccepted(spark, store).count()
     }
     val total = times.sum
+    val retrainJson =
+      if (retrainAt >= 0) s""","retrain_at":$retrainAt,"retrain_sec":$retrainSec"""
+      else ""
     println(s"""{"metric":"arrival_$mode","unit":"sec","batches":[${
-      times.mkString(",")}],"total":$total,"accepted":$accepted,"sf":"$dir","n_batches":$nBatches}""")
+      times.mkString(",")}],"total":$total,"accepted":$accepted,"sf":"$dir","n_batches":$nBatches$retrainJson}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
     spark.stop()
   }

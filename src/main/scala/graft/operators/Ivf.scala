@@ -733,12 +733,30 @@ object Ivf {
       val dim = standing.select(size(col("embedding"))).head.getInt(0)
       val nlist = nlistOverride.getOrElse(autoNlist(n))
       val cents = train(standing, n, nlist, dim, iters)
-      standing.select(col("vec_id"), col("embedding"), col("nf"),
+      val reassigned = standing
+        .select(col("vec_id"), col("embedding"), col("nf"),
           element_at(IvfCells.ivf_cells(col("embedding"), cents, dim, 1), 1)
             .as("cell"))
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$staging/cells/batch=$tid")
+      // Match the OWNING loop's cell layout — post-cutover batches keep
+      // appending in their native shape, and parquet partition
+      // discovery rejects mixed directory depths under one basePath:
+      // the index-building loop (vectorArrivalBatch) uses cell=N
+      // partition DIRS (dir-prune pays on a corpus-sized store); the
+      // dedup loop (vectorDedupArrivalBatch) keeps `cell` as a sorted
+      // DATA column (the r16 fs-metadata lesson — its store is small
+      // by regime). Detected from the standing dirs themselves.
+      val dirLayout = {
+        val (dfs, first) = graft.streaming.ArrivalStore.fsFor(dirs.head)
+        dfs.listStatus(first).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("cell="))
+      }
+      if (dirLayout)
+        reassigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$staging/cells/batch=$tid")
+      else
+        reassigned.sortWithinPartitions(col("cell"))
+          .write.mode("overwrite").parquet(s"$staging/cells/batch=$tid")
       import spark.implicits._
       (0 until nlist).map(i => (i, (0 until dim).map(j => cents(i * dim + j))))
         .toDF("cell", "centroid").repartition(1)

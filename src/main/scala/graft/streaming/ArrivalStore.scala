@@ -109,18 +109,20 @@ private[graft] object ArrivalStore {
     * passes anyway). Broadcast frames are narrow derivatives — 16 B
     * hashes, 8 B window/shingle hashes, posting rows, ids — whose
     * in-memory relations run ≈ bytes/6 keys × ~30 B ≈ 5 × text bytes
-    * per word-derived key set, so the 128 MB text cap bounds the
-    * worst broadcast (the window-hash set) near ~650 MB. That is a
+    * per word-derived key set, so the 256 MB text cap bounds the
+    * worst broadcast (the window-hash set) near ~1.3 GB. That is a
     * deliberate ceiling, not a typo: the alternative to broadcasting
     * ~5× the BATCH's bytes is shuffle-exchanging the STANDING logs,
     * which are ≥ the whole corpus so far — at a 100 TB store the
     * ratio is ~10^6, and a micro-batch is rate-limited far below
-    * corpus scale by construction. Deployments with tighter executor
+    * corpus scale by construction; the measured third ArrivalBench
+    * decade (5M docs at 500k docs ≈ 142 MB text per batch) sits
+    * inside this ceiling by design. Deployments with tighter executor
     * memory size `maxTextBytes` down; above the gate the shuffle tier
     * is always correct.
     */
   def smallBatch(batch: DataFrame, maxRows: Long = 1L << 20,
-                 maxTextBytes: Long = 128L << 20): Boolean = {
+                 maxTextBytes: Long = 256L << 20): Boolean = {
     val r = batch
       .agg(count(lit(1)).as("n"), sum(octet_length(col("text"))).as("b"))
       .head()

@@ -692,7 +692,11 @@ object EventStream {
         if (base.isEmpty) return
         val dim = base.select(size(col("embedding"))).head().getInt(0)
         val cents = Ivf.ensureCentroids(spark, base, storeDir, nlist, dim, iters)
-        val p = math.min(nlist, probes)
+        // clamp probes to the LIVE centroid count, not the caller's
+        // nlist — a retrained store (Ivf.retrainArrivalStore) may
+        // carry a different quantizer size than the loop was launched
+        // with, and the loop must keep running across the cutover
+        val p = math.min(cents.length / dim, probes)
         val assigned = base.select(col("vec_id"), col("embedding"), col("nf"),
             graft.functions.IvfCells.ivf_cells(col("embedding"), cents, dim, p)
               .as("probe_cells"))

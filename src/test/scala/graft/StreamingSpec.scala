@@ -1093,5 +1093,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(serveAll() == exact,
       "post-retrain arrivals did not integrate — full-probe serve differs from brute force")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    // SORTED-layout store (the vecdedup loop keeps `cell` as a data
+    // column): the retrain must write the collapsed dir in the OWNING
+    // loop's layout — a cell=N partition tree mixed with later
+    // data-column batches fails parquet partition discovery outright
+    // (mixed directory depths under one basePath; r17 regression pin).
+    val store2 = java.nio.file.Files.createTempDirectory("graft_retrain_vdd").toString
+    (0 until 2).foreach { i =>
+      graft.streaming.EventStream.vectorDedupArrivalBatch(
+        chunks(i).toSeq.toDF("vec_id", "embedding"), store2, i.toLong,
+        nlist, 0.95, nlist, 4)
+    }
+    def serve2() = graft.operators.Ivf.arrivalAnnServe(spark, store2, queries,
+        nprobeOverride = Some(Int.MaxValue), margin = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val before2 = serve2()
+    graft.operators.Ivf.retrainArrivalStore(spark, store2)
+    assert(serve2() == before2,
+      "sorted-layout retrain changed the accepted set across the cutover")
+    // the collapsed dir must carry cell as a DATA column, not cell= dirs
+    assert(!new java.io.File(s"$store2/cells/batch=1").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+      "retrain wrote partition dirs into a sorted-layout store")
+    // the loop continues on the retrained store without a read error
+    graft.streaming.EventStream.vectorDedupArrivalBatch(
+      chunks(2).toSeq.toDF("vec_id", "embedding"), store2, 2L, nlist, 0.95,
+      nlist, 4)
+    assert(serve2().size >= before2.size,
+      "post-retrain vecdedup batch did not integrate")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store2))
   }
 }
