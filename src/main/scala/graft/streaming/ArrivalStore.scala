@@ -82,9 +82,68 @@ private[graft] object ArrivalStore {
 
   /** Latest-batch-wins over a delta log: for each distinct value of
     * `keyCols`, keep ALL rows written by that key's highest committed
-    * batch (discipline 4). */
+    * batch (discipline 4).
+    *
+    * TIERED (r17, the gated-broadcast lesson applied to resolution):
+    * the naive form is one window over the WHOLE log — an O(store)
+    * shuffle every time a per-batch loop resolves its standing state.
+    * But the log's OLDEST dir is the bulk (after compaction it IS the
+    * resolved prefix) and every later dir is a batch-sized delta, so
+    * the identity
+    *
+    *   resolve(dirs) = base ANTI delta-keys  ∪  resolve(deltas)
+    *
+    * lets the base STREAM through one anti join (broadcast below the
+    * key gate — delta keys are bounded by the re-statement mass since
+    * the last compaction) while the window shuffles only the delta
+    * dirs. Exact by construction: a base row survives iff no later
+    * dir re-states its key, which is precisely latest-batch-wins.
+    *
+    * COST-GATED on free file sizes: the tier adds one bounded probe
+    * job and an anti join, which only pays once the base dir
+    * dominates the log (the compacted-store regime it exists for) —
+    * on a young log of uniform batch dirs the single window is
+    * cheaper, so below a 4× base-vs-deltas byte ratio the reference
+    * window form runs unchanged (measured at sf0.1: the unconditional
+    * tier cost +0.4 s/batch on a 10-tiny-dir log).
+    */
   def latestBatchRows(spark: SparkSession, root: String, dirs: Seq[String],
-                      keyCols: Seq[String]): DataFrame = {
+                      keyCols: Seq[String], keyGate: Int = 1 << 17,
+                      tierRatio: Long = 4L): DataFrame = {
+    def idOf(d: String): Long = new org.apache.hadoop.fs.Path(d)
+      .getName.stripPrefix("batch=").toLong
+    if (dirs.length <= 1)
+      return spark.read.parquet(dirs: _*)
+    val minId = dirs.map(idOf).min
+    val (baseDirs, deltaDirs) = dirs.partition(idOf(_) == minId)
+    def bytesOf(ds: Seq[String]): Long = ds.map { d =>
+      val (fs, p) = fsFor(d)
+      fs.getContentSummary(p).getLength
+    }.sum
+    if (bytesOf(baseDirs) < tierRatio * math.max(1L, bytesOf(deltaDirs)))
+      return latestBatchRowsWindow(spark, root, dirs, keyCols)
+    val deltas = latestBatchRowsWindow(spark, root, deltaDirs, keyCols)
+      .transform(graft.Caches.scoped(_)) // override keys + output union
+    val base = spark.read.parquet(baseDirs: _*) // no batch col: data only
+    val keys = deltas.select(keyCols.map(col): _*).distinct()
+    val probe = keys.limit(keyGate + 1).collect()
+    val overridden =
+      if (probe.length <= keyGate)
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(probe.toIndexedSeq, 1),
+          keys.schema))
+      else keys.hint("shuffle_hash")
+    base.join(overridden, keyCols, "left_anti")
+      .select(deltas.columns.map(col): _*)
+      .unionByName(deltas)
+  }
+
+  /** The naive single-window resolution — the reference form the
+    * tiered [[latestBatchRows]] must equal (spec-gated), and the
+    * resolver for the delta tail. */
+  private[graft] def latestBatchRowsWindow(spark: SparkSession, root: String,
+                                           dirs: Seq[String],
+                                           keyCols: Seq[String]): DataFrame = {
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
     spark.read.option("basePath", root).parquet(dirs: _*)

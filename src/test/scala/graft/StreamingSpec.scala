@@ -504,6 +504,26 @@ class StreamingSpec extends AnyFunSuite {
     EventStream.clusterArrivalBatch(
       chunks(1).toDF("doc_id", "text"), store, 1L, 0.9, 64, 16)
     assert(labels() == got, "retried cluster batch changed the labels")
+    // The TIERED latest-wins resolution (base streams past a gated
+    // anti join, window over deltas only) must equal the reference
+    // single-window form on this multi-dir log with real overrides
+    // (fused components re-stated by later batches) — at BOTH gate
+    // tiers (r17).
+    val labelDirs = graft.streaming.ArrivalStore
+      .standingDirs(s"$store/labels", Long.MaxValue)
+    assert(labelDirs.length >= 3, "fixture must produce a multi-dir log")
+    val ref = graft.streaming.ArrivalStore
+      .latestBatchRowsWindow(spark, s"$store/labels", labelDirs, Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (gate <- Seq(1 << 17, 0)) {
+      val tiered = graft.streaming.ArrivalStore
+        .latestBatchRows(spark, s"$store/labels", labelDirs, Seq("doc_id"),
+          keyGate = gate, tierRatio = 0L) // force the tier: the fixture's
+        // uniform tiny dirs sit below the cost gate by design
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(tiered == ref,
+        s"tiered latest-wins (gate=$gate) diverged from the window reference")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
