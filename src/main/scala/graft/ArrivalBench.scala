@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   * spans | pack | corpus, default exact),
   * SPARK_GRAFT_RETRAIN_AT (batch index before which
   * Ivf.retrainArrivalStore runs — the drift-answer measurement;
-  * default: never), SPARK_GRAFT_CPUS (default 32).
+  * default: never), SPARK_GRAFT_COMPACT_AT (batch index before which
+  * EventStream.compactArrivalStore runs — prices mid-stream
+  * compaction and the post-compaction batches that read the collapsed
+  * clustered base; default: never), SPARK_GRAFT_CPUS (default 32).
   *
   * `vecdedupdrift` replays BASELINE's occupancy-drift stress as a
   * reproducible mode instead of a one-off: batch 0 is UNIFORM random
@@ -46,6 +49,7 @@ object ArrivalBench {
     val mode = sys.env.getOrElse("SPARK_GRAFT_ARRIVAL_MODE", "exact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val retrainAt = sys.env.getOrElse("SPARK_GRAFT_RETRAIN_AT", "-1").toInt
+    val compactAt = sys.env.getOrElse("SPARK_GRAFT_COMPACT_AT", "-1").toInt
     val spark = Sessions.driver(cpus, dir)
     spark.sparkContext.setLogLevel("WARN")
     val store = java.nio.file.Files
@@ -88,11 +92,17 @@ object ArrivalBench {
     }
 
     var retrainSec = -1.0
+    var compactSec = -1.0
     val times = (0 until nBatches).map { i =>
       if (i == retrainAt) {
         val r0 = System.nanoTime()
         operators.Ivf.retrainArrivalStore(spark, store)
         retrainSec = math.round((System.nanoTime() - r0) / 1e6) / 1000.0
+      }
+      if (i == compactAt) {
+        val c0 = System.nanoTime()
+        streaming.EventStream.compactArrivalStore(spark, store)
+        compactSec = math.round((System.nanoTime() - c0) / 1e6) / 1000.0
       }
       val t0 = System.nanoTime()
       mode match {
@@ -141,8 +151,10 @@ object ArrivalBench {
     }
     val total = times.sum
     val retrainJson =
-      if (retrainAt >= 0) s""","retrain_at":$retrainAt,"retrain_sec":$retrainSec"""
-      else ""
+      (if (retrainAt >= 0) s""","retrain_at":$retrainAt,"retrain_sec":$retrainSec"""
+       else "") +
+      (if (compactAt >= 0) s""","compact_at":$compactAt,"compact_sec":$compactSec"""
+       else "")
     println(s"""{"metric":"arrival_$mode","unit":"sec","batches":[${
       times.mkString(",")}],"total":$total,"accepted":$accepted,"sf":"$dir","n_batches":$nBatches$retrainJson}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
