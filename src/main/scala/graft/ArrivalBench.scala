@@ -50,6 +50,14 @@ object ArrivalBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val retrainAt = sys.env.getOrElse("SPARK_GRAFT_RETRAIN_AT", "-1").toInt
     val compactAt = sys.env.getOrElse("SPARK_GRAFT_COMPACT_AT", "-1").toInt
+    // fail fast: an index >= nBatches never fires, and emitting its
+    // retrain_at/compact_at fields with sec = -1 would record a
+    // phantom (negative-cost) measurement downstream tooling can
+    // misread (r17 advice) — reject rather than silently skip
+    require(retrainAt < nBatches,
+      s"SPARK_GRAFT_RETRAIN_AT=$retrainAt never fires with $nBatches batches")
+    require(compactAt < nBatches,
+      s"SPARK_GRAFT_COMPACT_AT=$compactAt never fires with $nBatches batches")
     val spark = Sessions.driver(cpus, dir)
     spark.sparkContext.setLogLevel("WARN")
     val store = java.nio.file.Files
@@ -150,10 +158,12 @@ object ArrivalBench {
         streaming.EventStream.arrivalAccepted(spark, store).count()
     }
     val total = times.sum
+    // fields appear only when the operation actually ran (sec >= 0),
+    // never as a -1 placeholder
     val retrainJson =
-      (if (retrainAt >= 0) s""","retrain_at":$retrainAt,"retrain_sec":$retrainSec"""
+      (if (retrainSec >= 0) s""","retrain_at":$retrainAt,"retrain_sec":$retrainSec"""
        else "") +
-      (if (compactAt >= 0) s""","compact_at":$compactAt,"compact_sec":$compactSec"""
+      (if (compactSec >= 0) s""","compact_at":$compactAt,"compact_sec":$compactSec"""
        else "")
     println(s"""{"metric":"arrival_$mode","unit":"sec","batches":[${
       times.mkString(",")}],"total":$total,"accepted":$accepted,"sf":"$dir","n_batches":$nBatches$retrainJson}""")

@@ -215,6 +215,28 @@ object Profile {
         SparkEntry.queries("dedup_incremental_serve")(spark, dir)))
       best("full_registered_fromtext")(() => noop(
         SparkEntry.queries("dedup_incremental")(spark, dir)))
+      // r18 structural alternatives (r17 verdict item 3) — measured
+      // against the ladder above before any adoption decision:
+      //   alt_bcast_anti: fold the batch hash set into a broadcast
+      //     probe — the store STREAMS through a broadcast semi join
+      //     (seen hashes, batch-bounded), and the anti join probes
+      //     broadcast(seen); zero store-side exchange.
+      //   alt_present_sorted: replace the range-partitioned output
+      //     sort (whose sampling pass is its own scheduling round)
+      //     with a single-partition presentation sort.
+      //   alt_both: the two combined.
+      val batchHashes = batch
+        .select(md5(col("text").cast("binary")).as("text_hash"))
+      val storeH = spark.read.parquet(s"$path/hashes")
+      val seen = storeH.join(broadcast(batchHashes), Seq("text_hash"), "left_semi")
+      val bAnti = agged.join(broadcast(seen), Seq("text_hash"), "left_anti")
+        .select(col("doc_id"), col("text_hash"), col("batch_copies"))
+      best("alt_bcast_anti")(() => noop(bAnti.orderBy(col("doc_id"))))
+      best("alt_present_sorted")(() => noop(
+        anti.select(col("doc_id"), col("text_hash"), col("batch_copies"))
+          .repartition(1).sortWithinPartitions(col("doc_id"))))
+      best("alt_both")(() => noop(
+        bAnti.repartition(1).sortWithinPartitions(col("doc_id"))))
       spark.stop()
       return
     }

@@ -97,6 +97,27 @@ object RecallCorpus {
         StructField("embedding", ArrayType(FloatType)))))
   }
 
+  /** PLANTED-CLUSTER corpus (r18, r17 verdict item 7): `n` vectors in
+    * `clusters` clusters — member = G·center(cluster) + noise(id),
+    * both components deterministic xxhash64 uniforms in [-1, 1], so
+    * within-cluster cosine concentrates near G²/(G²+1) (≈0.61 at the
+    * default G = 1.25: clustered enough that a query's true top-k is
+    * same-cluster, far below any dedup threshold) and cross-cluster
+    * cosine near 0. This is IVF's FAVORABLE regime — real embedding
+    * corpora are clustered, and the coarse quantizer's cells align
+    * with true neighborhoods — the counterpart to [[scaled]]'s
+    * near-random background, which is its worst case. The knn
+    * contract quotes both curves ([[RecallProbe]]'s
+    * SPARK_GRAFT_KNN_CLUSTERED mode).
+    */
+  def clustered(spark: SparkSession, n: Long, clusters: Int,
+                g: Double = 1.25): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, ${Dim - 1}), k -> cast(
+              |  ((pmod(xxhash64('ctr', (vec_id % $clusters) * $Dim + k), 2001) - 1000) / 1000.0) * $g
+              |  + (pmod(xxhash64('nz', vec_id * $Dim + k), 2001) - 1000) / 1000.0
+              |  as float))""".stripMargin).as("embedding"))
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt

@@ -18,6 +18,47 @@ object RecallProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
     val spark = Sessions.driver(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, dir)
 
+    // SPARK_GRAFT_KNN_CLUSTERED = "<n>,<clusters>[,probes...]" (r18,
+    // r17 verdict item 7): sim_knn_join's 0.75 default-knob bar is
+    // measured on the near-random planted corpus — IVF's WORST case.
+    // This mode measures the FAVORABLE regime real embedding corpora
+    // live in: a planted-cluster corpus (RecallCorpus.clustered),
+    // brute-force truth for the 8 probe queries, recall@5 per probe
+    // count (0 = the capped auto default). Early-exit mode.
+    sys.env.get("SPARK_GRAFT_KNN_CLUSTERED").foreach { specStr =>
+      val parts = specStr.split(",").map(_.trim).filter(_.nonEmpty)
+      val n = parts(0).toLong
+      val clusters = parts(1).toInt
+      val sweep = if (parts.length > 2) parts.drop(2).map(_.toInt).toSeq
+                  else Seq(4, 8, 16, 32, 0)
+      val dirC = java.nio.file.Files.createTempDirectory("graft_knn_clus").toString
+      RecallCorpus.clustered(spark, n, clusters).repartition(32)
+        .write.mode("overwrite").parquet(s"$dirC/embeddings.parquet")
+      val exact5 = operators.Similarity.cosineTopk(spark, dirC, k = 5)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+      graft.Caches.release()
+      require(exact5.nonEmpty)
+      for (p <- sweep) {
+        val t0 = System.nanoTime()
+        val knn = operators.Ivf.knnSelfJoin(spark, dirC, k = 5, probes = p)
+          .filter(col("query_id") < 8)
+          .collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Caches.release()
+        val got = knn.groupBy(_.getLong(0))
+          .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+        val recalls = exact5.toSeq.sortBy(_._1).map { case (q, bs) =>
+          got.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+        }
+        println(f"[recall] knn CLUSTERED n=$n clusters=$clusters probes=$p " +
+          f"recall@5 ${recalls.sum / recalls.size}%.3f (wall ${dt}%.1f s)")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirC))
+      spark.stop()
+      return
+    }
+
     // cosineTopk/annLsh both end (query_id, rank, vec_id, cosine):
     // the neighbor id is column 2 on BOTH sides.
     val exactRows = operators.Similarity.cosineTopk(spark, dir).collect()

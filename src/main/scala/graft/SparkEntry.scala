@@ -120,6 +120,11 @@ object SparkEntry {
       ((s, d) => Curation.contamination(s, d, minContain = 0.05, pushdown = "bloom")),
     "corpus_contamination_spans" -> ((s, d) => Curation.contaminationSpans(s, d)),
     "corpus_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
+    // normalized-window tier (r18, r17 verdict item 2): case/punct-
+    // folded window hashes, raw-offset cuts — same oracle template
+    // with the window strings normalized by the identical rule
+    "corpus_decontaminate_normalized" ->
+      ((s, d) => Curation.decontaminate(s, d, normalize = true)),
 
     "mm_meta"     -> Multimodal.meta _,
     "mm_chunks"   -> ((s, d) => Multimodal.chunks(s, d)),
@@ -140,7 +145,14 @@ object SparkEntry {
     // CurationSpec gates it against a sequential fold over the per-doc
     // subword counts of the same mixed set.
     "pipeline_corpus_full_bpe" -> ((s, d) =>
-      Pipeline.corpusFull(s, d, bpeMerges = Some(Bpe.mergesFor(s, d))))
+      Pipeline.corpusFull(s, d, bpeMerges = Some(Bpe.mergesFor(s, d)))),
+    // the tensor-feed tail (r18): the mixed train corpus ENCODED to
+    // token-id sequences and packed to a fixed context length in the
+    // content-addressed shuffle order. Rows-only (the merge loop is
+    // not SQL-expressible); CurationSpec gates it against a sequential
+    // from-scratch encode+pack reference and TextSpec pins
+    // size(bpe_encode) ≡ bpe_count corpus-wide.
+    "pipeline_corpus_tokenized" -> ((s, d) => Pipeline.corpusTokenized(s, d))
   )
 
   /** Queries whose every shuffle is key-domain-bounded and lands AFTER
@@ -513,6 +525,77 @@ object SparkEntry {
     Utf8OracleFixture.map { case (id, t) =>
       s"($id, '${t.replace("'", "''")}')"
     }.mkString(", ")
+
+  /** `corpus_decontaminate` oracle TEMPLATE: `winExpr` renders the
+    * w-word window STRING a window's identity is grouped by — the
+    * raw space-join for the base query, the per-word-normalized
+    * chr(31)-join for the `_normalized` tier. Everything else
+    * (split, spans, raw-offset cut) is shared verbatim, so the two
+    * tiers differ ONLY in window identity — which is the semantics.
+    */
+  private def deconOracleSql(winExpr: String): String =
+    s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 16
+        |), wins AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos,
+        |    $winExpr AS s
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 15)) AS t(i)
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS b
+        |  FROM documents
+        |), testw AS (
+        |  SELECT DISTINCT wins.s
+        |  FROM wins JOIN sp ON sp.doc_id = wins.doc_id AND sp.b >= 95
+        |), dw AS (
+        |  SELECT wins.doc_id, pos FROM wins
+        |  JOIN sp ON sp.doc_id = wins.doc_id AND sp.b < 90
+        |  WHERE s IN (SELECT s FROM testw)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |         THEN 0 ELSE 1 END AS ni
+        |  FROM dw
+        |), isl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 15 AS e
+        |  FROM isl2 GROUP BY doc_id, island
+        |), allw AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS w
+        |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id AND sp.b < 90
+        |), words AS (
+        |  SELECT doc_id, i::BIGINT - 1 AS pos, w[i] AS word
+        |  FROM allw, UNNEST(generate_series(1, len(w))) AS t(i)
+        |), kept AS (
+        |  SELECT wd.doc_id, wd.pos, wd.word
+        |  FROM words wd
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp2
+        |                    WHERE sp2.doc_id = wd.doc_id AND wd.pos BETWEEN sp2.s AND sp2.e)
+        |), cleaned AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        |    COUNT(*) AS n_tokens_clean
+        |  FROM kept GROUP BY doc_id
+        |), removal AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(c.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(c.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
+        |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans_removed,
+        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_tokens_removed
+        |FROM documents d
+        |JOIN sp ON sp.doc_id = d.doc_id AND sp.b < 90
+        |LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+        |LEFT JOIN removal r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1024,69 +1107,17 @@ object SparkEntry {
     // are the train regions leaking test content), then the
     // dedup_substring_apply cut/cleaned tail runs over the TRAIN split
     // only, hash-comparing the cleaned text itself.
-    "corpus_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 16
-        |), wins AS (
-        |  SELECT doc_id, i::BIGINT - 1 AS pos,
-        |    array_to_string(w[i:i+15], ' ') AS s
-        |  FROM toks, UNNEST(generate_series(1, len(w) - 15)) AS t(i)
-        |), sp AS (
-        |  SELECT doc_id,
-        |    CAST((ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
-        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
-        |        + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS BIGINT) AS b
-        |  FROM documents
-        |), testw AS (
-        |  SELECT DISTINCT wins.s
-        |  FROM wins JOIN sp ON sp.doc_id = wins.doc_id AND sp.b >= 95
-        |), dw AS (
-        |  SELECT wins.doc_id, pos FROM wins
-        |  JOIN sp ON sp.doc_id = wins.doc_id AND sp.b < 90
-        |  WHERE s IN (SELECT s FROM testw)
-        |), isl AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
-        |         THEN 0 ELSE 1 END AS ni
-        |  FROM dw
-        |), isl2 AS (
-        |  SELECT doc_id, pos,
-        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM isl
-        |), spans AS (
-        |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 15 AS e
-        |  FROM isl2 GROUP BY doc_id, island
-        |), allw AS (
-        |  SELECT d.doc_id, string_split(d.text, ' ') AS w
-        |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id AND sp.b < 90
-        |), words AS (
-        |  SELECT doc_id, i::BIGINT - 1 AS pos, w[i] AS word
-        |  FROM allw, UNNEST(generate_series(1, len(w))) AS t(i)
-        |), kept AS (
-        |  SELECT wd.doc_id, wd.pos, wd.word
-        |  FROM words wd
-        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp2
-        |                    WHERE sp2.doc_id = wd.doc_id AND wd.pos BETWEEN sp2.s AND sp2.e)
-        |), cleaned AS (
-        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
-        |    COUNT(*) AS n_tokens_clean
-        |  FROM kept GROUP BY doc_id
-        |), removal AS (
-        |  SELECT doc_id, COUNT(*) AS n_spans,
-        |    CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
-        |  FROM spans GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  COALESCE(c.clean_text, '') AS clean_text,
-        |  CAST(COALESCE(c.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
-        |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans_removed,
-        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_tokens_removed
-        |FROM documents d
-        |JOIN sp ON sp.doc_id = d.doc_id AND sp.b < 90
-        |LEFT JOIN cleaned c ON c.doc_id = d.doc_id
-        |LEFT JOIN removal r ON r.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "corpus_decontaminate" -> deconOracleSql(
+      "array_to_string(w[i:i+15], ' ')"),
+    // The normalized tier: per-word normalization with the EXACT
+    // dedup_exact_normalized rule, joined on chr(31) — outside the
+    // normalized [a-z0-9 ] alphabet, so window-string equality is
+    // exactly elementwise normalized-word equality (what the Spark
+    // side hashes); positions/cuts stay raw on both sides.
+    "corpus_decontaminate_normalized" -> deconOracleSql(
+      "array_to_string(list_transform(w[i:i+15], x -> " +
+        "trim(regexp_replace(regexp_replace(lower(x), '[^a-z0-9 ]', ' ', 'g'), " +
+        "' +', ' ', 'g'))), chr(31))"),
 
     "dedup_ngram_jaccard" -> (shingleCtes +
       """, prefix AS (

@@ -52,6 +52,24 @@ object BpeCount {
     // word -> count memo lives WITH its table (a word's count depends
     // on the merges, so a cross-table shared memo would poison counts)
     val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer](1 << 12)
+    // symbol string -> TOKEN ID, the engine's deterministic vocabulary:
+    // ids 0-255 are the 256 base bytes (implicit — single-char symbols
+    // resolve to their byte value without a map entry), id 256+i is
+    // the symbol merge i creates. Two merges CAN fuse to the same
+    // string ((a,bc) and (ab,c) both yield "abc"); the vocabulary is
+    // keyed by symbol STRING, so the first (lowest-rank) merge owns
+    // the id — the HF-BPE convention, and what keeps encode(count)
+    // decomposable: equal symbols are equal tokens.
+    val symId = {
+      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      merges.zipWithIndex.foreach { case (mg, i) =>
+        val fused = mg.substring(0, mg.indexOf(' ')) + mg.substring(mg.indexOf(' ') + 1)
+        m.putIfAbsent(fused, Integer.valueOf(256 + i))
+      }
+      m
+    }
+    // word -> token ids memo (the encode twin of `memo`)
+    val encMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Int]](1 << 12)
   }
 
   private val compiledCache =
@@ -73,10 +91,14 @@ object BpeCount {
 
   private val MemoCap = 1 << 16
 
-  /** Token count of one word (ISO-8859-1 string of its UTF-8 bytes). */
-  private def countWord(w: String, c: Compiled): Int = {
+  /** One word's final SYMBOL sequence (ISO-8859-1 string of its UTF-8
+    * bytes in, merged symbols out) — the single merge loop both the
+    * count and the encode consume, so `bpe_count ≡ size(bpe_encode)`
+    * holds by construction, not by parallel implementations.
+    */
+  private def splitWord(w: String, c: Compiled): java.util.ArrayList[String] = {
     // initial symbols: one per byte
-    var syms = new java.util.ArrayList[String](w.length)
+    val syms = new java.util.ArrayList[String](w.length)
     var i = 0
     while (i < w.length) { syms.add(w.substring(i, i + 1)); i += 1 }
     var changed = true
@@ -98,7 +120,25 @@ object BpeCount {
         syms.remove(bestAt + 1)
       }
     }
-    syms.size
+    syms
+  }
+
+  /** Token count of one word (ISO-8859-1 string of its UTF-8 bytes). */
+  private def countWord(w: String, c: Compiled): Int = splitWord(w, c).size
+
+  /** Token IDS of one word under the [[Compiled.symId]] vocabulary. */
+  private def encodeWord(w: String, c: Compiled): Array[Int] = {
+    val syms = splitWord(w, c)
+    val out = new Array[Int](syms.size)
+    var i = 0
+    while (i < syms.size) {
+      val s = syms.get(i)
+      out(i) =
+        if (s.length == 1) s.charAt(0).toInt // base byte, ids 0-255
+        else c.symId.get(s).intValue() // merged symbols always have an id
+      i += 1
+    }
+    out
   }
 
   /** Whitespace-split + per-word BPE count over the whole document.
@@ -137,6 +177,57 @@ object BpeCount {
     total
   }
 
+  /** BPE ENCODE of the whole document (r18, r17 verdict item 1): the
+    * token-ID sequence a training run actually consumes, under the
+    * same fixed merge table and the same per-word decomposition as
+    * [[compute]] — whitespace contributes no ids, words encode
+    * independently, and `size(bpe_encode(t)) == bpe_count(t)` is an
+    * identity by shared [[splitWord]] kernel (TextSpec additionally
+    * gates it over the corpus). IDs: 0-255 the base bytes, 256+i the
+    * symbol merge i creates ([[Compiled.symId]]); the document
+    * boundary / pad ids live ABOVE the table ([[eosId]], [[padId]]) —
+    * they are sequence-packing framing, never produced by encode.
+    */
+  def encode(s: UTF8String, merges: Array[String],
+             fp: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (compiledCache.size > 64) compiledCache.clear() // distinct-table bound
+    val c = compiledCache.computeIfAbsent(fp, _ => new Compiled(merges))
+    val memo = c.encMemo
+    val text = s.toString
+    var buf = new Array[Int](math.max(16, text.length / 3))
+    var len = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) {
+        val word = text.substring(start, i)
+        var ids = memo.get(word)
+        if (ids == null) {
+          val bytes = new String(word.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          ids = encodeWord(bytes, c)
+          if (memo.size < MemoCap) memo.put(word, ids)
+        }
+        if (len + ids.length > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, len + ids.length))
+        System.arraycopy(ids, 0, buf, len, ids.length)
+        len += ids.length
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(buf, len))
+  }
+
+  /** Document-boundary token id for a table of `n` merges (the first
+    * id encode can never emit); pad id sits one above it. */
+  def eosId(numMerges: Int): Int = 256 + numMerges
+  def padId(numMerges: Int): Int = 257 + numMerges
+
   /** The kernel's word segmentation, exposed as an array so the BPE
     * TRAINER samples words under the SAME rule the kernel applies
     * (r16 advice: training on Java-regex `\s+` — ASCII whitespace —
@@ -164,6 +255,9 @@ object BpeCount {
 
   def bpe_words(text: Column): Column =
     GraftColumn.column(BpeWordsExpr(GraftColumn.expression(text)))
+
+  def bpe_encode(text: Column, merges: Array[String]): Column =
+    GraftColumn.column(BpeEncodeExpr(GraftColumn.expression(text), merges))
 }
 
 /** Subword token count of a text column under a fixed merge table. */
@@ -198,6 +292,50 @@ case class BpeCountExpr(child: Expression, merges: Array[String])
   // content-based equality so plan canonicalization survives the array
   override def equals(other: Any): Boolean = other match {
     case o: BpeCountExpr =>
+      o.child == child && java.util.Arrays.equals(
+        o.merges.asInstanceOf[Array[AnyRef]], merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])))
+}
+
+/** Token-ID sequence of a text column under a fixed merge table —
+  * `array<int>`, per-word ids concatenated in document order; the
+  * tensor-feed twin of [[BpeCountExpr]] (shared merge kernel, shared
+  * content-fingerprint cache key, `size(bpe_encode) == bpe_count` by
+  * construction).
+  */
+case class BpeEncodeExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+
+  private val fp: String = BpeCount.fingerprint(merges)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    BpeCount.encode(s.asInstanceOf[UTF8String], merges, fp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
+    val f = ctx.addReferenceObj("bpeFp", fp, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.encode($c, $m, $f)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // content-based equality so plan canonicalization survives the array
+  override def equals(other: Any): Boolean = other match {
+    case o: BpeEncodeExpr =>
       o.child == child && java.util.Arrays.equals(
         o.merges.asInstanceOf[Array[AnyRef]], merges.asInstanceOf[Array[AnyRef]])
     case _ => false

@@ -159,4 +159,75 @@ object Bpe {
         (col("doc_id") / blockSize).cast("long").as("blk"))
     Curation.packCore(toks, budgetTokens)
   }
+
+  /** Fixed-context SEQUENCE packing (r18): encode each (doc_id, text
+    * column named clean_text) document to token ids, append one EOS
+    * per document, concatenate the streams in the content-addressed
+    * shuffle order ([[Curation.packShardsShuffled]]'s
+    * md5(doc_id || ":shuffle") key — deterministic, decorrelated from
+    * the split/mix buckets), and chunk into back-to-back sequences of
+    * exactly `ctxLen` ids. Only the final sequence pads (with
+    * [[graft.functions.BpeCount.padId]]); every other sequence is
+    * dense, documents crossing boundaries freely — the GPT-style
+    * packed-stream layout.
+    *
+    * Scale shape — no token-granularity explode anywhere:
+    *   1. one codegen'd encode pass produces each doc's id ARRAY (ids
+    *      shuffle as packed int arrays, ≈4 B/token — comparable to
+    *      the text bytes every other pipeline stage already moves);
+    *   2. the doc→sequence coordinate is the same two-phase
+    *      distributed prefix-sum as shard packing
+    *      ([[Curation.withPrefixOffsets]] over n_ids+1), so the global
+    *      order costs one range exchange plus the tiny block-totals
+    *      window, never a single ordered window over the corpus;
+    *   3. a document spanning sequences emits ⌈len/ctx⌉+1 bounded
+    *      FRAGMENTS (seq_id, slice) — array slices, not exploded rows;
+    *   4. one hash exchange on seq_id reassembles each sequence from
+    *      its ≤ ctxLen tokens of fragments (sort_array over the ≤
+    *      fragment count per sequence — bounded, skew-free since every
+    *      sequence holds exactly ctxLen tokens by construction).
+    */
+  def sequencePack(docs: DataFrame, merges: Array[String],
+                   ctxLen: Int = 512, blocks: Int = 0): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    val spark = docs.sparkSession
+    val eos = graft.functions.BpeCount.eosId(merges.length)
+    val pad = graft.functions.BpeCount.padId(merges.length)
+    val nBlocks =
+      if (blocks > 0) blocks
+      else math.max(32, spark.sparkContext.defaultParallelism * 4)
+    val toks = docs
+      .select(col("doc_id"),
+        concat(graft.functions.BpeCount.bpe_encode(col("clean_text"), merges),
+          array(lit(eos))).as("ids"),
+        md5(concat(col("doc_id").cast("string"), lit(":shuffle"))).as("skey"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .repartitionByRange(nBlocks, col("skey"), col("doc_id"))
+      .withColumn("blk", spark_partition_id().cast("long"))
+    val offs = Curation.withPrefixOffsets(toks, orderCols = Seq("skey", "doc_id"))
+    val frags = offs.select(col("ids"), col("off"), col("n_tokens"),
+        explode(expr(
+          s"""transform(sequence(off DIV $ctxLen, (off + n_tokens - 1) DIV $ctxLen),
+             |  s -> named_struct(
+             |    'seq_id', s,
+             |    'fstart', greatest(s * $ctxLen, off),
+             |    'fend', least((s + 1) * $ctxLen, off + n_tokens)))""".stripMargin))
+          .as("f"))
+      .select(col("f.seq_id").as("seq_id"), col("f.fstart").as("fpos"),
+        expr("slice(ids, cast(f.fstart - off + 1 as int), " +
+          "cast(f.fend - f.fstart as int))").as("frag"))
+    frags.groupBy(col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("fpos"), col("frag")))).as("fs"),
+        sum(size(col("frag"))).as("n_fill"))
+      .select(col("seq_id"),
+        flatten(transform(col("fs"), _.getField("frag"))).as("toks0"),
+        col("n_fill"))
+      .select(col("seq_id"),
+        when(col("n_fill") < ctxLen,
+          concat(col("toks0"),
+            array_repeat(lit(pad), (lit(ctxLen) - col("n_fill")).cast("int"))))
+          .otherwise(col("toks0")).as("tokens"),
+        (lit(ctxLen) - col("n_fill")).cast("long").as("n_pad"))
+      .orderBy(col("seq_id"))
+  }
 }

@@ -246,7 +246,22 @@ object Curation {
     */
   private[graft] def packCore(toksIn: DataFrame, budgetTokens: Long,
                               orderCols: Seq[String] = Seq("doc_id"),
-                              startOffset: Long = 0L): DataFrame = {
+                              startOffset: Long = 0L): DataFrame =
+    withPrefixOffsets(toksIn, orderCols, startOffset)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"off DIV $budgetTokens").as("shard_id"))
+      .orderBy(col("doc_id"))
+
+  /** The two-phase prefix-sum CORE: every input column plus `off`,
+    * each row's EXCLUSIVE global prefix of `n_tokens` in (`blk`,
+    * orderCols) order — shard packing divides it by a budget
+    * ([[packCore]]), fixed-context sequence packing turns it into a
+    * token coordinate ([[Bpe.sequencePack]]). Input must carry `blk`
+    * order-consistent with orderCols across blocks.
+    */
+  private[graft] def withPrefixOffsets(toksIn: DataFrame,
+                                       orderCols: Seq[String] = Seq("doc_id"),
+                                       startOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Both phases consume the tokenized projection — uncached, the
     // block-totals aggregate re-runs the whole scan INCLUDING the
@@ -262,10 +277,9 @@ object Curation {
     val prefixes = blockTotals.select(col("blk"), blkPrefix.as("blk_prefix"))
     toks.withColumn("cum_in", cumIn)
       .join(broadcast(prefixes), Seq("blk"))
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"(blk_prefix + cum_in - n_tokens + $startOffset) DIV $budgetTokens")
-          .as("shard_id"))
-      .orderBy(col("doc_id"))
+      .withColumn("off",
+        col("blk_prefix") + col("cum_in") - col("n_tokens") + lit(startOffset))
+      .drop("cum_in", "blk_prefix")
   }
 
   /** `corpus_contamination`: test-split documents whose 3-gram content
@@ -357,8 +371,16 @@ object Curation {
     * oracle groups window STRINGS and hash-compares the cleaned text
     * itself (the dedup_substring_apply convention).
     */
-  def decontaminate(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
-    val posted = Dedup.windowPostings(spark, dir, w)
+  /** `normalize = true` registers as `corpus_decontaminate_normalized`:
+    * window hashes take the per-word [[TextAnalysis.normalizeText]]
+    * form (case/punctuation-folded — the re-cased-leak evasion
+    * closed), spans still cut at RAW word offsets; the DuckDB oracle
+    * normalizes its window strings with the identical rule and joins
+    * them on a separator outside the normalized alphabet.
+    */
+  def decontaminate(spark: SparkSession, dir: String, w: Int = 16,
+                    normalize: Boolean = false): DataFrame = {
+    val posted = Dedup.windowPostings(spark, dir, w, normalize)
       .withColumn("bucket", splitBucket(col("doc_id")))
       .transform(graft.Caches.scoped(_)) // train + test sides, one pass
     val testH = posted.filter(col("bucket") >= 95).select(col("h"))

@@ -366,16 +366,33 @@ object Dedup {
     * ([[substringSpans]], [[Curation.contaminationSpans]]) fan out from.
     */
   private[operators] def windowPostings(spark: SparkSession, dir: String,
-                                        w: Int): DataFrame =
-    windowPostingsFrom(Tables.documents(spark, dir), w)
+                                        w: Int, normalize: Boolean = false): DataFrame =
+    windowPostingsFrom(Tables.documents(spark, dir), w, normalize)
 
-  private[graft] def windowPostingsFrom(docs: DataFrame, w: Int): DataFrame =
+  /** With `normalize = true`, windows hash the PER-WORD normalized
+    * content ([[TextAnalysis.normalizeText]] applied word-wise — the
+    * doc-level rule dedup_exact_normalized already uses) while `pos`
+    * stays the RAW word offset: the word mapping is 1:1, so a span
+    * flagged on normalized windows cuts at exact original positions.
+    * This closes the standard evasion (r17 verdict item 2): a test
+    * passage re-cased or re-punctuated slips past raw window hashes
+    * but not normalized ones. Cost: the normalize kernel is one byte
+    * pass per word inside the same posting scan — no extra shuffle,
+    * hashes stay 8 bytes.
+    */
+  private[graft] def windowPostingsFrom(docs: DataFrame, w: Int,
+                                        normalize: Boolean = false): DataFrame = {
+    val hashed =
+      if (normalize)
+        transform(col("w"), wd => TextAnalysis.normalizeText(wd))
+      else col("w")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= w)
       .select(col("doc_id"),
-        posexplode(graft.functions.WindowHashes.window_hashes(col("w"), w))
+        posexplode(graft.functions.WindowHashes.window_hashes(hashed, w))
           .as(Seq("pos", "h")))
+  }
 
   /** Merge a frame of flagged (doc_id, pos) windows into maximal
     * per-document spans: windows at p and q overlap iff q − p ≤ w−1, a

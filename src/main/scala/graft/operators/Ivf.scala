@@ -596,6 +596,42 @@ object Ivf {
     m
   }
 
+  /** Arrival-store centroid tables are MUTABLE across processes — a
+    * [[retrainArrivalStore]] cutover replaces the whole table in
+    * place, unlike [[buildIndex]]'s mtime-embedding immutable paths —
+    * so the serving memo is keyed by (path, file-listing digest):
+    * names + lengths + mtimes of the live `centroids/` tree. A serve
+    * in ANY process after a cutover sees a new stamp and reloads; the
+    * stale matrix can never be divided by the fresh table's row count
+    * (the r17 cross-process staleness advice). Value carries (matrix,
+    * nlist, dim) read in ONE job.
+    */
+  private val arrivalCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Float], Int, Int)]()
+
+  private[graft] def centroidTableStamped(spark: SparkSession,
+                                          path: String): (Array[Float], Int, Int) = {
+    val (fs, p) = graft.streaming.ArrivalStore.fsFor(path)
+    val listing = fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString("\n")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val stamp = md.digest(listing.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    if (arrivalCentroidCache.size > 64) arrivalCentroidCache.clear() // retired stamps
+    arrivalCentroidCache.computeIfAbsent(s"$path@$stamp", _ => {
+      val rows = spark.read.parquet(path).collect()
+      val d = rows.head.getSeq[Float](1).length
+      val m = new Array[Float](rows.length * d)
+      rows.foreach { r =>
+        val c = r.getInt(0); val v = r.getSeq[Float](1)
+        var i = 0
+        while (i < d) { m(c * d + i) = v(i); i += 1 }
+      }
+      (m, rows.length, d)
+    })
+  }
+
   /** Serve over the arrival-grown index: [[annIvfServe]]'s probe shape
     * — driver-computed probe cells from the resident centroid matrix,
     * ONE cell-pruned scan of the probed directories, fast-cosine
@@ -609,10 +645,8 @@ object Ivf {
   def arrivalAnnServe(spark: SparkSession, storeDir: String, queries: DataFrame,
                       k: Int = 10, nprobeOverride: Option[Int] = None,
                       margin: Int = 16): DataFrame = {
-    val cents = centroidCache.computeIfAbsent(s"$storeDir/centroids",
-      p => readCentroidMatrix(spark, p))
-    val nlistRows = spark.read.parquet(s"$storeDir/centroids").count().toInt
-    val dim = cents.length / nlistRows
+    val (cents, nlistRows, dim) =
+      centroidTableStamped(spark, s"$storeDir/centroids")
     val nprobe = math.min(nlistRows,
       nprobeOverride.getOrElse(math.max(8, nlistRows / 8)))
     val qRows = queries.select(col("query_id"), col("embedding")).collect()
@@ -702,7 +736,14 @@ object Ivf {
     *      compactArrivalStore protocol).
     *
     * MUST run with the arrival stream STOPPED and its final batch
-    * committed to the checkpoint: the rewrite folds every batch's rows
+    * committed to the checkpoint — and the stop contract covers
+    * SERVING processes as well: a serve issued inside the two-rename
+    * cutover window can see a transiently missing subtree (it errors
+    * cleanly and succeeds on retry — [[centroidTableStamped]] re-keys
+    * on the fresh table's listing digest, so no process ever probes
+    * new cells under old centroids); quiescing serves across the
+    * seconds-long cutover is the zero-error deployment. The rewrite
+    * folds every batch's rows
     * into one directory, so — unlike compaction, which spares the max
     * id — a post-cutover retry of the max batch would overwrite folded
     * state. Stopping the stream at a committed offset is the operator
@@ -767,18 +808,28 @@ object Ivf {
     if (retrainCrashBeforeSwap)
       throw new RuntimeException("injected retrain crash before swap")
     // SWAP, idempotent under recovery: a subtree whose staged copy
-    // still exists has NOT been swapped — its live tree is the old one.
+    // still exists has NOT been swapped — its live tree is the old
+    // one. Two RENAMES per subtree (retire live aside under staging,
+    // rename staged in), not delete-then-rename: a recursive delete
+    // holds the live tree half-missing for its whole file count,
+    // while the rename pair's unreadable window is two metadata ops
+    // (r17 advice). Concurrent serves still race that window — the
+    // stream-stopped contract above covers serving processes too:
+    // quiesce serves across the cutover, or tolerate one transient
+    // missing-path error and retry (the stamp-keyed centroid memo
+    // reloads the fresh table on the retry by itself).
     for (sub <- Seq("cells", "centroids")) {
       val staged = new Path(staging, sub)
       val live = new Path(rootP, sub)
       if (fs.exists(staged)) {
-        if (fs.exists(live)) fs.delete(live, true)
+        val retired = new Path(staging, s"_retired_$sub")
+        if (fs.exists(retired)) fs.delete(retired, true) // prior partial attempt
+        if (fs.exists(live) && !fs.rename(live, retired))
+          throw new java.io.IOException(s"retrain retire failed: $live -> $retired")
         if (!fs.rename(staged, live))
           throw new java.io.IOException(s"retrain rename failed: $staged -> $live")
       }
     }
-    fs.delete(staging, true)
-    // serving-process state for this store is stale after cutover
-    centroidCache.remove(s"$storeDir/centroids")
+    fs.delete(staging, true) // retired trees ride out with the staging dir
   }
 }

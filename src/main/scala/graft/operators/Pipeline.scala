@@ -186,6 +186,34 @@ object Pipeline {
                  defaultWeight: Int = 1, budgetPct: Int = 50,
                  budgetTokens: Long = 50000L,
                  bpeMerges: Option[Array[String]] = None): DataFrame = {
+    val mixed = mixedTrain(spark, dir, minQuality, tau, w, weights,
+      defaultWeight, budgetPct, bpeMerges)
+    val n = graft.sources.Tables.parquetRowCount(spark, dir, "documents")
+    val blockSize = math.max(1000L, n / 10000L)
+    val packed = Curation.packCore(
+      mixed.select(col("doc_id"), col("n_tokens"),
+        (col("doc_id") / blockSize).cast("long").as("blk")), budgetTokens)
+    packed.select(col("doc_id"), col("shard_id"))
+      .join(mixed.select(col("doc_id"), col("source"), col("clean_text"),
+        col("n_tokens")).hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("clean_text"),
+        col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[corpusFull]] through its MIXED train frame (doc_id, source,
+    * clean_text, n_tokens) — every stage up to and including the
+    * source-mixture resample, before the pack tail. Shared by the
+    * shard-packing tail above and the fixed-context tokenized tail
+    * ([[corpusTokenized]]), which replace the tail differently but
+    * must agree on the corpus they feed from.
+    */
+  private[graft] def mixedTrain(spark: SparkSession, dir: String,
+                                minQuality: Double = 0.5, tau: Double = 0.8,
+                                w: Int = 16,
+                                weights: Map[String, Int] = Map("src0" -> 30, "src1" -> 30),
+                                defaultWeight: Int = 1, budgetPct: Int = 50,
+                                bpeMerges: Option[Array[String]] = None): DataFrame = {
     val survivors = cleanSurvivors(spark, dir, minQuality, tau)
     val docs = graft.sources.Tables.documents(spark, dir)
       .join(survivors.select(col("doc_id")).hint("shuffle_hash"),
@@ -230,21 +258,44 @@ object Pipeline {
       .withColumn("n_tokens",
         graft.functions.BpeCount.bpe_count(col("clean_text"), m)))
     val rates = Curation.mixRatesFor(priced, weights, defaultWeight, budgetPct)
-    val mixed = priced
+    priced
       .withColumn("mix_bucket", Curation.splitBucket(
         concat(col("doc_id").cast("string"), lit(":mix"))).cast("long"))
       .join(broadcast(rates), Seq("source"))
       .filter(col("mix_bucket") < col("rate_pct"))
-    val n = graft.sources.Tables.parquetRowCount(spark, dir, "documents")
-    val blockSize = math.max(1000L, n / 10000L)
-    val packed = Curation.packCore(
-      mixed.select(col("doc_id"), col("n_tokens"),
-        (col("doc_id") / blockSize).cast("long").as("blk")), budgetTokens)
-    packed.select(col("doc_id"), col("shard_id"))
-      .join(mixed.select(col("doc_id"), col("source"), col("clean_text"),
-        col("n_tokens")).hint("shuffle_hash"), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("clean_text"),
-        col("n_tokens"), col("shard_id"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("source"), col("clean_text"), col("n_tokens"))
+  }
+
+  /** `pipeline_corpus_tokenized` (r18, r17 verdict item 1): the
+    * TENSOR-FEED product — the engine's BPE priced shards
+    * ([[corpusFull]] `_bpe`) still shipped TEXT; a training run
+    * consumes fixed-context token-ID sequences. This tail takes the
+    * same mixed train corpus ([[mixedTrain]] — every cleaning /
+    * decontamination / mixing stage identical by construction),
+    * encodes each cleaned document to ids under the corpus's
+    * deterministic merge table ([[graft.functions.BpeCount.bpe_encode]],
+    * one codegen'd kernel pass), appends one document-boundary token
+    * per doc, lays the ids out in `corpus_shuffle_pack`'s
+    * content-addressed GLOBAL SHUFFLE order (training wants each
+    * context an unbiased sample stream, not a crawl slice), and packs
+    * them into back-to-back `ctxLen`-token sequences
+    * ([[Bpe.sequencePack]]). Output: (seq_id, tokens array<int> of
+    * exactly ctxLen, n_pad) — only the FINAL sequence ever pads.
+    *
+    * Rows-only for the DuckDB gate (the merge loop is not
+    * SQL-expressible); CurationSpec gates the whole tail against a
+    * sequential from-scratch encode+pack reference, and TextSpec pins
+    * `size(bpe_encode) ≡ bpe_count` corpus-wide.
+    */
+  def corpusTokenized(spark: SparkSession, dir: String, ctxLen: Int = 512,
+                      minQuality: Double = 0.5, tau: Double = 0.8, w: Int = 16,
+                      weights: Map[String, Int] = Map("src0" -> 30, "src1" -> 30),
+                      defaultWeight: Int = 1, budgetPct: Int = 50,
+                      numMerges: Int = Bpe.DefaultMerges): DataFrame = {
+    val merges = Bpe.mergesFor(spark, dir, numMerges)
+    val mixed = mixedTrain(spark, dir, minQuality, tau, w, weights,
+      defaultWeight, budgetPct)
+    Bpe.sequencePack(mixed.select(col("doc_id"), col("clean_text")),
+      merges, ctxLen)
   }
 }

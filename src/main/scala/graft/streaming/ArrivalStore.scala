@@ -168,9 +168,12 @@ private[graft] object ArrivalStore {
     * passes anyway). Broadcast frames are narrow derivatives — 16 B
     * hashes, 8 B window/shingle hashes, posting rows, ids — whose
     * in-memory relations run ≈ bytes/6 keys × ~30 B ≈ 5 × text bytes
-    * per word-derived key set, so the 256 MB text cap bounds the
-    * worst broadcast (the window-hash set) near ~1.3 GB. That is a
-    * deliberate ceiling, not a typo: the alternative to broadcasting
+    * per word-derived key set, so the text cap — derived per session
+    * from the driver heap ([[defaultMaxTextBytes]]; ~1.6 GB of text on
+    * this container's 128 GiB heap, ~50 MB on a 4 GB driver) — bounds
+    * the worst broadcast (the window-hash set) at ~1/16 of the heap
+    * that must hold it. The ceiling is deliberately generous: the
+    * alternative to broadcasting
     * ~5× the BATCH's bytes is shuffle-exchanging the STANDING logs,
     * which are ≥ the whole corpus so far — at a 100 TB store the
     * ratio is ~10^6, and a micro-batch is rate-limited far below
@@ -180,12 +183,50 @@ private[graft] object ArrivalStore {
     * memory size `maxTextBytes` down; above the gate the shuffle tier
     * is always correct.
     */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Text-byte ceiling derived from the HEAP the broadcast build
+    * actually lands on (r17 advice: the old fixed 256 MB encoded this
+    * container's budget — a legitimately-gated batch near the ceiling
+    * would OOM a 4 GB driver instead of falling back to the
+    * always-correct shuffle tier). BroadcastExchange materializes the
+    * relation on the driver and again per executor, and the loops'
+    * word-derived key sets run ≈ [[BroadcastExpansion]]× the batch's
+    * text bytes, so: budget 1/16 of the driver heap for one standing
+    * broadcast, divide by the expansion, clamp to [16 MB, 4 GiB]
+    * (below the floor the shuffle tier's constants are negligible
+    * anyway; above the cap torrent re-broadcast latency dominates any
+    * exchange saving). The driver heap is `spark.driver.memory` when
+    * set, else this JVM's -Xmx (local mode: same JVM). The explicit
+    * `maxTextBytes` knob still overrides everything.
+    */
+  val BroadcastExpansion = 5L
+
+  private[graft] def deriveMaxTextBytes(heapBytes: Long): Long =
+    math.min(4L << 30, math.max(16L << 20, heapBytes / 16 / BroadcastExpansion))
+
+  def defaultMaxTextBytes(spark: SparkSession): Long = {
+    val heap = spark.conf.getOption("spark.driver.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    deriveMaxTextBytes(heap)
+  }
+
   def smallBatch(batch: DataFrame, maxRows: Long = 1L << 20,
-                 maxTextBytes: Long = 256L << 20): Boolean = {
+                 maxTextBytes: Long = -1L): Boolean = {
+    val maxText =
+      if (maxTextBytes >= 0) maxTextBytes
+      else defaultMaxTextBytes(batch.sparkSession)
     val r = batch
       .agg(count(lit(1)).as("n"), sum(octet_length(col("text"))).as("b"))
       .head()
-    r.getLong(0) <= maxRows && (r.isNullAt(1) || r.getLong(1) <= maxTextBytes)
+    val small =
+      r.getLong(0) <= maxRows && (r.isNullAt(1) || r.getLong(1) <= maxText)
+    // one line per batch so operators can SEE gate flips in the logs
+    log.info(s"arrival batch gate: rows=${r.getLong(0)}/" +
+      s"$maxRows textBytes=${if (r.isNullAt(1)) 0L else r.getLong(1)}/" +
+      s"$maxText -> ${if (small) "broadcast" else "shuffle"} tier")
+    small
   }
 
   /** The tier's join-side pin: broadcast below the gate, the

@@ -499,4 +499,136 @@ class CurationSpec extends AnyFunSuite {
     assert(got.sortBy(_._1).toSeq == want.toSeq,
       "bpe-priced pipeline diverged from the re-priced sequential fold")
   }
+
+  test("normalized decontamination catches a re-cased/re-punctuated leak at exact offsets") {
+    // r18 (r17 verdict item 2): the standard evasion — a test passage
+    // re-CASED and re-punctuated in a train doc slips past raw window
+    // hashes (corpus_decontaminate must NOT cut) but the normalized
+    // tier folds case/punct per word and must cut the EXACT raw span.
+    import spark.implicits._
+    val w = 16
+    val tmp = java.nio.file.Files.createTempDirectory("graft_normdecon_spec").toString
+    def filler(id: Long, n: Int): Seq[String] = (0 until n).map(i => s"f${id}x$i")
+    val probe = (0L until 200L).map(id => (id, filler(id, 40).mkString(" ")))
+    probe.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/probe/documents.parquet")
+    val split = Curation.splitAssign(spark, s"$tmp/probe").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = split.collect { case (id, "train") => id }.min
+    val testId = split.collect { case (id, "test") => id }.min
+    // test doc carries the canonical passage; train doc a VARIANT
+    // whose per-word normalized form is identical ("ShArEd3!!" ->
+    // "shared3") but whose raw words all differ
+    val canonical = (0 until w).map(i => s"shared$i")
+    val variant = (0 until w).map(i => s"ShArEd$i!!")
+    assert(canonical.zip(variant).forall { case (a, b) => a != b })
+    val planted = probe.map { case (id, text) =>
+      if (id == trainId) (id, (filler(id, 5) ++ variant ++ filler(id + 1000, 5)).mkString(" "))
+      else if (id == testId) (id, (filler(id, 7) ++ canonical ++ filler(id + 2000, 9)).mkString(" "))
+      else (id, text)
+    }
+    planted.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/final/documents.parquet")
+    // raw tier: the variant evades — no train doc is cut
+    val raw = Curation.decontaminate(spark, s"$tmp/final", w).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    graft.Caches.release()
+    assert(raw(trainId)._2 == 0L,
+      "raw window hashes flagged the case-variant passage — fixture broken")
+    // normalized tier: cut at EXACT raw offsets 5 .. 5+w-1, raw words
+    // preserved elsewhere, all other train docs byte-identical
+    val norm = Curation.decontaminate(spark, s"$tmp/final", w, normalize = true)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.release()
+    val trainIds = split.collect { case (id, "train") => id }.toSet
+    assert(norm.keySet == trainIds)
+    val expectClean = (filler(trainId, 5) ++ filler(trainId + 1000, 5)).mkString(" ")
+    assert(norm(trainId) == ((expectClean, 10L, 1L, w.toLong)),
+      s"normalized tier did not cut the planted span exactly: ${norm(trainId)}")
+    val untouched = planted.toMap
+    (trainIds - trainId).foreach { id =>
+      assert(norm(id)._1 == untouched(id), s"clean train doc $id was modified")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def kernelEncode(txt: String, merges: Array[String]): Array[Int] =
+    graft.functions.BpeCount.encode(
+      org.apache.spark.unsafe.types.UTF8String.fromString(txt), merges,
+      graft.functions.BpeCount.fingerprint(merges)).toIntArray()
+
+  /** Sequential from-scratch pack reference: encode each doc, append
+    * EOS, concatenate in (md5 shuffle key, doc_id) order, chunk to
+    * ctxLen, pad only the tail. */
+  private def refSequencePack(docs: Seq[(Long, String)], merges: Array[String],
+                              ctxLen: Int): Seq[(Long, Seq[Int], Long)] = {
+    val eos = graft.functions.BpeCount.eosId(merges.length)
+    val pad = graft.functions.BpeCount.padId(merges.length)
+    val stream = docs
+      .sortBy { case (id, _) => (md5hex(id.toString + ":shuffle"), id) }
+      .flatMap { case (_, txt) => kernelEncode(txt, merges).toSeq :+ eos }
+    stream.grouped(ctxLen).zipWithIndex.map { case (chunk, i) =>
+      val padded = chunk ++ Seq.fill(ctxLen - chunk.size)(pad)
+      (i.toLong, padded, (ctxLen - chunk.size).toLong)
+    }.toSeq
+  }
+
+  test("sequence pack: crafted corpus — boundary crossing, empty doc, exact fit") {
+    // r18 (r17 verdict item 1): the distributed fixed-context packer
+    // against a hand-checkable sequential fold. ctxLen=5 with docs
+    // longer than a context (multi-fragment), an EMPTY doc (one EOS),
+    // and enough total tokens that only the final sequence pads.
+    import spark.implicits._
+    val merges = graft.operators.Bpe.train(Seq(("aaaa", 9L), ("bb", 5L)), 4)
+    assert(merges.nonEmpty)
+    val docs = Seq(
+      (1L, "aaaa bb aaaa aaaa"), (2L, ""), (3L, "aaaa aaaa aaaa aaaa aaaa"),
+      (4L, "bb"), (5L, "a b aaaa"), (6L, "bb bb bb"))
+    val ctx = 5
+    val got = graft.operators.Bpe.sequencePack(
+        docs.toDF("doc_id", "clean_text"), merges, ctx, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSeq
+    graft.Caches.release()
+    val want = refSequencePack(docs, merges, ctx)
+    assert(got == want, s"crafted pack diverged:\n got $got\nwant $want")
+    // structural invariants: ids contiguous from 0, every sequence
+    // exactly ctx wide, padding confined to the last sequence
+    assert(got.map(_._1) == got.indices.map(_.toLong))
+    assert(got.forall(_._2.size == ctx))
+    assert(got.init.forall(_._3 == 0L), "padding leaked off the tail sequence")
+  }
+
+  test("pipeline_corpus_tokenized equals the sequential encode+pack over the mixed corpus") {
+    // The registered tensor-feed tail on the REAL corpus: the mixed
+    // train frame (already oracle-gated through pipeline_corpus_full)
+    // encoded and packed must equal the sequential reference, and the
+    // non-pad token mass must be exactly sum(bpe_count) + one EOS per
+    // doc — the count↔encode identity threaded through the pipeline.
+    val ctx = 64
+    val got = graft.operators.Pipeline.corpusTokenized(spark, dir, ctxLen = ctx)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSeq
+    graft.Caches.release()
+    val merges = graft.operators.Bpe.mergesFor(spark, dir)
+    val mixed = graft.operators.Pipeline.mixedTrain(spark, dir)
+      .select("doc_id", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.Caches.release()
+    assert(mixed.nonEmpty && got.nonEmpty)
+    val want = refSequencePack(mixed, merges, ctx)
+    assert(got == want, "tokenized pipeline diverged from the sequential reference")
+    val fp = graft.functions.BpeCount.fingerprint(merges)
+    val totalCnt = mixed.map { case (_, txt) =>
+      graft.functions.BpeCount.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt), merges, fp)
+    }.sum
+    val nonPad = got.map(s => ctx - s._3).sum
+    assert(nonPad == totalCnt + mixed.size,
+      s"token mass $nonPad != bpe_count total $totalCnt + ${mixed.size} EOS")
+  }
 }

@@ -1144,4 +1144,96 @@ class StreamingSpec extends AnyFunSuite {
       "post-retrain vecdedup batch did not integrate")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store2))
   }
+
+  test("ivf retrain mid-stream: stop at committed offset, retrain, resume — identity vs never-stopped") {
+    // r18 (r17 verdict item 5a): the OPERATIONAL retrain procedure the
+    // scaladoc mandates — stop the live arrivalVectorDedup stream at a
+    // committed offset, run retrainArrivalStore, restart the SAME
+    // checkpoint — spec-pinned end to end against a control stream
+    // that never stopped. probes = nlist keeps candidate generation
+    // exhaustive on BOTH quantizers (the family's identity trick), so
+    // the accepted set must be bit-identical: arrivals land in the
+    // same micro-batches (one file per trigger, same files), and the
+    // cutover may change the store's layout but never its content.
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val nlist = 4
+    def feed(srcDir: String, chunk: Int): Unit =
+      all.filter(pmod(col("vec_id"), lit(4)) === chunk).repartition(1)
+        .write.mode("append").parquet(srcDir)
+    def startLoop(srcDir: String, store: String, ckpt: String) = {
+      val src = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      EventStream.arrivalVectorDedup(src, store, ckpt, nlist,
+        tau = 0.95, probes = nlist)
+    }
+    // control: all four chunks through one never-stopped query
+    val (srcC, storeC, ckptC) = (
+      java.nio.file.Files.createTempDirectory("graft_rts_src_c").toString,
+      java.nio.file.Files.createTempDirectory("graft_rts_store_c").toString,
+      java.nio.file.Files.createTempDirectory("graft_rts_ckpt_c").toString)
+    val qc = startLoop(srcC, storeC, ckptC)
+    try {
+      (0 until 4).foreach { i => feed(srcC, i); qc.processAllAvailable() }
+    } finally qc.stop()
+    // cutover: two chunks, STOP at the committed offset, retrain to a
+    // different quantizer size, RESUME the same checkpoint, two more
+    val (srcR, storeR, ckptR) = (
+      java.nio.file.Files.createTempDirectory("graft_rts_src_r").toString,
+      java.nio.file.Files.createTempDirectory("graft_rts_store_r").toString,
+      java.nio.file.Files.createTempDirectory("graft_rts_ckpt_r").toString)
+    val q1 = startLoop(srcR, storeR, ckptR)
+    try {
+      (0 until 2).foreach { i => feed(srcR, i); q1.processAllAvailable() }
+    } finally q1.stop()
+    graft.operators.Ivf.retrainArrivalStore(spark, storeR,
+      nlistOverride = Some(2))
+    val q2 = startLoop(srcR, storeR, ckptR)
+    try {
+      (2 until 4).foreach { i => feed(srcR, i); q2.processAllAvailable() }
+    } finally q2.stop()
+    def accepted(store: String) = spark.read.parquet(s"$store/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(accepted(storeR) == accepted(storeC),
+      "stop-retrain-resume changed the accepted set vs the never-stopped control")
+    // and both stores serve identically at full probes (content
+    // identity through the serve path, not just the id set)
+    val queries = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serveAll(store: String) = graft.operators.Ivf.arrivalAnnServe(
+        spark, store, queries, nprobeOverride = Some(Int.MaxValue),
+        margin = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(serveAll(storeR) == serveAll(storeC),
+      "full-probe serve diverged between the retrained and control stores")
+    Seq(srcC, storeC, ckptC, srcR, storeR, ckptR).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("arrival batch gate: text ceiling derives from the session heap") {
+    import graft.streaming.ArrivalStore
+    // pure derivation: 1/16 of heap over the ~5x key-set expansion,
+    // clamped to [16 MB, 4 GiB]
+    assert(ArrivalStore.deriveMaxTextBytes(128L << 30) == (128L << 30) / 80)
+    assert(ArrivalStore.deriveMaxTextBytes(4L << 30) == (4L << 30) / 80)
+    assert(ArrivalStore.deriveMaxTextBytes(512L << 20) == 16L << 20,
+      "tiny heap must clamp to the 16 MB floor")
+    assert(ArrivalStore.deriveMaxTextBytes(Long.MaxValue / 2) == 4L << 30,
+      "huge heap must clamp to the 4 GiB cap")
+    val heaps = Seq(1L << 30, 8L << 30, 64L << 30, 512L << 30)
+    assert(heaps.map(ArrivalStore.deriveMaxTextBytes) ==
+      heaps.map(ArrivalStore.deriveMaxTextBytes).sorted, "must be monotone")
+    // session default resolves against a real heap (this JVM's -Xmx
+    // in local mode) and sits inside the clamps
+    val d = ArrivalStore.defaultMaxTextBytes(spark)
+    assert(d >= (16L << 20) && d <= (4L << 30))
+    // the explicit knob still overrides: a 1-row batch passes any
+    // positive ceiling and fails a zero one
+    import spark.implicits._
+    val one = Seq((1L, "hello")).toDF("doc_id", "text")
+    assert(ArrivalStore.smallBatch(one))
+    assert(!ArrivalStore.smallBatch(one, maxTextBytes = 0L))
+  }
 }

@@ -1,10 +1,14 @@
 #!/usr/bin/env python3
 """Like-for-like pair report: Spark sweep JSON vs DuckDB baseline JSON.
 
-Usage: python3 tools/pair.py <spark_bench.json> <duck_baseline.json>
+Usage: python3 tools/pair.py <spark_bench.json> <duck_baseline.json> [out.json]
 Prints the common-query totals, the ratio, the non-closure cut (the
 closure family = rows whose DuckDB side is a recursive-CTE transitive
-closure), and every row >= 2x.
+closure), and every row >= 2x. With [out.json] (r18, r17 verdict item
+6) it also WRITES the per-query pair artifact — spark_s and duck_s per
+common query plus both sessions' metadata — so the >=2x membership
+claims are auditable from the committed file without re-running either
+engine (commit as bench_out/pair_r{N}.json each round).
 """
 import json, sys
 
@@ -26,9 +30,11 @@ def load(path):
     raise SystemExit(f"no JSON line in {path}")
 
 
-def main(spark_path, duck_path):
-    s = load(spark_path)["queries"]
-    d = load(duck_path)["queries"]
+def main(spark_path, duck_path, out_path=None):
+    sj = load(spark_path)
+    dj = load(duck_path)
+    s = sj["queries"]
+    d = dj["queries"]
     common = sorted(set(s) & set(d))
     st = sum(s[q] for q in common)
     dt = sum(d[q] for q in common)
@@ -44,7 +50,26 @@ def main(spark_path, duck_path):
           f"= {snc/dnc:.3f}x")
     for q, sv, dv, r in flagged:
         print(f"  >=2x: {q}: {sv:.2f} vs {dv:.2f} = {r:.2f}x")
+    if out_path:
+        meta_keys = ("sf", "cpus", "threads", "reps", "git", "host",
+                     "failed", "surviving_queries")
+        artifact = {
+            "rows": {q: {"spark_s": s[q], "duck_s": d[q],
+                         "ratio": round(s[q] / d[q], 4)} for q in common},
+            "spark_total": round(st, 4), "duck_total": round(dt, 4),
+            "ratio": round(st / dt, 4),
+            "nonclosure_spark": round(snc, 4), "nonclosure_duck": round(dnc, 4),
+            "nonclosure_ratio": round(snc / dnc, 4),
+            "spark_row_wins": len(wins),
+            "spark_only": sorted(set(s) - set(d)),
+            "duck_only": sorted(set(d) - set(s)),
+            "spark_meta": {k: sj[k] for k in meta_keys if k in sj},
+            "duck_meta": {k: dj[k] for k in meta_keys if k in dj},
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
