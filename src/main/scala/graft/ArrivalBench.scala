@@ -92,6 +92,9 @@ object ArrivalBench {
     }
     // lazy: only the vector modes dereference it, and scaled doc-only
     // dirs carry no embeddings table to size it from
+    // frozen merge table for the seqpack loop: trained once from the
+    // dir's documents, the same table every batch and the final read use
+    lazy val seqMerges = operators.Bpe.mergesFor(spark, dir)
     lazy val nlist = mode match {
       case "vecdedupdrift" =>
         operators.Ivf.autoNlist(DriftBatchN * nBatches)
@@ -128,6 +131,9 @@ object ArrivalBench {
         case "pack" =>
           streaming.EventStream.packArrivalBatch(docBatch(i), store,
             i.toLong, 50000L)
+        case "seqpack" =>
+          streaming.EventStream.seqPackArrivalBatch(docBatch(i), store,
+            i.toLong, seqMerges, 512)
         case "corpus" =>
           streaming.EventStream.corpusArrivalBatch(corpusBatch(i), store,
             i.toLong, 0.5, 0.8, 16)
@@ -152,6 +158,8 @@ object ArrivalBench {
         streaming.EventStream.arrivalSpanList(spark, store).count()
       case "pack" =>
         streaming.EventStream.arrivalPacked(spark, store).count()
+      case "seqpack" =>
+        streaming.EventStream.arrivalSequences(spark, store, seqMerges).count()
       case "corpus" =>
         spark.read.parquet(s"$store/clean").select("doc_id").distinct().count()
       case _ =>

@@ -191,21 +191,38 @@ object Bpe {
                    ctxLen: Int = 512, blocks: Int = 0): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
     val spark = docs.sparkSession
-    val eos = graft.functions.BpeCount.eosId(merges.length)
-    val pad = graft.functions.BpeCount.padId(merges.length)
     val nBlocks =
       if (blocks > 0) blocks
       else math.max(32, spark.sparkContext.defaultParallelism * 4)
-    val toks = docs
-      .select(col("doc_id"),
+    val toks = encodedToks(docs, merges)
+      .repartitionByRange(nBlocks, col("skey"), col("doc_id"))
+      .withColumn("blk", spark_partition_id().cast("long"))
+    val offs = Curation.withPrefixOffsets(toks, orderCols = Seq("skey", "doc_id"))
+    assembleSequences(tokenFragments(offs, ctxLen), ctxLen,
+      graft.functions.BpeCount.padId(merges.length))
+  }
+
+  /** Stage 1 of the packer, shared with the arrival twin
+    * ([[graft.streaming.EventStream.seqPackArrivalBatch]]): per doc,
+    * the encoded id array + one EOS, the content-addressed shuffle
+    * key, and the id count.
+    */
+  private[graft] def encodedToks(docs: DataFrame,
+                                 merges: Array[String]): DataFrame = {
+    val eos = graft.functions.BpeCount.eosId(merges.length)
+    docs.select(col("doc_id"),
         concat(graft.functions.BpeCount.bpe_encode(col("clean_text"), merges),
           array(lit(eos))).as("ids"),
         md5(concat(col("doc_id").cast("string"), lit(":shuffle"))).as("skey"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
-      .repartitionByRange(nBlocks, col("skey"), col("doc_id"))
-      .withColumn("blk", spark_partition_id().cast("long"))
-    val offs = Curation.withPrefixOffsets(toks, orderCols = Seq("skey", "doc_id"))
-    val frags = offs.select(col("ids"), col("off"), col("n_tokens"),
+  }
+
+  /** Stage 2: each offset-coordinated doc (`ids`, `off`, `n_tokens`)
+    * slices into its ≤ ⌈len/ctx⌉+1 bounded (seq_id, fpos, frag)
+    * fragments — array slices, never exploded rows.
+    */
+  private[graft] def tokenFragments(offs: DataFrame, ctxLen: Int): DataFrame =
+    offs.select(col("ids"), col("off"), col("n_tokens"),
         explode(expr(
           s"""transform(sequence(off DIV $ctxLen, (off + n_tokens - 1) DIV $ctxLen),
              |  s -> named_struct(
@@ -216,6 +233,14 @@ object Bpe {
       .select(col("f.seq_id").as("seq_id"), col("f.fstart").as("fpos"),
         expr("slice(ids, cast(f.fstart - off + 1 as int), " +
           "cast(f.fend - f.fstart as int))").as("frag"))
+
+  /** Stage 3: one hash exchange on seq_id reassembles each sequence
+    * (≤ ctxLen tokens of fragments each — skew-free by construction);
+    * any sequence short of ctxLen pads with `pad` (in a complete
+    * stream that is only the final one).
+    */
+  private[graft] def assembleSequences(frags: DataFrame, ctxLen: Int,
+                                       pad: Int): DataFrame =
     frags.groupBy(col("seq_id"))
       .agg(sort_array(collect_list(struct(col("fpos"), col("frag")))).as("fs"),
         sum(size(col("frag"))).as("n_fill"))
@@ -229,5 +254,4 @@ object Bpe {
           .otherwise(col("toks0")).as("tokens"),
         (lit(ctxLen) - col("n_fill")).cast("long").as("n_pad"))
       .orderBy(col("seq_id"))
-  }
 }

@@ -167,7 +167,40 @@ object Dedup {
       .join(store.select(md5(col("text").cast("binary")).as("text_hash"))
         .hint("shuffle_hash"), Seq("text_hash"), "left_anti")
       .select(col("doc_id"), col("text_hash"), col("batch_copies"))
-      .orderBy(col("doc_id"))
+      .transform(batchPresentation(spark, dir, batchBucket))
+  }
+
+  /** Output ordering for the incremental pair, gated on the BATCH's
+    * footer-estimated row count (r18, r17 verdict item 3). The serve
+    * is three bounded jobs over a sub-second scan; the sf100doc stage
+    * ladder (DECOMP=incremental, 5M docs / 1M batch, same-session
+    * DuckDB pair 0.80 s) prices the tail's `orderBy` — whose
+    * range-partitioner sampling pass is its own scheduling round — at
+    * the difference between 1.658 s and the 1.512 s single-partition
+    * presentation sort, and the registered serve at 1.947 s = 2.43×;
+    * the presentation form lands 1.89×, under the 2× bar. The OTHER
+    * structural alternative — folding the anti join into broadcast
+    * probes so the store streams — measured DEAD at the same decade
+    * (2.751 s: two broadcast builds cost more than the one hash-keyed
+    * exchange they replace). A single-partition sort of a result
+    * bounded only by data volume is the exact shape the presentSorted
+    * audit forbids, so it is GATED: below `1 << 22` estimated batch
+    * rows (≤ ~160 MB of narrow survivor rows through one task —
+    * micro-batches are rate-limited far below this) the presentation
+    * sort runs; above it the parallel range sort returns, paying the
+    * sampling round only at the scale that needs it. The estimate
+    * reads parquet FOOTER counts (no job): total docs × the
+    * splitBucket fraction ≥ `batchBucket`.
+    */
+  private[graft] def presentationGate(estBatchRows: Long): Boolean =
+    estBatchRows <= (1L << 22)
+
+  private def batchPresentation(spark: SparkSession, dir: String,
+                                batchBucket: Int)(df: DataFrame): DataFrame = {
+    val estBatchRows = Tables.parquetRowCount(spark, dir, "documents") *
+      (100 - batchBucket) / 100
+    if (presentationGate(estBatchRows)) graft.functions.presentSorted(df, col("doc_id"))
+    else df.orderBy(col("doc_id"))
   }
 
   /** On-disk standing dedup store for the incremental path, mtime-keyed
@@ -238,7 +271,7 @@ object Dedup {
       .join(spark.read.parquet(s"$path/hashes").hint("shuffle_hash"),
         Seq("text_hash"), "left_anti")
       .select(col("doc_id"), col("text_hash"), col("batch_copies"))
-      .orderBy(col("doc_id"))
+      .transform(batchPresentation(spark, dir, batchBucket))
   }
 
   /** [[incrementalNearDup]]'s store-resident twin (spec-gated identity):

@@ -421,9 +421,13 @@ object EventStream {
       "hashes" -> Seq("text_hash"), "bands" -> Seq("band", "bh"),
       "corpus" -> Seq("doc_id"), "accepted" -> Seq("doc_id"),
       "windows" -> Seq("doc_id"), "prefix" -> Seq("s"),
-      "shingles" -> Seq("doc_id"), "testwin" -> Seq("h"))
+      "shingles" -> Seq("doc_id"), "testwin" -> Seq("h"),
+      // seqs/ is read whole (the reassembly tail), never probed — its
+      // seq_id clustering buys the groupBy locality and sorted-column
+      // compression, not pruning (the hash-keyed-family honesty note).
+      "seqs" -> Seq("seq_id"))
     Seq("hashes", "bands", "corpus", "accepted", "windows", "packed",
-        "prefix", "shingles", "testwin")
+        "prefix", "shingles", "testwin", "seqs")
       .foreach { sub =>
         val keys = clusterKey.getOrElse(sub, Seq.empty)
         compactSub(spark, s"$storeDir/$sub",
@@ -832,6 +836,102 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$storeDir/meta/batch=$batchId")
       } finally packed.unpersist()
     }
+
+  /** The tokenized-sequence arrival loop (r18): streaming twin of
+    * [[graft.operators.Bpe.sequencePack]] — the TENSOR-FEED product
+    * maintained continuously as batches land, instead of re-encoding
+    * and re-packing the corpus per training run. Standing state is
+    * the same ONE NUMBER as [[arrivalPack]] — the cumulative token
+    * offset (ids + one EOS per doc), a one-row `meta/batch=<id>` log —
+    * plus each batch's sequence FRAGMENTS in `seqs/batch=<id>`.
+    *
+    * Per batch: read the latest committed offset (`batch < batchId`),
+    * encode the batch's docs under the FIXED merge table (the caller
+    * freezes it, exactly as it passes one table to
+    * [[graft.operators.Bpe.sequencePack]] — a retrained table would
+    * re-key the id space, which is a new store by definition), run the
+    * same two-phase prefix-sum from that offset, and write the batch's
+    * (seq_id, fpos, frag) slices. Sequence ids therefore continue
+    * seamlessly; a sequence STRADDLING a batch boundary is completed
+    * by the next batch's first fragments — the fragment log is
+    * append-only and the straddle costs nothing (no rewrite of the
+    * earlier batch; [[arrivalSequences]] reassembles fragments across
+    * batches with sequencePack's own tail). Replay: a retried batch
+    * re-reads the SAME standing offset and overwrites its own dirs —
+    * byte-deterministic.
+    *
+    * ORDER CONTRACT: the batch operator lays tokens in the GLOBAL
+    * content-addressed shuffle order; a continuous stream cannot
+    * re-shuffle already-frozen sequences, so the arrival layout is
+    * (arrival batch, then shuffle key within batch) — the same
+    * arrival-order degradation every loop in this family documents.
+    * The spec's identity therefore concatenates per-batch shuffle
+    * orders, which IS the arrival twin of the batch contract.
+    */
+  def arrivalSequencePack(docs: DataFrame, storeDir: String,
+                          checkpointDir: String, merges: Array[String],
+                          ctxLen: Int = 512)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        seqPackArrivalBatch(batch, storeDir, batchId, merges, ctxLen)
+      }
+      .start()
+
+  /** One tokenized-sequence arrival batch; see [[arrivalSequencePack]]. */
+  private[graft] def seqPackArrivalBatch(batch: DataFrame, storeDir: String,
+                                         batchId: Long, merges: Array[String],
+                                         ctxLen: Int): Unit =
+    graft.Caches.withScope {
+      require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+      val spark = batch.sparkSession
+      val metaDirs = standingDirs(s"$storeDir/meta", batchId)
+      val start: Long =
+        if (metaDirs.isEmpty) 0L
+        else spark.read.option("basePath", s"$storeDir/meta")
+          .parquet(metaDirs: _*)
+          .orderBy(col("batch").cast("long").desc)
+          .select(col("end_offset")).head().getLong(0)
+      val nBlocks = math.max(32, spark.sparkContext.defaultParallelism * 4)
+      val toks = graft.operators.Bpe.encodedToks(
+          batch.select(col("doc_id"), col("text").as("clean_text")), merges)
+        .repartitionByRange(nBlocks, col("skey"), col("doc_id"))
+        .withColumn("blk", spark_partition_id().cast("long"))
+      val offs = graft.operators.Curation.withPrefixOffsets(
+        toks, orderCols = Seq("skey", "doc_id"), startOffset = start)
+        .persist() // fragment write + the offset aggregate
+      try {
+        graft.operators.Bpe.tokenFragments(offs, ctxLen)
+          .write.mode("overwrite").parquet(s"$storeDir/seqs/batch=$batchId")
+        val batchTokens = Option(offs.agg(sum(col("n_tokens"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        import spark.implicits._
+        Seq(start + batchTokens).toDF("end_offset").repartition(1)
+          .write.mode("overwrite").parquet(s"$storeDir/meta/batch=$batchId")
+      } finally offs.unpersist()
+    }
+
+  /** Reader over [[arrivalSequencePack]]'s store: reassembles every
+    * committed batch's fragments with the batch packer's own tail
+    * (same output schema — seq_id, tokens of exactly ctxLen, n_pad;
+    * only the stream's final sequence pads). Empty frame on a fresh
+    * store. `merges` must be the table the loop was started with (it
+    * determines the pad id, exactly as it determined every other id).
+    */
+  def arrivalSequences(spark: SparkSession, storeDir: String,
+                       merges: Array[String], ctxLen: Int = 512): DataFrame = {
+    val dirs = standingDirs(s"$storeDir/seqs", Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("seq_id"),
+        expr("array()").cast("array<int>").as("tokens"),
+        col("id").as("n_pad"))
+    else graft.operators.Bpe.assembleSequences(
+      spark.read.option("basePath", s"$storeDir/seqs").parquet(dirs: _*)
+        .select(col("seq_id"), col("fpos"), col("frag")),
+      ctxLen, graft.functions.BpeCount.padId(merges.length))
+  }
 
   /** Reader over [[arrivalPack]]'s store: every committed batch's
     * assignments (docs are disjoint across batches by the upstream

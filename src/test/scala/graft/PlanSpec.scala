@@ -807,6 +807,11 @@ class PlanSpec extends AnyFunSuite {
       "operators/Relational.scala" -> 8, // q1, q4, q5, q10, q11, q12, q17 (direct selection, r9), (bucketed union)
       "operators/Sketches.scala" -> 2,   // sketch_distinct, sketch_quantiles
       "operators/Curation.scala" -> 1,   // corpus_stats (<=5 languages)
+      // dedup incremental pair (r18): NOT domain-bounded — batch-volume
+      // bounded, so the site is GATED on the footer-estimated batch row
+      // count (presentationGate: <= 2^22 rows through one task, else the
+      // parallel range sort returns). Gate boundary pinned below.
+      "operators/Dedup.scala" -> 1,
       "etl/EtlQueries.scala" -> 2,       // exportDaily, hmacExport (one date x campaign domain)
       "etl/MetricsQueries.scala" -> 2)   // funnelQuery (date range x UTM domain), matches (2 sides)
     val base = java.nio.file.Paths.get("src/main/scala/graft")
@@ -842,6 +847,11 @@ class PlanSpec extends AnyFunSuite {
       assert(n <= cap, s"$name returned $n rows, above its domain ceiling $cap — " +
         "presentSorted would funnel an unbounded result through one task")
     }
+    // The Dedup site's bound is the GATE, not a domain: at or below
+    // 2^22 estimated batch rows the presentation sort runs; above it
+    // the parallel range sort must return. Pin the boundary exactly.
+    assert(graft.operators.Dedup.presentationGate(1L << 22))
+    assert(!graft.operators.Dedup.presentationGate((1L << 22) + 1))
   }
 
   test("arrival loops: standing-store scans never shuffle-exchange below the gate") {
@@ -955,8 +965,11 @@ class PlanSpec extends AnyFunSuite {
     // back in would silently re-add a job per query. The aggregation
     // below the single-partition exchange must still be a real
     // (parallel) aggregate.
+    // dedup_incremental_serve joins the list in r18: at the spec's test
+    // scale the footer-estimated batch sits far below presentationGate,
+    // so the registered plan must take the single-partition form.
     for (name <- Seq("q1_agg", "q9_distinct", "q12_case_expr",
-        "sketch_distinct", "corpus_stats")) {
+        "sketch_distinct", "corpus_stats", "dedup_incremental_serve")) {
       val s = finalPlanOnly(planString(SparkEntry.queries(name)(spark, dir)))
       assert(!s.toLowerCase.contains("rangepartitioning"),
         s"$name sorts via RangePartitioning — presentation sort regressed to orderBy")

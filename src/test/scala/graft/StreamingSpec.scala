@@ -577,6 +577,72 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("arrival sequence pack: seq ids continue, straddling sequence completed, retry idempotent") {
+    // r18: the tokenized-sequence arrival loop against a sequential
+    // from-scratch encode+pack in ARRIVAL order (per-batch shuffle-key
+    // order, batches concatenated — the loop's documented order
+    // contract). The fixture's batch totals are asserted non-multiples
+    // of ctx so a sequence genuinely straddles each batch boundary.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_arrsq_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arrsq_ckpt").toString
+    val merges = graft.operators.Bpe.train(Seq(("aaaa", 9L), ("bb", 5L)), 4)
+    val ctx = 5
+    assert(EventStream.arrivalSequences(spark, store, merges, ctx).isEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def enc(t: String): Seq[Int] =
+      graft.functions.BpeCount.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), merges,
+        graft.functions.BpeCount.fingerprint(merges)).toIntArray().toSeq
+    val eos = graft.functions.BpeCount.eosId(merges.length)
+    val pad = graft.functions.BpeCount.padId(merges.length)
+    val chunks = Seq(
+      Seq((1L, "aaaa bb aaaa"), (2L, ""), (3L, "aaaa aaaa aaaa")),
+      Seq((4L, "bb"), (5L, "a b aaaa"), (6L, "bb bb bb")),
+      Seq((7L, "aaaa aaaa bb")))
+    // straddle guard: every prefix of batch totals lands mid-sequence
+    val totals = chunks.map(_.map { case (_, t) => enc(t).size + 1 }.sum)
+    totals.scanLeft(0)(_ + _).tail.init.foreach(p =>
+      assert(p % ctx != 0, s"fixture: batch boundary at $p aligns with ctx"))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.arrivalSequencePack(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt, merges, ctx)
+    try {
+      chunks.foreach { ch => mem.addData(ch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def seqs() = EventStream.arrivalSequences(spark, store, merges, ctx)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSeq
+    val got = seqs()
+    graft.Caches.release()
+    val stream = chunks.flatMap { ch =>
+      ch.sortBy { case (id, _) => (md5hex(id.toString + ":shuffle"), id) }
+        .flatMap { case (_, t) => enc(t) :+ eos }
+    }
+    val want = stream.grouped(ctx).zipWithIndex.map { case (c, i) =>
+      (i.toLong, c ++ Seq.fill(ctx - c.size)(pad), (ctx - c.size).toLong)
+    }.toSeq
+    assert(got == want, s"arrival sequences diverged:\n got $got\nwant $want")
+    assert(got.map(_._1) == got.indices.map(_.toLong))
+    assert(got.forall(_._2.size == ctx))
+    assert(got.init.forall(_._3 == 0L), "padding leaked off the tail sequence")
+    // retried mid and final batches: same standing offset re-read, own
+    // dirs overwritten — the assembled stream is unchanged
+    EventStream.seqPackArrivalBatch(chunks(1).toDF("doc_id", "text"), store, 1L, merges, ctx)
+    assert(seqs() == got, "retried mid batch changed the sequences")
+    EventStream.seqPackArrivalBatch(chunks(2).toDF("doc_id", "text"), store, 2L, merges, ctx)
+    assert(seqs() == got, "retried final batch changed the sequences")
+    // compaction folds the fragment log without changing the read
+    EventStream.compactArrivalStore(spark, store)
+    assert(seqs() == got, "compaction changed the assembled sequences")
+    graft.Caches.release()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("arrival pack: shard ids continue seamlessly across batches, retry idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
