@@ -1220,15 +1220,45 @@ object EventStream {
                          defaultWeight: Int = 1, budgetPct: Int = 50,
                          budgetTokens: Long = 50000L,
                          bpeMerges: Option[Array[String]] = None): DataFrame = {
+    arrivalMixedTrain(spark, storeDir, weights, defaultWeight, budgetPct,
+        bpeMerges) match {
+      case None =>
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("source"), lit("").as("clean_text"),
+          col("id").as("n_tokens"), col("id").as("shard_id"))
+      case Some(mixed) =>
+        val packed = graft.operators.Curation.packCore(
+          mixed.select(col("doc_id"), col("n_tokens"),
+            (col("doc_id") / lit(1000L)).cast("long").as("blk")), budgetTokens)
+        packed.select(col("doc_id"), col("shard_id"))
+          .join(mixed.select(col("doc_id"), col("source"), col("clean_text"),
+            col("n_tokens")).hint("shuffle_hash"), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("clean_text"),
+            col("n_tokens"), col("shard_id"))
+          .orderBy(col("doc_id"))
+    }
+  }
+
+  /** The standing MIXED train frame (doc_id, source, clean_text,
+    * n_tokens) — latest-wins clean text resolved, optionally
+    * BPE-priced, integer-exact mix applied; None on a store with no
+    * committed batch. Shared by [[arrivalCorpusTrain]]'s shard-packing
+    * tail and [[arrivalCorpusTokenized]]'s fixed-context tokenized
+    * tail, which must agree on the corpus they feed from — the same
+    * split [[graft.operators.Pipeline.mixedTrain]] provides on the
+    * batch side.
+    */
+  private[graft] def arrivalMixedTrain(spark: SparkSession, storeDir: String,
+                                       weights: Map[String, Int],
+                                       defaultWeight: Int, budgetPct: Int,
+                                       bpeMerges: Option[Array[String]])
+      : Option[DataFrame] = {
     // committedOnly: this is a SERVING-class materialization, so a
     // crashed in-flight batch dir (no _SUCCESS) must be invisible —
     // ArrivalStore discipline 2 (r16 advice).
     val dirs = standingDirs(s"$storeDir/clean", Long.MaxValue,
       committedOnly = true)
-    if (dirs.isEmpty)
-      return spark.range(0).select(col("id").as("doc_id"),
-        lit("").as("source"), lit("").as("clean_text"),
-        col("id").as("n_tokens"), col("id").as("shard_id"))
+    if (dirs.isEmpty) return None
     // pricing knob (r17, verdict item 4 — the batch twin's contract,
     // Pipeline.corpusFull): with a merge table supplied, the pack tail
     // bills SUBWORD tokens of the standing clean text — thread the
@@ -1242,22 +1272,43 @@ object EventStream {
       .transform(graft.Caches.scoped(_)) // rates + mix + pack + text join
     val rates = graft.operators.Curation
       .mixRatesFor(clean, weights, defaultWeight, budgetPct)
-    val mixed = clean
+    Some(clean
       .withColumn("mix_bucket", graft.operators.Curation.splitBucket(
         concat(col("doc_id").cast("string"), lit(":mix"))).cast("long"))
       .join(broadcast(rates), Seq("source"))
       .filter(col("mix_bucket") < col("rate_pct"))
-      .transform(graft.Caches.scoped(_)) // pack input + text join
-    val packed = graft.operators.Curation.packCore(
-      mixed.select(col("doc_id"), col("n_tokens"),
-        (col("doc_id") / lit(1000L)).cast("long").as("blk")), budgetTokens)
-    packed.select(col("doc_id"), col("shard_id"))
-      .join(mixed.select(col("doc_id"), col("source"), col("clean_text"),
-        col("n_tokens")).hint("shuffle_hash"), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("clean_text"),
-        col("n_tokens"), col("shard_id"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Caches.scoped(_))) // pack input + text join
   }
+
+  /** [[arrivalCorpusTrain]]'s TENSOR-FEED sibling (r18): the standing
+    * corpus materialized straight to fixed-context token-ID sequences
+    * — [[graft.operators.Pipeline.corpusTokenized]]'s streaming twin.
+    * Unlike the incremental [[arrivalSequencePack]] loop (frozen
+    * sequences, arrival order), this is a SNAPSHOT re-pack from
+    * standing state: each training run re-materializes, so it uses
+    * the batch packer verbatim — including the GLOBAL content-
+    * addressed shuffle order, which is arrival-independent — and the
+    * identity with the batch pipeline over the concatenated arrivals
+    * needs no order caveat: it follows from the mixed-set identity
+    * the composed-loop spec already gates, plus sequencePack being a
+    * pure function of the (doc_id, clean_text) set. `merges` is the
+    * caller's frozen table, as everywhere in the BPE family.
+    */
+  def arrivalCorpusTokenized(spark: SparkSession, storeDir: String,
+                             merges: Array[String], ctxLen: Int = 512,
+                             weights: Map[String, Int] = Map("src0" -> 30, "src1" -> 30),
+                             defaultWeight: Int = 1, budgetPct: Int = 50)
+      : DataFrame =
+    arrivalMixedTrain(spark, storeDir, weights, defaultWeight, budgetPct,
+        None) match {
+      case None =>
+        spark.range(0).select(col("id").as("seq_id"),
+          expr("array()").cast("array<int>").as("tokens"),
+          col("id").as("n_pad"))
+      case Some(mixed) =>
+        graft.operators.Bpe.sequencePack(
+          mixed.select(col("doc_id"), col("clean_text")), merges, ctxLen)
+    }
 
   /** One near-dup arrival batch; see [[arrivalNearDup]]. Scoped caches
     * release per-batch via [[graft.Caches.withScope]] (r14 advice —

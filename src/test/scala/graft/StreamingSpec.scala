@@ -778,6 +778,22 @@ class StreamingSpec extends AnyFunSuite {
     graft.Caches.release()
     assert(gotBpe == wantBpe,
       s"BPE-priced arrival corpus != batch corpusFull:\n got=$gotBpe\nwant=$wantBpe")
+    // Tokenized materialization (r18): the tensor-feed twin — same
+    // standing mixed set, the batch sequence packer verbatim (global
+    // content-addressed shuffle order, arrival-independent), so the
+    // identity with Pipeline.corpusTokenized over the union is exact.
+    val ctxT = 64
+    val gotTok = EventStream
+      .arrivalCorpusTokenized(spark, store, merges, ctxLen = ctxT).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSeq
+    graft.Caches.release()
+    val wantTok = graft.operators.Pipeline
+      .corpusTokenized(spark, docsDir, ctxLen = ctxT, minQuality = 0.2,
+        tau = 0.8, w = w).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSeq
+    graft.Caches.release()
+    assert(gotTok.nonEmpty && gotTok == wantTok,
+      s"tokenized arrival corpus != batch corpusTokenized:\n got=$gotTok\nwant=$wantTok")
     // Every stage fired — pinned on the standing CLEAN store (the
     // decontaminated train corpus BEFORE the mix resample, which may
     // legitimately drop any surviving doc):
