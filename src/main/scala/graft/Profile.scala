@@ -237,6 +237,15 @@ object Profile {
           .repartition(1).sortWithinPartitions(col("doc_id"))))
       best("alt_both")(() => noop(
         bAnti.repartition(1).sortWithinPartitions(col("doc_id"))))
+      // fromtext attribution (r18): the 2.6x from-text residual is the
+      // STORE side re-deriving its hash set from text — price that
+      // scan with and without the md5 to split IO floor from hash CPU.
+      val store = graft.sources.Tables.documents(spark, dir)
+        .filter(graft.operators.Curation.splitBucket(col("doc_id")) < 80)
+      best("store_scan_only")(() => noop(
+        store.select(octet_length(col("text")).as("b"))))
+      best("store_scan+md5")(() => noop(
+        store.select(md5(col("text").cast("binary")).as("text_hash"))))
       spark.stop()
       return
     }

@@ -70,6 +70,12 @@ object BpeCount {
     }
     // word -> token ids memo (the encode twin of `memo`)
     val encMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Int]](1 << 12)
+    // id -> symbol string, the decode table: EVERY merged id maps to
+    // its fused string (when two merges fuse to the same string, both
+    // ids decode to it; encode only ever EMITS the first — symId)
+    val symById: Array[String] = merges.map { mg =>
+      mg.substring(0, mg.indexOf(' ')) + mg.substring(mg.indexOf(' ') + 1)
+    }
   }
 
   private val compiledCache =
@@ -189,7 +195,19 @@ object BpeCount {
     * they are sequence-packing framing, never produced by encode.
     */
   def encode(s: UTF8String, merges: Array[String],
-             fp: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+             fp: String): org.apache.spark.sql.catalyst.util.ArrayData =
+    encode(s, merges, fp, spaced = false)
+
+  /** `spaced = true` (r18): one space id (the 0x20 base byte — words
+    * never contain whitespace, so it is unambiguous) between
+    * consecutive words, making [[decode]] a byte-exact inverse modulo
+    * whitespace-run normalization — the round-trippable stream an
+    * eval/debug path wants. The count identity applies to the default
+    * word-only form; the spaced length is `bpe_count + max(0, words-1)`
+    * (TextSpec pins both).
+    */
+  def encode(s: UTF8String, merges: Array[String], fp: String,
+             spaced: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (compiledCache.size > 64) compiledCache.clear() // distinct-table bound
     val c = compiledCache.computeIfAbsent(fp, _ => new Compiled(merges))
     val memo = c.encMemo
@@ -203,6 +221,12 @@ object BpeCount {
       val start = i
       while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
       if (i > start) {
+        if (spaced && len > 0) {
+          if (len + 1 > buf.length)
+            buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+          buf(len) = 32
+          len += 1
+        }
         val word = text.substring(start, i)
         var ids = memo.get(word)
         if (ids == null) {
@@ -256,8 +280,45 @@ object BpeCount {
   def bpe_words(text: Column): Column =
     GraftColumn.column(BpeWordsExpr(GraftColumn.expression(text)))
 
-  def bpe_encode(text: Column, merges: Array[String]): Column =
-    GraftColumn.column(BpeEncodeExpr(GraftColumn.expression(text), merges))
+  /** Inverse of [[encode]]: ids back to text. Base-byte ids (< 256)
+    * decode to their byte, merged ids to their fused symbol's bytes
+    * ([[Compiled.symById]]), the document-boundary id ([[eosId]]) to a
+    * newline (readable doc separation in debug output), the pad id to
+    * nothing; any id above pad throws — corrupt input surfaces, never
+    * truncates silently. Byte-exact inverse of the SPACED encode
+    * modulo whitespace-run normalization; the word-only default
+    * decodes to the words concatenated (its declared pricing
+    * semantics — word boundaries are not in that id stream).
+    */
+  def decode(ids: org.apache.spark.sql.catalyst.util.ArrayData,
+             merges: Array[String], fp: String): UTF8String = {
+    if (compiledCache.size > 64) compiledCache.clear() // distinct-table bound
+    val c = compiledCache.computeIfAbsent(fp, _ => new Compiled(merges))
+    val eos = eosId(merges.length)
+    val pad = padId(merges.length)
+    val sb = new java.lang.StringBuilder(ids.numElements() * 2)
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 256) sb.append(id.toChar)
+      else if (id < eos) sb.append(c.symById(id - 256))
+      else if (id == eos) sb.append('\n')
+      else if (id != pad)
+        throw new IllegalArgumentException(
+          s"bpe_decode: id $id above the table's pad id $pad")
+      i += 1
+    }
+    UTF8String.fromBytes(sb.toString
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
+  def bpe_encode(text: Column, merges: Array[String],
+                 spaced: Boolean = false): Column =
+    GraftColumn.column(BpeEncodeExpr(GraftColumn.expression(text), merges, spaced))
+
+  def bpe_decode(ids: Column, merges: Array[String]): Column =
+    GraftColumn.column(BpeDecodeExpr(GraftColumn.expression(ids), merges))
 }
 
 /** Subword token count of a text column under a fixed merge table. */
@@ -307,7 +368,8 @@ case class BpeCountExpr(child: Expression, merges: Array[String])
   * content-fingerprint cache key, `size(bpe_encode) == bpe_count` by
   * construction).
   */
-case class BpeEncodeExpr(child: Expression, merges: Array[String])
+case class BpeEncodeExpr(child: Expression, merges: Array[String],
+                         spaced: Boolean = false)
     extends UnaryExpression {
 
   private val fp: String = BpeCount.fingerprint(merges)
@@ -322,12 +384,13 @@ case class BpeEncodeExpr(child: Expression, merges: Array[String])
   }
 
   override def nullSafeEval(s: Any): Any =
-    BpeCount.encode(s.asInstanceOf[UTF8String], merges, fp)
+    BpeCount.encode(s.asInstanceOf[UTF8String], merges, fp, spaced)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
     val f = ctx.addReferenceObj("bpeFp", fp, "java.lang.String")
-    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.encode($c, $m, $f)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeCount.encode($c, $m, $f, $spaced)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -336,12 +399,57 @@ case class BpeEncodeExpr(child: Expression, merges: Array[String])
   // content-based equality so plan canonicalization survives the array
   override def equals(other: Any): Boolean = other match {
     case o: BpeEncodeExpr =>
+      o.child == child && o.spaced == spaced && java.util.Arrays.equals(
+        o.merges.asInstanceOf[Array[AnyRef]], merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Boolean.valueOf(spaced),
+      Integer.valueOf(java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])))
+}
+
+/** Text back from a token-ID array under the same fixed merge table —
+  * the debug/eval inverse ([[BpeCount.decode]]): byte-exact for the
+  * spaced encode modulo whitespace-run normalization, concatenated
+  * words for the word-only pricing stream, newline at document
+  * boundaries, error above the pad id.
+  */
+case class BpeDecodeExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+
+  private val fp: String = BpeCount.fingerprint(merges)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(ids: Any): Any =
+    BpeCount.decode(
+      ids.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], merges, fp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
+    val f = ctx.addReferenceObj("bpeFp", fp, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.decode($c, $m, $f)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // content-based equality so plan canonicalization survives the array
+  override def equals(other: Any): Boolean = other match {
+    case o: BpeDecodeExpr =>
       o.child == child && java.util.Arrays.equals(
         o.merges.asInstanceOf[Array[AnyRef]], merges.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Objects.hash(child,
+    java.util.Objects.hash(child, "decode",
       Integer.valueOf(java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])))
 }
 

@@ -894,23 +894,17 @@ object EventStream {
           .parquet(metaDirs: _*)
           .orderBy(col("batch").cast("long").desc)
           .select(col("end_offset")).head().getLong(0)
-      val nBlocks = math.max(32, spark.sparkContext.defaultParallelism * 4)
-      val toks = graft.operators.Bpe.encodedToks(
-          batch.select(col("doc_id"), col("text").as("clean_text")), merges)
-        .repartitionByRange(nBlocks, col("skey"), col("doc_id"))
-        .withColumn("blk", spark_partition_id().cast("long"))
-      val offs = graft.operators.Curation.withPrefixOffsets(
-        toks, orderCols = Seq("skey", "doc_id"), startOffset = start)
-        .persist() // fragment write + the offset aggregate
-      try {
-        graft.operators.Bpe.tokenFragments(offs, ctxLen)
-          .write.mode("overwrite").parquet(s"$storeDir/seqs/batch=$batchId")
-        val batchTokens = Option(offs.agg(sum(col("n_tokens"))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        import spark.implicits._
-        Seq(start + batchTokens).toDF("end_offset").repartition(1)
-          .write.mode("overwrite").parquet(s"$storeDir/meta/batch=$batchId")
-      } finally offs.unpersist()
+      val coord = graft.operators.Bpe.tokenCoordinates(
+          batch.select(col("doc_id"), col("text").as("clean_text")),
+          merges, blocks = 0, startOffset = start)
+        .transform(graft.Caches.scoped(_)) // fragment write + offset sum
+      graft.operators.Bpe.tokenFragments(coord, ctxLen)
+        .write.mode("overwrite").parquet(s"$storeDir/seqs/batch=$batchId")
+      val batchTokens = Option(coord.agg(sum(col("n_tokens"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      import spark.implicits._
+      Seq(start + batchTokens).toDF("end_offset").repartition(1)
+        .write.mode("overwrite").parquet(s"$storeDir/meta/batch=$batchId")
     }
 
   /** Reader over [[arrivalSequencePack]]'s store: reassembles every

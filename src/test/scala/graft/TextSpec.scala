@@ -200,6 +200,47 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe: decode inverts encode — per-word, spaced round-trip, spaced length law") {
+    // r18: the eval/debug inverse. Three gates over the real corpus in
+    // one pass: (a) decode(encode(w)) == w for every distinct word
+    // (the word-only stream's declared semantics — words concatenate,
+    // so the per-word identity is the right granularity); (b) the
+    // SPACED stream round-trips every whole document byte-exactly
+    // modulo whitespace-run normalization; (c) the spaced length law
+    // size == bpe_count + max(words - 1, 0).
+    val merges = graft.operators.Bpe.mergesFor(spark, dir)
+    val words = graft.sources.Tables.documents(spark, dir)
+      .select(explode(graft.functions.BpeCount.bpe_words(col("text"))).as("w"))
+      .distinct()
+      .select(col("w"),
+        graft.functions.BpeCount.bpe_decode(
+          graft.functions.BpeCount.bpe_encode(col("w"), merges), merges).as("rt"))
+      .collect()
+    assert(words.nonEmpty)
+    words.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"word '${r.getString(0)}' decoded to '${r.getString(1)}'")
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.BpeCount.bpe_decode(
+          graft.functions.BpeCount.bpe_encode(col("text"), merges, spaced = true),
+          merges).as("rt"),
+        size(graft.functions.BpeCount.bpe_encode(col("text"), merges, spaced = true))
+          .as("n_spaced"),
+        graft.functions.BpeCount.bpe_count(col("text"), merges).as("cnt"),
+        size(graft.functions.BpeCount.bpe_words(col("text"))).as("n_words"))
+      .collect()
+    docs.foreach { r =>
+      val want = r.getString(1).trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(r.getString(2) == want,
+        s"doc ${r.getLong(0)}: spaced round-trip diverged")
+      val lawWant = r.getLong(4) + math.max(r.getInt(5) - 1, 0)
+      assert(r.getInt(3).toLong == lawWant,
+        s"doc ${r.getLong(0)}: spaced length ${r.getInt(3)} != count+words-1 $lawWant")
+    }
+  }
+
   test("corpus_pack_shards_bpe equals a sequential fold over the bpe counts") {
     val got = graft.operators.Bpe.packShardsBpe(spark, dir, budgetTokens = 500L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
