@@ -59,11 +59,13 @@ object EtlQueries {
     MetricsQueries.metrics(spark, dir).orderBy(orderedKeys.map(col): _*)
 
   def filterSince(spark: SparkSession, dir: String): DataFrame =
-    MetricsQueries.filterSince(MetricsQueries.metrics(spark, dir), "2024-01-15")
+    MetricsQueries.filterSince(
+      MetricsQueries.metricsForDays(spark, dir, "2024-01-15", None), "2024-01-15")
       .orderBy(orderedKeys.map(col): _*)
 
   def channelQuery(spark: SparkSession, dir: String): DataFrame =
-    MetricsQueries.channelQuery(MetricsQueries.metrics(spark, dir),
+    MetricsQueries.channelQuery(
+      MetricsQueries.metricsForDays(spark, dir, "2024-01-05", Some("2024-01-25")),
       "google_ads", "2024-01-05", "2024-01-25", limit = 30, offset = 10)
 
   /** Store-backed channel query (SURVEY §5's pruning story as a
@@ -154,11 +156,14 @@ object EtlQueries {
   }
 
   def funnelQuery(spark: SparkSession, dir: String): DataFrame =
-    MetricsQueries.funnelQuery(MetricsQueries.metrics(spark, dir),
+    MetricsQueries.funnelQuery(
+      MetricsQueries.metricsForDays(spark, dir, "2024-01-05", Some("2024-01-25")),
       "camp_7", "2024-01-05", "2024-01-25")
 
   def exportDaily(spark: SparkSession, dir: String): DataFrame =
-    MetricsQueries.exportDaily(MetricsQueries.metrics(spark, dir), "2024-01-10")
+    MetricsQueries.exportDaily(
+      MetricsQueries.metricsForDays(spark, dir, "2024-01-10", Some("2024-01-10")),
+      "2024-01-10")
       .transform(presentSorted(_, col("channel"), col("campaign_id"), col("utm_campaign")))
 
   def matches(spark: SparkSession, dir: String): DataFrame =

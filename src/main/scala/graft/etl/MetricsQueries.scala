@@ -19,6 +19,32 @@ object MetricsQueries {
     Consolidate.withDerived(
       Consolidate.metricsPacked(graft.sources.Tables.events(spark, dir)))
 
+  /** [[metrics]] with a redundant ts prefilter for date-bounded queries
+    * (r18, guide §6/§2.3): `date` is [[DateStr.epochDayOf]] of `ts` at
+    * UTC — a pure function of ts — so a civil-date bound [from, to]
+    * (inclusive ISO strings) is exactly the half-open ts range
+    * [fromT00:00Z, (to+1d)T00:00Z), and null-ts rows (date = null) fail
+    * both forms. The callers' date predicates stay, so results are
+    * identical with or without the prefilter; what the conjunct buys is
+    * a plain range predicate on the STORED ts column: it reaches the
+    * scan's PushedFilters (partition / row-group pruning on any
+    * time-clustered event store) and short-circuits the per-row
+    * feed-key packing for out-of-range rows, which a predicate on the
+    * packed key's date field never can.
+    */
+  def metricsForDays(spark: SparkSession, dir: String,
+                     from: String, toInclusive: Option[String]): DataFrame = {
+    val lo = java.time.Instant.parse(s"${from}T00:00:00Z")
+    val ev0 = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts") >= lit(lo))
+    val ev = toInclusive.fold(ev0) { t =>
+      val hi = java.time.Instant.parse(s"${t}T00:00:00Z")
+        .plus(java.time.Duration.ofDays(1))
+      ev0.filter(col("ts") < lit(hi))
+    }
+    Consolidate.withDerived(Consolidate.metricsPacked(ev))
+  }
+
   /** FilterByDate(since): keep date >= since (transformer.go). */
   def filterSince(m: DataFrame, since: String): DataFrame =
     m.filter(col("date") >= since)

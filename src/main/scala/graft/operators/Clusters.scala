@@ -704,7 +704,11 @@ object Clusters {
     // semantics don't depend on the metadata projection.
     val meta = Seq("lang", "source", "n_chars").filter(docs.columns.contains)
     docs.select(("doc_id" +: meta).map(col): _*)
-      .join(drop, Seq("doc_id"), "left_anti")
+      // shuffle_hash (r18): unhinted this anti join planned sort-merge —
+      // the corpus side paid a full sort above its exchange for an anti
+      // probe (plans/r18/dedup_prune). The loser-id side builds the
+      // per-partition hash table; no sort on either side.
+      .join(drop.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
 }

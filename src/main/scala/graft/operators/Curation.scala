@@ -380,8 +380,26 @@ object Curation {
     */
   def decontaminate(spark: SparkSession, dir: String, w: Int = 16,
                     normalize: Boolean = false): DataFrame = {
-    val posted = Dedup.windowPostings(spark, dir, w, normalize)
-      .withColumn("bucket", splitBucket(col("doc_id")))
+    // One text scan, not two (r18, guide §6/§2.3 — the mixedTrain
+    // shape): the flag pass and the cut pass both need the split word
+    // arrays, so cache them once instead of re-reading and re-splitting
+    // the text column for the cut. Val docs (90-94) feed neither side,
+    // so the cache drops them up front.
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        splitBucket(col("doc_id")).as("bucket"))
+      .filter(col("bucket") < 90 || col("bucket") >= 95)
+      .transform(graft.Caches.scoped(_)) // window pass + cut: one text scan
+    val hashed =
+      if (normalize)
+        org.apache.spark.sql.functions.transform(col("w"),
+          wd => graft.operators.TextAnalysis.normalizeText(wd))
+      else col("w")
+    val posted = base
+      .filter(size(col("w")) >= w)
+      .select(col("doc_id"), col("bucket"),
+        posexplode(graft.functions.WindowHashes.window_hashes(hashed, w))
+          .as(Seq("pos", "h")))
       .transform(graft.Caches.scoped(_)) // train + test sides, one pass
     val testH = posted.filter(col("bucket") >= 95).select(col("h"))
     val spans = Dedup.mergeIslands(
@@ -394,9 +412,9 @@ object Curation {
         count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1).as("n_removed"))
     val emptyLongs = array().cast("array<bigint>")
-    Tables.documents(spark, dir)
-      .filter(splitBucket(col("doc_id")) < 90)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    base
+      .filter(col("bucket") < 90)
+      .select(col("doc_id"), col("w"))
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         graft.functions.CutSpans.cut_spans(col("w"),

@@ -153,19 +153,31 @@ object Dedup {
     * audit table ([[exact]]'s output) bucketed by hash, so the anti
     * join reads a precomputed narrow table and the per-arrival cost is
     * O(batch) + one hash-keyed shuffle — this operator derives it from
-    * raw text only because the testdata ships no materialized store.
+    * raw text only because the testdata ships no materialized store,
+    * and since r18 it derives BOTH sides from one scoped narrow hash
+    * projection so the text column is scanned and hashed once, not
+    * twice.
     */
   def incremental(spark: SparkSession, dir: String, batchBucket: Int = 80): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        Curation.splitBucket(col("doc_id")).as("bucket"))
-    val batch = docs.filter(col("bucket") >= batchBucket)
-    val store = docs.filter(col("bucket") < batchBucket)
+    // One text scan, not two (r18, guide §6/§2.3): the batch/store split
+    // is a bucket predicate on doc_id that parquet cannot prune, so
+    // deriving each side independently read (and md5'd) the FULL text
+    // column twice. The scoped narrow projection hashes every doc once
+    // — 25 B/row (doc_id + 16-B md5 + bucket) instead of the text
+    // column — and both sides of the unchanged batch-agg + anti-join
+    // shape re-read it from the cache. At corpus scale the cached
+    // projection is ~0.3 % of the text bytes it replaces.
+    val hashed = graft.Caches.scoped(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("text_hash"),
+        Curation.splitBucket(col("doc_id")).as("bucket")))
+    val batch = hashed.filter(col("bucket") >= batchBucket)
+    val store = hashed.filter(col("bucket") < batchBucket)
     batch
-      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
-      .join(store.select(md5(col("text").cast("binary")).as("text_hash"))
-        .hint("shuffle_hash"), Seq("text_hash"), "left_anti")
+      .join(store.select(col("text_hash")).hint("shuffle_hash"),
+        Seq("text_hash"), "left_anti")
       .select(col("doc_id"), col("text_hash"), col("batch_copies"))
       .transform(batchPresentation(spark, dir, batchBucket))
   }
@@ -385,13 +397,24 @@ object Dedup {
     * actually remain (a span repeated only between exact duplicates is
     * already gone with the duplicates).
     */
-  def substringSpansFrom(docs: DataFrame, w: Int = 16): DataFrame = {
-    val wins = windowPostingsFrom(docs, w)
+  def substringSpansFrom(docs: DataFrame, w: Int = 16): DataFrame =
+    substringSpansFromWords(wordArrays(docs), w)
+
+  /** [[substringSpansFrom]] over a pre-split (doc_id, w) word-array
+    * frame — lets [[substringApply]] share ONE cached split of the text
+    * column between the flag pass and the cut pass (r18). */
+  private[graft] def substringSpansFromWords(words: DataFrame, w: Int): DataFrame = {
+    val wins = windowPostingsFromWords(words, w)
       .transform(graft.Caches.scoped(_)) // feeds the count AND the join back
     val dup = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("h"))
     mergeIslands(wins.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi"), w)
   }
+
+  /** The (doc_id, w = split text) projection both window-span passes
+    * consume. */
+  private[graft] def wordArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
 
   /** (doc_id, pos, h) for every w-word window of every document with
     * ≥ w words — ONE O(tokens) pass ([[WindowHashes]] hashes each token
@@ -414,13 +437,17 @@ object Dedup {
     * hashes stay 8 bytes.
     */
   private[graft] def windowPostingsFrom(docs: DataFrame, w: Int,
-                                        normalize: Boolean = false): DataFrame = {
+                                        normalize: Boolean = false): DataFrame =
+    windowPostingsFromWords(wordArrays(docs), w, normalize)
+
+  /** [[windowPostingsFrom]] over a pre-split (doc_id, w) frame. */
+  private[graft] def windowPostingsFromWords(words: DataFrame, w: Int,
+                                             normalize: Boolean = false): DataFrame = {
     val hashed =
       if (normalize)
         transform(col("w"), wd => TextAnalysis.normalizeText(wd))
       else col("w")
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    words
       .filter(size(col("w")) >= w)
       .select(col("doc_id"),
         posexplode(graft.functions.WindowHashes.window_hashes(hashed, w))
@@ -470,15 +497,19 @@ object Dedup {
     * summary.
     */
   def substringApply(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
-    val perDoc = substringSpans(spark, dir, w)
+    // One text scan, not two (r18, guide §6/§2.3): the span flag pass
+    // and the cut pass share one cached split of the text column — the
+    // cut previously re-read and re-split every document.
+    val words = graft.Caches.scoped(
+      wordArrays(Tables.documents(spark, dir)))
+    val perDoc = substringSpansFromWords(words, w)
       .groupBy(col("doc_id"))
       .agg(
         sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
         count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1).as("n_removed"))
     val emptyLongs = array().cast("array<bigint>")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    words
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         graft.functions.CutSpans.cut_spans(col("w"),
@@ -706,7 +737,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_candidates"),
         max(struct(col("est_jaccard"), col("other"))).as("best"))
     sig.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      // shuffle_hash (r18): unhinted this planned as a SortMergeJoin —
+      // both sides sorted for a decorate join whose right side is the
+      // bounded per-doc candidate summary. SHJ keeps the same two
+      // exchanges but drops both sorts (plans/r18/dedup_minhash_lsh).
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("best.other").as("best_match"),
@@ -771,7 +806,9 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_near"),
         min(struct(col("hamming"), col("other"))).as("best"))
-    fp.join(perDoc, Seq("doc_id"), "left")
+    // shuffle_hash (r18): same decorate-join pin as minhashLsh — SMJ
+    // sorted both sides for nothing (plans/r18/dedup_simhash).
+    fp.join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("fp").as("simhash"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         col("best.other").as("nearest"),

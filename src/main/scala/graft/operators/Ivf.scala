@@ -215,7 +215,11 @@ object Ivf {
       .select(col("query_id"), col("vec_id"))
 
     queriesDf.select(col("query_id"))
-      .join(exactTopKFrom(base, queriesDf, winners, k), Seq("query_id"), "left")
+      // shuffle_hash (r18): decorate join back to the query-id set —
+      // SMJ sorted both sides for a ≤ k-rows/query right side
+      // (plans/r18/sim_ann_ivf node 51).
+      .join(exactTopKFrom(base, queriesDf, winners, k).hint("shuffle_hash"),
+        Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -522,7 +526,9 @@ object Ivf {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cosine"))
     qDf.select(col("query_id"))
-      .join(ranked, Seq("query_id"), "left")
+      // shuffle_hash (r18): decorate join back to the query-id set (see
+      // annIvf) — drops both SMJ sorts, same exchanges.
+      .join(ranked.hint("shuffle_hash"), Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -695,7 +701,9 @@ object Ivf {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cosine"))
     qDf.select(col("query_id"))
-      .join(ranked, Seq("query_id"), "left")
+      // shuffle_hash (r18): decorate join back to the query-id set (see
+      // annIvf) — drops both SMJ sorts, same exchanges.
+      .join(ranked.hint("shuffle_hash"), Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -365,7 +365,9 @@ object IvfPq {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cosine"))
     qDf.select(col("query_id"))
-      .join(ranked, Seq("query_id"), "left")
+      // shuffle_hash (r18): decorate join back to the query-id set (see
+      // annIvf) — drops both SMJ sorts, same exchanges.
+      .join(ranked.hint("shuffle_hash"), Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -57,7 +57,11 @@ object Pipeline {
     base
       .filter(col("quality_score") >= minQuality)
       .join(keepers, Seq("doc_id"), "left_semi")
-      .join(nearLosers, Seq("doc_id"), "left_anti")
+      // shuffle_hash (r18): the near-loser anti join planned sort-merge,
+      // sorting the whole quality-gated corpus side above its exchange
+      // (plans/r18/pipeline_corpus_clean node 51); the loser-id side is
+      // the natural hash build.
+      .join(nearLosers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
   }
 
@@ -100,9 +104,14 @@ object Pipeline {
     val docs = graft.sources.Tables.documents(spark, dir)
       .join(survivors.select(col("doc_id")).hint("shuffle_hash"),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"))
+      // cache the SPLIT arrays, not the text (r18): the window pass and
+      // the cut each consumed a split() of the cached text — one
+      // O(tokens) split per doc, twice. Caching the arrays pays the
+      // split once; bytes cached are ~the same.
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
       .transform(graft.Caches.scoped(_)) // window pass + cut, one scan
-    val perDoc = Dedup.substringSpansFrom(docs, w)
+    val perDoc = Dedup.substringSpansFromWords(
+      docs.select(col("doc_id"), col("wd").as("w")), w)
       .groupBy(col("doc_id"))
       .agg(
         sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
@@ -110,7 +119,6 @@ object Pipeline {
         sum(col("span_end") - col("span_start") + 1).as("n_removed"))
     val emptyLongs = array().cast("array<bigint>")
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("wd"))
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .join(survivors.select(col("doc_id"), col("quality_score"))
         .hint("shuffle_hash"), Seq("doc_id"))

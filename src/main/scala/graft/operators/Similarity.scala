@@ -270,7 +270,11 @@ object Similarity {
           .select(col("query_id"), col("vec_id"))
       }
     base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
-      .join(exactTopK(base, winners, k), Seq("query_id"), "left")
+      // shuffle_hash (r18): the decorate join back to the query-id set
+      // planned sort-merge; the ranked side is ≤ k rows/query and hashes
+      // in place of two sorts (plans/r18/sim_ann_lsh node 49).
+      .join(exactTopK(base, winners, k).hint("shuffle_hash"),
+        Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
