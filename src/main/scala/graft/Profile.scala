@@ -255,6 +255,142 @@ object Profile {
     // candidates → + shingle-fetch + verification (= batch pairs) →
     // full serve (adds the label-store merge + subgraph CC + decorate).
     // Store build runs once before the ladder (the cold rep's price).
+    // SPARK_GRAFT_DECOMP=spans: same-JVM A/B for the r18 shared-word-
+    // array caches — the registered single-scan span-cut operators vs
+    // inline reconstructions of their r17 two-scan forms. Interleaved
+    // (A,B,A,B) so JVM/host drift shows as disagreement between the
+    // repeats rather than biasing one side.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("spans")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val w = 16
+      def best(label: String)(mk: () => DataFrame): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] spans $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      val emptyLongs = array().cast("array<bigint>")
+      def spanAgg(spans: DataFrame): DataFrame = spans
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+          count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+      def cutCols(wcol: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+        graft.functions.CutSpans.cut_spans(wcol,
+          coalesce(transform(col("sp"), _.getField("span_start")), emptyLongs),
+          coalesce(transform(col("sp"), _.getField("span_end")), emptyLongs))
+          .as("clean_text"),
+        (size(wcol).cast("long") - coalesce(col("n_removed"), lit(0L)))
+          .as("n_tokens_clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("n_removed"), lit(0L)).as("n_tokens_removed"))
+      // r17 two-scan substringApply: spans from one scan, cut re-reads text
+      def applyTwoScan(): DataFrame = {
+        val perDoc = spanAgg(graft.operators.Dedup.substringSpans(spark, dir, w))
+        graft.sources.Tables.documents(spark, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select((col("doc_id") +: cutCols(col("w"))): _*)
+          .orderBy(col("doc_id"))
+      }
+      // r17 two-scan decontaminate
+      def deconTwoScan(): DataFrame = {
+        val posted = graft.operators.Dedup.windowPostingsFrom(
+            graft.sources.Tables.documents(spark, dir), w)
+          .withColumn("bucket", graft.operators.Curation.splitBucket(col("doc_id")))
+          .transform(graft.Caches.scoped(_))
+        val testH = posted.filter(col("bucket") >= 95).select(col("h"))
+        val perDoc = spanAgg(graft.operators.Dedup.mergeIslands(
+          posted.filter(col("bucket") < 90).select(col("doc_id"), col("pos"), col("h"))
+            .join(testH.hint("shuffle_hash"), Seq("h"), "left_semi"), w))
+        graft.sources.Tables.documents(spark, dir)
+          .filter(graft.operators.Curation.splitBucket(col("doc_id")) < 90)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select((col("doc_id") +: cutCols(col("w"))): _*)
+          .orderBy(col("doc_id"))
+      }
+      // r17 corpusTrain: cached survivor TEXT, split twice
+      def trainTextCache(): DataFrame = {
+        val survivors = graft.operators.Pipeline.cleanSurvivors(spark, dir)
+          .transform(graft.Caches.scoped(_))
+        val docs = graft.sources.Tables.documents(spark, dir)
+          .join(survivors.select(col("doc_id")).hint("shuffle_hash"),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text"))
+          .transform(graft.Caches.scoped(_))
+        val perDoc = spanAgg(graft.operators.Dedup.substringSpansFrom(docs, w))
+        docs
+          .select(col("doc_id"), split(col("text"), " ").as("wd"))
+          .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(survivors.select(col("doc_id"), col("quality_score"))
+            .hint("shuffle_hash"), Seq("doc_id"))
+          .select(col("doc_id"),
+            graft.functions.CutSpans.cut_spans(col("wd"),
+              coalesce(transform(col("sp"), _.getField("span_start")), emptyLongs),
+              coalesce(transform(col("sp"), _.getField("span_end")), emptyLongs))
+              .as("clean_text"),
+            (size(col("wd")).cast("long") - coalesce(col("n_removed"), lit(0L)))
+              .as("n_tokens_clean"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
+            col("quality_score"))
+          .orderBy(col("doc_id"))
+      }
+      // third variant: cache TEXT once (one scan), split per consumer —
+      // trades the fat deserialized word-array cache for one extra
+      // O(tokens) split
+      def applyTextCache(): DataFrame = {
+        val docs = graft.Caches.scoped(
+          graft.sources.Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")))
+        val perDoc = spanAgg(graft.operators.Dedup.substringSpansFrom(docs, w))
+        docs
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select((col("doc_id") +: cutCols(col("w"))): _*)
+          .orderBy(col("doc_id"))
+      }
+      def deconTextCache(): DataFrame = {
+        val base = graft.sources.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"),
+            graft.operators.Curation.splitBucket(col("doc_id")).as("bucket"))
+          .filter(col("bucket") < 90 || col("bucket") >= 95)
+          .transform(graft.Caches.scoped(_))
+        val posted = graft.operators.Dedup.windowPostingsFromWords(
+            base.select(col("doc_id"), split(col("text"), " ").as("w")), w)
+          .withColumn("bucket", graft.operators.Curation.splitBucket(col("doc_id")))
+          .transform(graft.Caches.scoped(_))
+        val testH = posted.filter(col("bucket") >= 95).select(col("h"))
+        val perDoc = spanAgg(graft.operators.Dedup.mergeIslands(
+          posted.filter(col("bucket") < 90).select(col("doc_id"), col("pos"), col("h"))
+            .join(testH.hint("shuffle_hash"), Seq("h"), "left_semi"), w))
+        base.filter(col("bucket") < 90)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select((col("doc_id") +: cutCols(col("w"))): _*)
+          .orderBy(col("doc_id"))
+      }
+      for (round <- 1 to 2) {
+        best(s"apply_shared_r$round")(() =>
+          SparkEntry.queries("dedup_substring_apply")(spark, dir))
+        best(s"apply_twoscan_r$round")(() => applyTwoScan())
+        best(s"apply_textcache_r$round")(() => applyTextCache())
+        best(s"decon_shared_r$round")(() =>
+          SparkEntry.queries("corpus_decontaminate")(spark, dir))
+        best(s"decon_twoscan_r$round")(() => deconTwoScan())
+        best(s"decon_textcache_r$round")(() => deconTextCache())
+        best(s"train_shared_r$round")(() =>
+          SparkEntry.queries("pipeline_corpus_train")(spark, dir))
+        best(s"train_textcache_r$round")(() => trainTextCache())
+      }
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_DECOMP").contains("clserve")) {
       import org.apache.spark.sql.functions._
       def best(label: String)(body: () => Unit): Unit = {

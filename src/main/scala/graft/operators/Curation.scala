@@ -611,11 +611,18 @@ object Curation {
       }
     verified
       .groupBy(col("test_id"))
+      // top_k_pairs k=1 instead of max(struct(...)) (r18, see
+      // Dedup.minhashLsh): the struct buffer forced SortAggregate at
+      // both levels; the primitive-heap aggregate runs as
+      // ObjectHashAggregate. id = −train_id keeps the struct max's
+      // largest-train_id tie-break under top_k_pairs' (score DESC,
+      // id ASC) order.
       .agg(count(lit(1)).as("n_contaminating"),
-        max(struct(col("containment"), col("train_id"))).as("worst"))
+        graft.functions.TopKPairs.top_k_pairs(
+          col("containment"), -col("train_id"), 1).as("tk"))
       .select(col("test_id").as("doc_id"), col("n_contaminating"),
-        col("worst.containment").as("max_containment"),
-        col("worst.train_id").as("worst_train_doc"))
+        col("tk")(0).getField("score").as("max_containment"),
+        (-col("tk")(0).getField("id")).as("worst_train_doc"))
       .orderBy(col("doc_id"))
   }
 

@@ -734,8 +734,18 @@ object Dedup {
     val perDoc = est.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("est_jaccard"))
       .unionByName(est.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("est_jaccard")))
       .groupBy("doc_id")
+      // top_k_pairs k=1 instead of max(struct(...)) (r18): a struct
+      // aggregation buffer is not hash-aggregable, so the struct form
+      // planned SortAggregate — BOTH aggregate levels sorted the full
+      // candidate stream by doc_id. The primitive-heap pair aggregate
+      // runs as ObjectHashAggregate (no sorts; same exchanges).
+      // Ordering parity: max(struct(j, other)) = (j DESC, other DESC
+      // best-first); top_k_pairs orders (score DESC, id ASC), so id =
+      // −other makes ties break to the LARGEST other, exactly as the
+      // struct max did.
       .agg(count(lit(1)).as("n_candidates"),
-        max(struct(col("est_jaccard"), col("other"))).as("best"))
+        graft.functions.TopKPairs.top_k_pairs(
+          col("est_jaccard"), -col("other"), 1).as("tk"))
     sig.select(col("doc_id"))
       // shuffle_hash (r18): unhinted this planned as a SortMergeJoin —
       // both sides sorted for a decorate join whose right side is the
@@ -744,8 +754,8 @@ object Dedup {
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        col("best.other").as("best_match"),
-        col("best.est_jaccard").as("best_est_jaccard"))
+        (-col("tk")(0).getField("id")).as("best_match"),
+        col("tk")(0).getField("score").as("best_est_jaccard"))
       .orderBy(col("doc_id"))
   }
 
@@ -804,15 +814,21 @@ object Dedup {
     val perDoc = near.select(col("doc_a").as("doc_id"), col("doc_b").as("other"), col("hamming"))
       .unionByName(near.select(col("doc_b").as("doc_id"), col("doc_a").as("other"), col("hamming")))
       .groupBy("doc_id")
+      // top_k_pairs k=1 instead of min(struct(...)) (r18, see
+      // minhashLsh): min(struct(h, other)) is (h ASC, other ASC)
+      // best-first = top_k_pairs (score DESC, id ASC) with score = −h;
+      // hamming ≤ 64 is exact in double both ways. ObjectHashAggregate
+      // replaces the two SortAggregate levels and their sorts.
       .agg(count(lit(1)).as("n_near"),
-        min(struct(col("hamming"), col("other"))).as("best"))
+        graft.functions.TopKPairs.top_k_pairs(
+          -col("hamming").cast("double"), col("other"), 1).as("tk"))
     // shuffle_hash (r18): same decorate-join pin as minhashLsh — SMJ
     // sorted both sides for nothing (plans/r18/dedup_simhash).
     fp.join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("fp").as("simhash"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
-        col("best.other").as("nearest"),
-        col("best.hamming").as("min_hamming"))
+        col("tk")(0).getField("id").as("nearest"),
+        (-col("tk")(0).getField("score")).cast("int").as("min_hamming"))
       .orderBy(col("doc_id"))
   }
 

@@ -104,14 +104,9 @@ object Pipeline {
     val docs = graft.sources.Tables.documents(spark, dir)
       .join(survivors.select(col("doc_id")).hint("shuffle_hash"),
         Seq("doc_id"), "left_semi")
-      // cache the SPLIT arrays, not the text (r18): the window pass and
-      // the cut each consumed a split() of the cached text — one
-      // O(tokens) split per doc, twice. Caching the arrays pays the
-      // split once; bytes cached are ~the same.
-      .select(col("doc_id"), split(col("text"), " ").as("wd"))
+      .select(col("doc_id"), col("text"))
       .transform(graft.Caches.scoped(_)) // window pass + cut, one scan
-    val perDoc = Dedup.substringSpansFromWords(
-      docs.select(col("doc_id"), col("wd").as("w")), w)
+    val perDoc = Dedup.substringSpansFrom(docs, w)
       .groupBy(col("doc_id"))
       .agg(
         sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
@@ -119,6 +114,7 @@ object Pipeline {
         sum(col("span_end") - col("span_start") + 1).as("n_removed"))
     val emptyLongs = array().cast("array<bigint>")
     docs
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .join(survivors.select(col("doc_id"), col("quality_score"))
         .hint("shuffle_hash"), Seq("doc_id"))

@@ -101,4 +101,33 @@ class TopKPairsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(got == Map(1L -> 1, 2L -> 1), s"got $got")
   }
+
+  test("k=1 with negated id/score reproduces max(struct)/min(struct) including ties") {
+    // The r18 SortAggregate fix replaces max(struct(score, id)) /
+    // min(struct(score, id)) decorations (struct buffers are not
+    // hash-aggregable) with top_k_pairs k=1 under sign flips. Pin the
+    // tie-break parity on crafted ties: max(struct) breaks ties to the
+    // LARGEST id, min(struct) to the SMALLEST — top_k_pairs is
+    // (score DESC, id ASC), so id = −id models the former and
+    // score = −score the latter.
+    import spark.implicits._
+    val df = Seq((1L, 9.0, 11L), (1L, 9.0, 9L), (1L, 7.0, 20L),
+      (2L, 3.0, 1L), (2L, 3.0, 4L), (2L, 5.0, 2L))
+      .toDF("g", "score", "id")
+    val viaStruct = df.groupBy(col("g"))
+      .agg(max(struct(col("score"), col("id"))).as("mx"),
+        min(struct(col("score"), col("id"))).as("mn"))
+      .select(col("g"), col("mx.score"), col("mx.id"), col("mn.score"), col("mn.id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+    val viaTk = df.groupBy(col("g"))
+      .agg(top_k_pairs(col("score"), -col("id"), 1).as("mx"),
+        top_k_pairs(-col("score"), col("id"), 1).as("mn"))
+      .select(col("g"),
+        col("mx")(0).getField("score"), -col("mx")(0).getField("id"),
+        -col("mn")(0).getField("score"), col("mn")(0).getField("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(viaTk == viaStruct, s"$viaTk vs $viaStruct")
+  }
 }
