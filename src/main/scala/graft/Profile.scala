@@ -255,6 +255,47 @@ object Profile {
     // candidates → + shingle-fetch + verification (= batch pairs) →
     // full serve (adds the label-store merge + subgraph CC + decorate).
     // Store build runs once before the ladder (the cold rep's price).
+    // SPARK_GRAFT_DECOMP=dates: same-JVM A/B for the r18 ts-range
+    // prefilter on date-bounded metric queries — registered (prefiltered)
+    // vs the r17 plain form, interleaved.
+    if (sys.env.get("SPARK_GRAFT_DECOMP").contains("dates")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      import graft.etl.MetricsQueries
+      def best(label: String)(mk: () => DataFrame): Unit = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          Caches.release()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decomp] dates $label best ${ts.min}%.3f  " +
+          ts.map(t => f"$t%.3f").mkString(" "))
+      }
+      val keys = Seq("date", "channel", "campaign_id", "utm_campaign",
+        "utm_source", "utm_medium").map(col)
+      for (round <- 1 to 2) {
+        best(s"filter_since_pre_r$round")(() =>
+          SparkEntry.queries("etl_filter_since")(spark, dir))
+        best(s"filter_since_plain_r$round")(() =>
+          MetricsQueries.filterSince(MetricsQueries.metrics(spark, dir),
+            "2024-01-15").orderBy(keys: _*))
+        best(s"export_daily_pre_r$round")(() =>
+          SparkEntry.queries("etl_export_daily")(spark, dir))
+        best(s"export_daily_plain_r$round")(() =>
+          graft.functions.presentSorted(
+            MetricsQueries.exportDaily(MetricsQueries.metrics(spark, dir),
+              "2024-01-10"),
+            col("channel"), col("campaign_id"), col("utm_campaign")))
+        best(s"channel_pre_r$round")(() =>
+          SparkEntry.queries("etl_channel_query")(spark, dir))
+        best(s"channel_plain_r$round")(() =>
+          MetricsQueries.channelQuery(MetricsQueries.metrics(spark, dir),
+            "google_ads", "2024-01-05", "2024-01-25", limit = 30, offset = 10))
+      }
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DECOMP=spans: same-JVM A/B for the r18 shared-word-
     // array caches — the registered single-scan span-cut operators vs
     // inline reconstructions of their r17 two-scan forms. Interleaved
