@@ -247,10 +247,21 @@ object Curation {
   private[graft] def packCore(toksIn: DataFrame, budgetTokens: Long,
                               orderCols: Seq[String] = Seq("doc_id"),
                               startOffset: Long = 0L): DataFrame =
+    packAssignments(toksIn, budgetTokens, orderCols, startOffset)
+      .orderBy(col("doc_id"))
+
+  /** [[packCore]] without the doc_id presentation sort (r18): consumers
+    * that immediately hash-join the assignments back to the corpus
+    * (Pipeline.corpusFull, the arrival pack twin) paid a full range
+    * exchange + sort the join then threw away. The registered pack
+    * queries keep [[packCore]]'s ordered contract.
+    */
+  private[graft] def packAssignments(toksIn: DataFrame, budgetTokens: Long,
+                                     orderCols: Seq[String] = Seq("doc_id"),
+                                     startOffset: Long = 0L): DataFrame =
     withPrefixOffsets(toksIn, orderCols, startOffset)
       .select(col("doc_id"), col("n_tokens"),
         expr(s"off DIV $budgetTokens").as("shard_id"))
-      .orderBy(col("doc_id"))
 
   /** The two-phase prefix-sum CORE: every input column plus `off`,
     * each row's EXCLUSIVE global prefix of `n_tokens` in (`blk`,

@@ -194,7 +194,10 @@ object Pipeline {
       defaultWeight, budgetPct, bpeMerges)
     val n = graft.sources.Tables.parquetRowCount(spark, dir, "documents")
     val blockSize = math.max(1000L, n / 10000L)
-    val packed = Curation.packCore(
+    // packAssignments, not packCore (r18): the shard-id frame feeds a
+    // hash join on doc_id — packCore's presentation sort was a wasted
+    // range exchange + sort here.
+    val packed = Curation.packAssignments(
       mixed.select(col("doc_id"), col("n_tokens"),
         (col("doc_id") / blockSize).cast("long").as("blk")), budgetTokens)
     packed.select(col("doc_id"), col("shard_id"))

@@ -1221,7 +1221,9 @@ object EventStream {
           lit("").as("source"), lit("").as("clean_text"),
           col("id").as("n_tokens"), col("id").as("shard_id"))
       case Some(mixed) =>
-        val packed = graft.operators.Curation.packCore(
+        // packAssignments, not packCore (r18): the hash join below
+        // destroys the presentation sort (same fix as Pipeline.corpusFull)
+        val packed = graft.operators.Curation.packAssignments(
           mixed.select(col("doc_id"), col("n_tokens"),
             (col("doc_id") / lit(1000L)).cast("long").as("blk")), budgetTokens)
         packed.select(col("doc_id"), col("shard_id"))
